@@ -1,0 +1,88 @@
+"""Level-1 KPI aggregation (SURVEY.md §2.4 A1-A8).
+
+clean log -> per-(date_utc, endpoint_base) KPI fact table with the exact
+9-column schema of reference src/calcular_kpi.py:124-134.
+
+Scale notes (the reference buffers every elapsed value per group in a
+Python list — O(N) memory, reference src/calcular_kpi.py:15,:25):
+- The conditional counts and avg are classic partial aggregates: Spark
+  computes map-side partials, shuffling only one row per (group,
+  partition) — at 100 TB the shuffle is proportional to group count, not
+  row count.
+- Exact percentile is the one order-statistic: Spark's `percentile` is an
+  ObjectHashAggregate that spills, matching numpy's linear interpolation
+  (oracle parity, SURVEY §4.3 #4). For the 100 TB tier `kpi_daily_approx`
+  swaps in `percentile_approx` (KLL-style sketch, bounded memory,
+  mergeable map-side) — the single biggest algorithmic upgrade over the
+  reference; documented as approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.portable import round2, sql_round2
+from ..schemas import KPI_COLUMNS
+
+
+def _count_if(cond) -> F.Column:
+    """count_if as a sum of 0/1 — partial-aggregatable, codegen-friendly."""
+    return F.sum(F.when(cond, 1).otherwise(0))
+
+
+def kpi_aggregates(exact_percentile: bool = True) -> list[F.Column]:
+    """A2-A8 aggregate expressions over a cleaned log.
+
+    2xx/4xx/5xx are inclusive ranges; 3xx and the invalid-cast 0 fall
+    through uncounted but still contribute to requests_total
+    (reference src/calcular_kpi.py:26-31). parse_errors counts
+    parse_result != 'ok' — not == 'error' (reference :33-34).
+    """
+    status = F.col("status_code")
+    p90 = (
+        F.percentile(F.col("elapsed_ms"), F.lit(0.9))
+        if exact_percentile
+        else F.percentile_approx(F.col("elapsed_ms"), F.lit(0.9), F.lit(10000))
+    )
+    return [
+        F.count(F.lit(1)).alias("requests_total"),
+        _count_if(status.between(200, 299)).alias("success_2xx"),
+        _count_if(status.between(400, 499)).alias("client_4xx"),
+        _count_if(status.between(500, 599)).alias("server_5xx"),
+        _count_if(F.col("parse_result") != "ok").alias("parse_errors"),
+        round2(F.avg("elapsed_ms")).alias("avg_elapsed_ms"),
+        round2(p90).alias("p90_elapsed_ms"),
+    ]
+
+
+def kpi_daily(clean_log: DataFrame, *, exact_percentile: bool = True) -> DataFrame:
+    """A1-A8 + O1: group by (date_utc, endpoint_base), 7 aggregates,
+    composite ascending sort, 2-dp rounding at the sink
+    (reference src/calcular_kpi.py:86-153)."""
+    return (
+        clean_log.groupBy("date_utc", "endpoint_base")
+        .agg(*kpi_aggregates(exact_percentile))
+        .select(*KPI_COLUMNS)
+        .orderBy("date_utc", "endpoint_base")
+    )
+
+
+def sql_kpi_daily_select(source: str = "clean_log") -> str:
+    """DuckDB twin of kpi_daily (depends on a clean_log CTE/view)."""
+    avg2 = sql_round2("avg(elapsed_ms)")
+    p902 = sql_round2("quantile_cont(elapsed_ms, 0.9)")
+    return f"""
+SELECT
+  date_utc,
+  endpoint_base,
+  count(*) AS requests_total,
+  CAST(sum(CASE WHEN status_code BETWEEN 200 AND 299 THEN 1 ELSE 0 END) AS BIGINT) AS success_2xx,
+  CAST(sum(CASE WHEN status_code BETWEEN 400 AND 499 THEN 1 ELSE 0 END) AS BIGINT) AS client_4xx,
+  CAST(sum(CASE WHEN status_code BETWEEN 500 AND 599 THEN 1 ELSE 0 END) AS BIGINT) AS server_5xx,
+  CAST(sum(CASE WHEN parse_result <> 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS parse_errors,
+  {avg2} AS avg_elapsed_ms,
+  {p902} AS p90_elapsed_ms
+FROM {source}
+GROUP BY date_utc, endpoint_base
+ORDER BY date_utc, endpoint_base"""

@@ -1,0 +1,154 @@
+"""Level-2 report aggregation (SURVEY.md §2.4 A9-A13, §2.3 P8-P10, §2.5 O2).
+
+KPI fact table -> per-endpoint report table + single-row global metrics,
+reproducing the reference's *intentionally approximate* roll-ups
+formula-for-formula (SURVEY §4.3 #5):
+
+- avg/p90 are re-aggregated as request-weighted means of the per-day
+  values (reference src/generar_reporte.py:49-52) — the p90 roll-up is a
+  heuristic, not a true global p90;
+- the global p90 is numpy-style percentile *of the per-group p90 column*
+  (reference src/generar_reporte.py:29-31).
+
+`kpi_rollup` is the Spark-native generalization: one GROUPING SETS pass
+produces level-1, level-2 and global rows together — a single shuffle
+instead of three cascaded jobs; Spark expands grouping sets map-side so
+this still partial-aggregates at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import alert_flag, pct_of_total
+from ..functions.portable import round2, sql_round2
+from ..schemas import REPORT_COLUMNS
+
+DEFAULT_P90_THRESHOLD = 300.0  # reference README.md:137 example --umbral_p90
+
+
+def report_by_endpoint(kpi: DataFrame, *, p90_threshold: float = DEFAULT_P90_THRESHOLD) -> DataFrame:
+    """A9-A11 + P8-P10 + O2 (reference src/generar_reporte.py:34-68,:178)."""
+    req = F.col("requests_total")
+    weighted = lambda c: F.sum(F.col(c) * req) / F.greatest(F.sum(req), F.lit(1))  # noqa: E731
+    agg = kpi.groupBy("endpoint_base").agg(
+        F.sum("requests_total").alias("requests_total"),
+        F.sum("success_2xx").alias("success_2xx"),
+        F.sum("client_4xx").alias("client_4xx"),
+        F.sum("server_5xx").alias("server_5xx"),
+        weighted("avg_elapsed_ms").alias("avg_elapsed_ms_w"),
+        weighted("p90_elapsed_ms").alias("p90_elapsed_ms_w"),
+    )
+    return (
+        agg.select(
+            "endpoint_base",
+            "requests_total",
+            "success_2xx",
+            "client_4xx",
+            "server_5xx",
+            round2("avg_elapsed_ms_w").alias("avg_elapsed_ms"),
+            round2("p90_elapsed_ms_w").alias("p90_elapsed_ms"),
+            round2(pct_of_total("success_2xx", "requests_total")).alias("pct_success"),
+            round2(pct_of_total("client_4xx", "requests_total")).alias("pct_client_4xx"),
+            round2(pct_of_total("server_5xx", "requests_total")).alias("pct_server_5xx"),
+        )
+        .withColumn("alerta_p90", alert_flag("p90_elapsed_ms", p90_threshold))
+        .select(*REPORT_COLUMNS)
+        .orderBy(F.col("requests_total").desc(), F.col("endpoint_base"))
+    )
+
+
+def sql_report_by_endpoint_select(source: str = "kpi", p90_threshold: float = DEFAULT_P90_THRESHOLD) -> str:
+    w_avg = "sum(avg_elapsed_ms * requests_total) / greatest(sum(requests_total), 1)"
+    w_p90 = "sum(p90_elapsed_ms * requests_total) / greatest(sum(requests_total), 1)"
+    pct = lambda c: f"CASE WHEN sum(requests_total) > 0 THEN sum({c}) * 100.0 / sum(requests_total) ELSE 0.0 END"  # noqa: E731
+    return f"""
+SELECT
+  endpoint_base,
+  CAST(sum(requests_total) AS BIGINT) AS requests_total,
+  CAST(sum(success_2xx) AS BIGINT) AS success_2xx,
+  CAST(sum(client_4xx) AS BIGINT) AS client_4xx,
+  CAST(sum(server_5xx) AS BIGINT) AS server_5xx,
+  {sql_round2(w_avg)} AS avg_elapsed_ms,
+  {sql_round2(w_p90)} AS p90_elapsed_ms,
+  {sql_round2(pct('success_2xx'))} AS pct_success,
+  {sql_round2(pct('client_4xx'))} AS pct_client_4xx,
+  {sql_round2(pct('server_5xx'))} AS pct_server_5xx,
+  CASE WHEN {sql_round2(w_p90)} > {p90_threshold} THEN 'SI' ELSE 'NO' END AS alerta_p90
+FROM {source}
+GROUP BY endpoint_base
+ORDER BY requests_total DESC, endpoint_base"""
+
+
+def global_metrics(kpi: DataFrame) -> DataFrame:
+    """A12-A13 single-row global aggregate (reference src/generar_reporte.py:19-31).
+
+    pct_errors counts 4xx+5xx; p90_global is the percentile of the
+    *p90 column* (approximation inherited from the reference, flagged
+    there as 'sin raw no hay exacto global')."""
+    total = F.sum("requests_total")
+    return kpi.agg(
+        total.alias("requests_total"),
+        round2(
+            F.when(total > 0, F.sum("success_2xx") / total * 100.0).otherwise(F.lit(0.0))
+        ).alias("pct_success"),
+        round2(
+            F.when(total > 0, (F.sum("client_4xx") + F.sum("server_5xx")) / total * 100.0).otherwise(F.lit(0.0))
+        ).alias("pct_errors"),
+        round2(F.percentile(F.col("p90_elapsed_ms"), F.lit(0.9))).alias("p90_global_approx"),
+    )
+
+
+def sql_global_metrics_select(source: str = "kpi") -> str:
+    pct_s = "CASE WHEN sum(requests_total) > 0 THEN sum(success_2xx) * 100.0 / sum(requests_total) ELSE 0.0 END"
+    pct_e = (
+        "CASE WHEN sum(requests_total) > 0 THEN (sum(client_4xx) + sum(server_5xx)) * 100.0 / sum(requests_total) "
+        "ELSE 0.0 END"
+    )
+    return f"""
+SELECT
+  CAST(sum(requests_total) AS BIGINT) AS requests_total,
+  {sql_round2(pct_s)} AS pct_success,
+  {sql_round2(pct_e)} AS pct_errors,
+  {sql_round2('quantile_cont(p90_elapsed_ms, 0.9)')} AS p90_global_approx
+FROM {source}"""
+
+
+def kpi_rollup(clean_log: DataFrame) -> DataFrame:
+    """GROUPING SETS ((date, endpoint), (endpoint), ()) in ONE pass —
+    the Spark-native fusion of level-1 + level-2 + global (SURVEY §2.4).
+
+    Unlike the reference's cascade, avg/percentile here are computed from
+    the raw rows at every level, so the endpoint-level and global numbers
+    are exact, not weighted-mean heuristics."""
+    return (
+        clean_log.groupingSets(
+            [["date_utc", "endpoint_base"], ["endpoint_base"], []],
+            "date_utc",
+            "endpoint_base",
+        )
+        .agg(
+            F.grouping_id("date_utc", "endpoint_base").cast("int").alias("grp"),
+            F.count(F.lit(1)).alias("requests_total"),
+            F.sum(F.when(F.col("status_code").between(200, 299), 1).otherwise(0)).alias("success_2xx"),
+            round2(F.avg("elapsed_ms")).alias("avg_elapsed_ms"),
+            round2(F.percentile(F.col("elapsed_ms"), F.lit(0.9))).alias("p90_elapsed_ms"),
+        )
+        .orderBy("grp", "date_utc", "endpoint_base")
+    )
+
+
+def sql_kpi_rollup_select(source: str = "clean_log") -> str:
+    return f"""
+SELECT
+  date_utc,
+  endpoint_base,
+  CAST(GROUPING(date_utc) * 2 + GROUPING(endpoint_base) AS INT) AS grp,
+  count(*) AS requests_total,
+  CAST(sum(CASE WHEN status_code BETWEEN 200 AND 299 THEN 1 ELSE 0 END) AS BIGINT) AS success_2xx,
+  {sql_round2('avg(elapsed_ms)')} AS avg_elapsed_ms,
+  {sql_round2('quantile_cont(elapsed_ms, 0.9)')} AS p90_elapsed_ms
+FROM {source}
+GROUP BY GROUPING SETS ((date_utc, endpoint_base), (endpoint_base), ())
+ORDER BY grp, date_utc, endpoint_base"""

@@ -1,0 +1,93 @@
+"""Named-query registry: every implemented operator exposed as
+(spark, sf_dir) -> DataFrame, with a DuckDB oracle SQL twin where the
+semantics are SQL-expressible (driver contract, /root/repo/__spark_entry__.py).
+
+Conventions that make the driver's order-insensitive value-hash match:
+- every computed column is aliased identically in Spark and SQL;
+- doubles are rounded with the portable round2/roundn (floor(x*s+0.5)/s);
+- dates/timestamps are projected as strings;
+- DuckDB integer sums are CAST to BIGINT (DuckDB sum(int) is HUGEINT).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import kpi as kpi_ops
+from .operators import report as report_ops
+from .schemas import load_table
+from .sources import synthetic
+from .functions.cleaning import clean_http_log
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _events_clean_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> dirty raw log -> cleaned typed log (single lazy plan)."""
+    return clean_http_log(synthetic.http_log_from_events(load_table(spark, sf_dir, "events")))
+
+
+_LOG_CTES = "WITH " + synthetic.sql_http_log_cte().strip() + ",\n" + synthetic.sql_clean_log_cte().strip()
+
+
+# --- Reference pipeline surface (SURVEY §2.1 S11, §2.3 P1-P7, §2.4 A1-A13) ---
+
+
+@register(
+    "clean_coerce",
+    _LOG_CTES + "\nSELECT * FROM clean_log",
+)
+def q_clean_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P7: projection, null-filter, date derivation, endpoint
+    normalization, defensive casts with cast-failure-as-data semantics."""
+    return _events_clean_log(spark, sf_dir)
+
+
+@register("kpi_daily", _LOG_CTES + kpi_ops.sql_kpi_daily_select())
+def q_kpi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A8 + O1: the reference's flagship KPI fact table."""
+    return kpi_ops.kpi_daily(_events_clean_log(spark, sf_dir))
+
+
+_KPI_CTE = _LOG_CTES + ",\nkpi AS (" + kpi_ops.sql_kpi_daily_select() + ")"
+
+
+@register("kpi_report_endpoint", _KPI_CTE + report_ops.sql_report_by_endpoint_select())
+def q_kpi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9-A11 + P8-P10 + O2: weighted per-endpoint report with alert flag."""
+    return report_ops.report_by_endpoint(kpi_ops.kpi_daily(_events_clean_log(spark, sf_dir)))
+
+
+@register("kpi_global", _KPI_CTE + report_ops.sql_global_metrics_select())
+def q_kpi_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12-A13: single-row global metrics incl. p90-of-p90s approximation."""
+    return report_ops.global_metrics(kpi_ops.kpi_daily(_events_clean_log(spark, sf_dir)))
+
+
+@register("kpi_rollup", _LOG_CTES + report_ops.sql_kpi_rollup_select())
+def q_kpi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS fusion of daily/endpoint/global levels in one pass."""
+    return report_ops.kpi_rollup(_events_clean_log(spark, sf_dir))
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

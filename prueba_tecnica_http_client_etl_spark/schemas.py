@@ -1,0 +1,111 @@
+"""Explicit schemas for every dataset the engine touches.
+
+The reference carries no declared schemas (dynamic dicts + defensive
+coercion, reference src/calcular_kpi.py:86-118); here every scan declares a
+StructType so Catalyst can prune columns and push filters into the parquet
+reader, and so JSONL ingestion never pays inference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# Raw HTTP call-log record (reference src/generar_datos.py:50-58).
+# status_code / elapsed_ms are ingested as *strings* so that the
+# cast-failure-as-data semantics (reference src/calcular_kpi.py:102-114)
+# is expressible relationally: a failed cast must yield a default AND flip
+# parse_result, not raise.
+LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("timestamp_utc", T.StringType(), True),
+        T.StructField("endpoint", T.StringType(), True),
+        T.StructField("status_code", T.StringType(), True),
+        T.StructField("elapsed_ms", T.StringType(), True),
+        T.StructField("parse_result", T.StringType(), True),
+    ]
+)
+
+# Strictly-typed variant for well-formed logs (e.g. our own generator output).
+LOG_SCHEMA_TYPED = T.StructType(
+    [
+        T.StructField("timestamp_utc", T.StringType(), True),
+        T.StructField("endpoint", T.StringType(), True),
+        T.StructField("status_code", T.IntegerType(), True),
+        T.StructField("elapsed_ms", T.DoubleType(), True),
+        T.StructField("parse_result", T.StringType(), True),
+    ]
+)
+
+# KPI fact table: exact 9-column order of reference src/calcular_kpi.py:124-134.
+KPI_COLUMNS = [
+    "date_utc",
+    "endpoint_base",
+    "requests_total",
+    "success_2xx",
+    "client_4xx",
+    "server_5xx",
+    "parse_errors",
+    "avg_elapsed_ms",
+    "p90_elapsed_ms",
+]
+
+KPI_SCHEMA = T.StructType(
+    [
+        T.StructField("date_utc", T.StringType(), True),
+        T.StructField("endpoint_base", T.StringType(), True),
+        T.StructField("requests_total", T.LongType(), True),
+        T.StructField("success_2xx", T.LongType(), True),
+        T.StructField("client_4xx", T.LongType(), True),
+        T.StructField("server_5xx", T.LongType(), True),
+        T.StructField("parse_errors", T.LongType(), True),
+        T.StructField("avg_elapsed_ms", T.DoubleType(), True),
+        T.StructField("p90_elapsed_ms", T.DoubleType(), True),
+    ]
+)
+
+# Per-endpoint report table (reference src/generar_reporte.py:34-68, :178).
+REPORT_COLUMNS = [
+    "endpoint_base",
+    "requests_total",
+    "success_2xx",
+    "client_4xx",
+    "server_5xx",
+    "avg_elapsed_ms",
+    "p90_elapsed_ms",
+    "pct_success",
+    "pct_client_4xx",
+    "pct_server_5xx",
+    "alerta_p90",
+]
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark, sf_dir: str, name: str):
+    """Parquet scan with Catalyst pushdown; schemas come from parquet footers.
+
+    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    by default. We read nanos as INT64 (legacy conf) and truncate to
+    microseconds — the same truncation DuckDB applies, so oracle timestamps
+    agree exactly.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
