@@ -64,6 +64,37 @@ def sql_round2(expr: str) -> str:
     return f"(floor(({expr}) * 100 + 0.5) / 100)"
 
 
+def exact_sum(col: Column, scale: int = 100) -> Column:
+    """Order-independent double sum: integerize each summand (fixed-point,
+    e.g. cents) BEFORE summing, so the aggregate is an exact integer sum —
+    identical under any partitioning, and identical to the oracle (DuckDB
+    associates windowed/grouped double sums differently, e.g. via segment
+    trees, so plain double sums differ in the last ulp and can flip a
+    rounding). Per-row double arithmetic is deterministic; only the
+    summation order isn't."""
+    return F.sum(F.floor(col * scale + F.lit(0.5)).cast("long")).cast("double") / scale
+
+
+def sql_exact_sum(expr: str, scale: int = 100) -> str:
+    return f"(CAST(sum(CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)) AS DOUBLE) / {scale})"
+
+
+def exact_avg(col: Column, scale: int = 100) -> Column:
+    """Order-independent mean: exact integer sum / count."""
+    return exact_sum(col, scale) / F.count(F.lit(1))
+
+
+def sql_exact_avg(expr: str, scale: int = 100) -> str:
+    return f"({sql_exact_sum(expr, scale)} / count(*))"
+
+
+def epoch_seconds(col: Column | str) -> Column:
+    """Timestamp -> fractional epoch seconds, NTZ-safe (NTZ interpreted as
+    UTC wall clock, matching DuckDB's naive-timestamp epoch())."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("double")
+
+
 def roundn(col: Column | str, n: int) -> Column:
     """Portable n-dp rounding (non-negative x)."""
     c = F.col(col) if isinstance(col, str) else col

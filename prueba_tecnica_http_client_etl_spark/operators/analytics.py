@@ -1,0 +1,539 @@
+"""Standard analytics operators over the TPC-H-ish test tables
+(SURVEY.md §2.6/§7 step 6 — engine extensions; the reference itself has no
+joins/windows/set-ops, verified absent in SURVEY §2.6).
+
+Every operator is declared relationally so Catalyst owns the physical
+strategy. Scale reasoning per operator is in its docstring; the common
+themes at 100 TB:
+
+- dimension joins (region/nation/customer/supplier/part) are explicitly
+  `F.broadcast` — dims stay small while facts grow, so the join must never
+  shuffle the fact table;
+- fact-fact joins (orders x lineitem) shuffle on the join key — both sides
+  hash-partition on orderkey, AQE handles skew; with bucketed storage this
+  shuffle disappears (see plans/);
+- windows partition by bounded keys (custkey, suppkey, user_id); no global
+  windows, so state per task stays bounded;
+- top-k uses orderBy+limit, which Spark executes as TakeOrderedAndProject
+  (per-partition heaps + driver merge of k rows, never a global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable import (
+    epoch_seconds,
+    exact_avg,
+    exact_sum,
+    round2,
+    roundn,
+    sql_exact_avg,
+    sql_exact_sum,
+    sql_round2,
+    sql_roundn,
+)
+from ..schemas import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- aggregation over a filtered fact (TPC-H Q1 shape) ---------------------
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupBy 2 low-cardinality keys + 8 aggregates after a pushed-down
+    date filter. At 100 TB: filter + projection reach the parquet scan
+    (PushedFilters), partial aggregation reduces the shuffle to
+    |groups| x |partitions| rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round2(exact_sum(F.col("l_quantity"))).alias("sum_qty"),
+            round2(exact_sum(F.col("l_extendedprice"))).alias("sum_base_price"),
+            round2(exact_sum(disc_price)).alias("sum_disc_price"),
+            round2(exact_sum(charge)).alias("sum_charge"),
+            roundn(exact_avg(F.col("l_quantity")), 4).alias("avg_qty"),
+            roundn(exact_avg(F.col("l_extendedprice")), 4).alias("avg_price"),
+            roundn(exact_avg(F.col("l_discount"), 1_000_000), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_round2(sql_exact_sum('l_quantity'))} AS sum_qty,
+  {sql_round2(sql_exact_sum('l_extendedprice'))} AS sum_base_price,
+  {sql_round2(sql_exact_sum('l_extendedprice * (1 - l_discount)'))} AS sum_disc_price,
+  {sql_round2(sql_exact_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)'))} AS sum_charge,
+  {sql_roundn(sql_exact_avg('l_quantity'), 4)} AS avg_qty,
+  {sql_roundn(sql_exact_avg('l_extendedprice'), 4)} AS avg_price,
+  {sql_roundn(sql_exact_avg('l_discount', 1_000_000), 4)} AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+
+# --- fact-fact + broadcast-dim joins (TPC-H Q3/Q5 shapes) -------------------
+
+
+def top_revenue_orders(spark: SparkSession, sf_dir: str, *, segment: str = "BUILDING", k: int = 10) -> DataFrame:
+    """Q3 shape: broadcast the filtered customer dim into orders, shuffle
+    join orders x lineitem on orderkey, aggregate revenue, top-k.
+    Top-k compiles to TakeOrderedAndProject — no global sort at scale.
+    Tie-break on o_orderkey keeps the k rows deterministic for the oracle."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == segment)
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round2(revenue).alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(k)
+    )
+
+
+SQL_TOP_REVENUE_ORDERS = f"""
+SELECT
+  o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  o_orderpriority,
+  {sql_round2(sql_exact_sum('l_extendedprice * (1 - l_discount)'))} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10"""
+
+
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: five-way join. All four dims broadcast (region 5 rows,
+    nation 25, supplier/customer bounded); only orders x lineitem
+    shuffles. Catalyst reorders the dim joins below the fact join."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round2(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_lineitems"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+SQL_REGION_REVENUE = f"""
+SELECT
+  r_name,
+  n_name,
+  {sql_round2(sql_exact_sum('l_extendedprice * (1 - l_discount)'))} AS revenue,
+  count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name"""
+
+
+# --- semi / anti joins ------------------------------------------------------
+
+
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi = EXISTS. The semi join only ships the join key of the
+    right side; at scale prefer it over join+distinct (no fact blow-up)."""
+    cust = _t(spark, sf_dir, "customer")
+    open_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(open_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_CUSTOMERS_WITH_OPEN_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+ORDER BY c_custkey"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti = NOT EXISTS (null-safe, unlike NOT IN with nulls)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", round2(F.col("c_acctbal")).alias("c_acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = f"""
+SELECT c_custkey, c_name, {sql_round2('c_acctbal')} AS c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey"""
+
+
+# --- window functions -------------------------------------------------------
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str, *, k: int = 3) -> DataFrame:
+    """Top-k per group via row_number — the scalable idiom (one shuffle on
+    the partition key, per-group heap state). Deterministic tie-break on
+    o_orderkey."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            round2(F.col("o_totalprice")).alias("o_totalprice"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("o_custkey", "rk")
+    )
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = f"""
+SELECT o_custkey, o_orderkey, {sql_round2('o_totalprice')} AS o_totalprice, CAST(rk AS INT) AS rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+ORDER BY o_custkey, rk"""
+
+
+def supplier_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per supplier over a *unique* ordering
+    (shipdate, orderkey, linenumber) — a non-unique ORDER BY makes
+    cumulative frames nondeterministic across engines."""
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    # integerize to cents before the cumulative sum: exact under any
+    # evaluation order (DuckDB computes window sums via segment trees,
+    # which associate double additions differently)
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)).cast("long")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        (F.sum(cents).over(w).cast("double") / 100).alias("running_revenue"),
+    ).orderBy("l_suppkey", "ship_date", "l_orderkey", "l_linenumber")
+
+
+SQL_SUPPLIER_RUNNING_REVENUE = f"""
+SELECT
+  l_suppkey, l_orderkey, l_linenumber,
+  strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+  (CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) OVER (
+    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100) AS running_revenue
+FROM lineitem
+ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber"""
+
+
+# --- set operations ---------------------------------------------------------
+
+
+def nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION/INTERSECT/EXCEPT in one result: which nations have customers,
+    suppliers, or both. Set ops hash-partition on the full row — cheap
+    here because inputs are pre-aggregated to distinct nation keys."""
+    cust_n = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("int").alias("nationkey")).distinct()
+    supp_n = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("int").alias("nationkey")).distinct()
+    nation = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").cast("int").alias("nationkey"), "n_name")
+    both = cust_n.intersect(supp_n).withColumn("presence", F.lit("both"))
+    cust_only = cust_n.exceptAll(supp_n).withColumn("presence", F.lit("customers_only"))
+    supp_only = supp_n.exceptAll(cust_n).withColumn("presence", F.lit("suppliers_only"))
+    return (
+        both.unionByName(cust_only)
+        .unionByName(supp_only)
+        .join(F.broadcast(nation), "nationkey")
+        .select("nationkey", "n_name", "presence")
+        .orderBy("nationkey")
+    )
+
+
+SQL_NATION_PRESENCE = """
+WITH cust_n AS (SELECT DISTINCT CAST(c_nationkey AS INT) AS nationkey FROM customer),
+     supp_n AS (SELECT DISTINCT CAST(s_nationkey AS INT) AS nationkey FROM supplier),
+     tagged AS (
+       SELECT nationkey, 'both' AS presence FROM (SELECT * FROM cust_n INTERSECT SELECT * FROM supp_n)
+       UNION ALL
+       SELECT nationkey, 'customers_only' FROM (SELECT * FROM cust_n EXCEPT SELECT * FROM supp_n)
+       UNION ALL
+       SELECT nationkey, 'suppliers_only' FROM (SELECT * FROM supp_n EXCEPT SELECT * FROM cust_n)
+     )
+SELECT t.nationkey, n.n_name, t.presence
+FROM tagged t JOIN nation n ON t.nationkey = CAST(n.n_nationkey AS INT)
+ORDER BY t.nationkey"""
+
+
+# --- cube / pivot -----------------------------------------------------------
+
+
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping-set combinations in one
+    pass; Spark expands map-side so it partial-aggregates at scale."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id("o_orderstatus", "o_orderpriority").cast("int").alias("grp"),
+            F.count(F.lit(1)).alias("n_orders"),
+            round2(exact_sum(F.col("o_totalprice"))).alias("total_price"),
+        )
+        .orderBy("grp", "o_orderstatus", "o_orderpriority")
+    )
+
+
+SQL_ORDERS_CUBE = f"""
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS grp,
+  count(*) AS n_orders,
+  {sql_round2(sql_exact_sum('o_totalprice'))} AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY grp, o_orderstatus, o_orderpriority"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an *explicit* value list — without it Spark runs an extra
+    distinct job to discover the columns (a full scan at 100 TB)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("event_date")
+    )
+
+
+SQL_EVENTS_DAILY_PIVOT = """
+SELECT
+  strftime(ts, '%Y-%m-%d') AS event_date,
+  count(*) FILTER (WHERE event_type = 'click') AS click,
+  count(*) FILTER (WHERE event_type = 'error') AS error,
+  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+  count(*) FILTER (WHERE event_type = 'view') AS view
+FROM events
+GROUP BY 1
+ORDER BY event_date"""
+
+
+# --- sessionization / as-of / range joins -----------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: lag + cumulative sum of gap>threshold.
+    Two windows over the same (user_id, ts) partitioning — one shuffle,
+    both windows pipeline in a single WindowExec stage pair."""
+    ev = _t(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    gap_s = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    new_session = F.when(gap_s.isNull() | (gap_s > SESSION_GAP_MIN * 60), 1).otherwise(0)
+    with_sess = ev.withColumn("session_seq", F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        with_sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            roundn(F.max(epoch_seconds("ts")) - F.min(epoch_seconds("ts")), 3).alias("duration_s"),
+            round2(exact_sum(F.col("value"))).alias("total_value"),
+        )
+        .select("user_id", F.col("session_seq").cast("long").alias("session_seq"), "n_events", "duration_s", "total_value")
+        .orderBy("user_id", "session_seq")
+    )
+
+
+SQL_SESSIONIZE_EVENTS = f"""
+WITH gaps AS (
+  SELECT user_id, event_id, ts, value,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(CASE WHEN gap_s IS NULL OR gap_s > {SESSION_GAP_MIN * 60} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM gaps
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
+       {sql_roundn('max(epoch(ts)) - min(epoch(ts))', 3)} AS duration_s,
+       {sql_round2(sql_exact_sum('value'))} AS total_value
+FROM sess
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq"""
+
+
+def purchase_after_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): for each purchase, the most
+    recent prior 'view' by the same user, via the union-and-carry-forward
+    idiom — tag both streams, sort once per user, last_value(ignoreNulls)
+    carries the latest view ts forward. ONE shuffle on user_id; the
+    naive alternative (range self-join) is O(n^2) per user.
+    Equal-timestamp view+purchase: view sorts first (tag 0 < tag 1), so a
+    same-instant view matches — the documented tie rule."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(0).alias("is_purchase"), F.lit(None).cast("long").alias("event_id"), F.lit(None).cast("double").alias("value")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("is_purchase"), "event_id", "value"
+    )
+    unioned = views.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    view_ts = F.last(F.when(F.col("is_purchase") == 0, F.col("ts")), ignorenulls=True).over(w)
+    return (
+        unioned.withColumn("last_view_ts", view_ts)
+        .filter(F.col("is_purchase") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+            F.date_format("last_view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_view_ts"),
+            roundn(F.col("ts").cast("double") - F.col("last_view_ts").cast("double"), 3).alias("seconds_since_view"),
+        )
+        .orderBy("event_id")
+    )
+
+
+SQL_PURCHASE_AFTER_VIEW_ASOF = f"""
+WITH tagged AS (
+  SELECT user_id, ts, 0 AS is_purchase, NULL::BIGINT AS event_id, NULL::DOUBLE AS value
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, 1, event_id, value FROM events WHERE event_type = 'purchase'
+),
+carried AS (
+  SELECT *,
+         last_value(CASE WHEN is_purchase = 0 THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, is_purchase
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+  FROM tagged
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(last_view_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_view_ts,
+       {sql_roundn('epoch(ts) - epoch(last_view_ts)', 3)} AS seconds_since_view
+FROM carried WHERE is_purchase = 1
+ORDER BY event_id"""
+
+
+def shipped_within_30_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicate on top of an equi-join: the equi key (orderkey) does
+    the partitioning, the range filter evaluates post-join — the scalable
+    shape for 'range join with an equi anchor'."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    delay_days = (epoch_seconds("l_shipdate") - epoch_seconds("o_orderdate")) / 86400.0
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("delay_days", delay_days)
+        .filter((F.col("delay_days") >= 0) & (F.col("delay_days") <= 30))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipped_30d"),
+            roundn(exact_avg(F.col("delay_days"), 1_000_000), 4).alias("avg_delay_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_SHIPPED_WITHIN_30_DAYS = f"""
+SELECT o_orderpriority,
+       count(*) AS n_shipped_30d,
+       {sql_roundn(sql_exact_avg('(epoch(l_shipdate) - epoch(o_orderdate)) / 86400.0', 1_000_000), 4)} AS avg_delay_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE (epoch(l_shipdate) - epoch(o_orderdate)) / 86400.0 BETWEEN 0 AND 30
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority"""
+
+
+# --- JSON path extraction over events (S3-analog surface) -------------------
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object path extraction + typed aggregation — the JSON
+    field-access capability (reference http_client.py payload handling)
+    as a relational operator."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_missing_k"),
+            roundn(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_JSON_STATS = f"""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_k,
+       {sql_roundn("avg(TRY_CAST(json_extract_string(props, '$.k') AS INT))", 4)} AS avg_k,
+       min(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       max(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type"""

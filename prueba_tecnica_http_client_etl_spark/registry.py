@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .operators import analytics
 from .operators import kpi as kpi_ops
 from .operators import report as report_ops
 from .schemas import load_table
@@ -83,6 +84,30 @@ def q_kpi_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kpi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS fusion of daily/endpoint/global levels in one pass."""
     return report_ops.kpi_rollup(_events_clean_log(spark, sf_dir))
+
+
+# --- Analytics extensions over the TPC-H-ish tables (SURVEY §2.6, §7 step 6) ---
+
+_ANALYTICS = [
+    ("pricing_summary", analytics.pricing_summary, analytics.SQL_PRICING_SUMMARY),
+    ("top_revenue_orders", analytics.top_revenue_orders, analytics.SQL_TOP_REVENUE_ORDERS),
+    ("region_revenue", analytics.region_revenue, analytics.SQL_REGION_REVENUE),
+    ("customers_with_open_orders", analytics.customers_with_open_orders, analytics.SQL_CUSTOMERS_WITH_OPEN_ORDERS),
+    ("customers_without_orders", analytics.customers_without_orders, analytics.SQL_CUSTOMERS_WITHOUT_ORDERS),
+    ("top_orders_per_customer", analytics.top_orders_per_customer, analytics.SQL_TOP_ORDERS_PER_CUSTOMER),
+    ("supplier_running_revenue", analytics.supplier_running_revenue, analytics.SQL_SUPPLIER_RUNNING_REVENUE),
+    ("nation_presence", analytics.nation_presence, analytics.SQL_NATION_PRESENCE),
+    ("orders_cube", analytics.orders_cube, analytics.SQL_ORDERS_CUBE),
+    ("events_daily_pivot", analytics.events_daily_pivot, analytics.SQL_EVENTS_DAILY_PIVOT),
+    ("sessionize_events", analytics.sessionize_events, analytics.SQL_SESSIONIZE_EVENTS),
+    ("purchase_after_view_asof", analytics.purchase_after_view_asof, analytics.SQL_PURCHASE_AFTER_VIEW_ASOF),
+    ("shipped_within_30_days", analytics.shipped_within_30_days, analytics.SQL_SHIPPED_WITHIN_30_DAYS),
+    ("events_json_stats", analytics.events_json_stats, analytics.SQL_EVENTS_JSON_STATS),
+]
+
+for _name, _fn, _sql in _ANALYTICS:
+    QUERIES[_name] = _fn
+    ORACLES[_name] = _sql
 
 
 def queries() -> dict[str, QueryFn]:
