@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run every registered query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": <float>}
+
+Each query is forced end-to-end with the `noop` sink (materializes every
+output column on the executors, no driver collect) so timings reflect the
+full plan, not a count-pruned subset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")  # get_spark sizes local[N] from this
+    try:
+        sf = float(Path(sf_dir).name.removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+
+    from prueba_tecnica_http_client_etl_spark.session import get_spark
+    from prueba_tecnica_http_client_etl_spark import registry
+
+    spark = get_spark(f"bench-sf{sf}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM / codegen warmup outside the timed region.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(registry.queries().items()):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "query_suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
