@@ -1,0 +1,266 @@
+"""Deduplication operators over the `documents` corpus — the core of a
+training-data pipeline (driver north star; not present in the reference,
+which never joins or dedups: SURVEY.md §2.6/§2.8).
+
+Four strategies, each scalable to 100 TB:
+
+- exact        : hash-groupBy on normalized text. One shuffle keyed on a
+                 128-bit digest; partial aggregation collapses duplicates
+                 map-side, so shuffle volume ~= |distinct docs|.
+- MinHash+LSH  : shingle -> 16 minhashes -> 4 bands -> band-bucket
+                 self-join -> exact-Jaccard verify of candidates only.
+                 Never computes the O(n^2) pair matrix: the only shuffles
+                 key on (band_idx, band_hash), and the verify join touches
+                 just colliding pairs. Hot buckets (boilerplate shingles)
+                 are the skew risk at scale -> AQE skew-join handles it;
+                 pathological buckets can additionally be capped by size.
+- SimHash      : 32-bit signature, per-bit majority vote over token
+                 hashes. explode(tokens) x explode(32 bits) stays JVM-side
+                 and partial-aggregates; signature join/banding then finds
+                 near-dups in Hamming space.
+- n-gram Jaccard: exact pairwise Jaccard *within a blocking key* (lang) —
+                 the honest quadratic baseline, bounded by block size;
+                 documented as the verify-stage companion of the LSH path.
+
+All hashing is md5-based (functions/textprep.py): deterministic under any
+partitioning / task retry and reproducible bit-for-bit by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import textprep as tp
+from ..functions.portable import roundn, sql_roundn
+from ..schemas import load_table
+
+MINHASH_JACCARD_THRESHOLD = 0.5
+NGRAM_JACCARD_THRESHOLD = 0.2
+
+
+def docs_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + norm/toks/sh prep columns (single projection, no shuffle)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("norm", F.expr(tp.SPARK_NORM))
+        .withColumn("toks", F.expr(tp.SPARK_TOKS))
+        .withColumn("sh", F.expr(tp.SPARK_SHINGLES))
+    )
+
+
+DUCK_DOCS_CTE = f"""docs AS (
+  SELECT doc_id, lang, source, {tp.DUCK_NORM} AS norm FROM documents
+),
+toks_t AS (
+  SELECT doc_id, lang, source, norm, {tp.DUCK_TOKS} AS toks FROM docs
+),
+sh_t AS (
+  SELECT doc_id, lang, source, norm, toks, {tp.DUCK_SHINGLES} AS sh FROM toks_t
+)"""
+
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: one row per distinct text with the
+    minimal doc_id as the keeper. groupBy(md5) shuffles digests, not
+    documents; at 100 TB group on the digest and re-join keepers if the
+    full payload is needed."""
+    return (
+        docs_normalized(spark, sf_dir)
+        .groupBy(F.md5(F.col("norm")).alias("norm_md5"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+WITH {DUCK_DOCS_CTE}
+SELECT md5(norm) AS norm_md5, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM sh_t
+GROUP BY md5(norm)
+ORDER BY keep_doc_id"""
+
+
+# --- MinHash + LSH near-dedup ------------------------------------------------
+
+
+def _with_minhashes(docs: DataFrame) -> DataFrame:
+    out = docs
+    for i in range(tp.NUM_MINHASHES):
+        out = out.withColumn(f"mh{i}", F.expr(tp.spark_minhash(i)))
+    return out
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH banding, verified with exact
+    shingle Jaccard >= 0.5. Output: (doc_a, doc_b, jaccard)."""
+    sh = docs_normalized(spark, sf_dir).select("doc_id", "sh")
+    mh = _with_minhashes(sh)
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.expr(tp.spark_band_hash(b)).alias("band_hash"),
+                    )
+                    for b in range(tp.LSH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("jaccard_raw", jac)
+        .filter(F.col("jaccard_raw") >= MINHASH_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", roundn(F.col("jaccard_raw"), 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _sql_bands_union() -> str:
+    selects = [
+        f"SELECT doc_id, {b} AS band_idx, {tp.duck_band_hash(b)} AS band_hash FROM mh_t"
+        for b in range(tp.LSH_BANDS)
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH {DUCK_DOCS_CTE},
+mh_t AS (
+  SELECT doc_id, sh,
+         {", ".join(f"{tp.duck_minhash(i)} AS mh{i}" for i in range(tp.NUM_MINHASHES))}
+  FROM sh_t
+),
+bands AS (
+{_sql_bands_union()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(x.sh, y.sh))::DOUBLE
+           / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard_raw
+  FROM cand
+  JOIN sh_t x ON x.doc_id = cand.doc_a
+  JOIN sh_t y ON y.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, {sql_roundn('jaccard_raw', 4)} AS jaccard
+FROM verified
+WHERE jaccard_raw >= {MINHASH_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b"""
+
+
+# --- SimHash signatures ------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: per-bit majority vote over the 60-bit
+    md5 hashes of its distinct tokens. Both explodes stay in whole-stage
+    codegen; the two groupBys partial-aggregate, so shuffle volume is
+    |docs| x 32 rows, then |docs|. Near-dup candidates at scale come from
+    banding the signature (8-bit chunks) exactly like MinHash-LSH."""
+    toks = (
+        docs_normalized(spark, sf_dir)
+        .select("doc_id", F.explode(F.array_distinct("toks")).alias("tok"))
+        .withColumn("h", F.expr(tp.spark_u60_of("concat('sh:', tok)")))
+    )
+    bit_votes = (
+        toks.select("doc_id", "h", F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.sum(F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END")).alias("vote"))
+    )
+    return (
+        bit_votes.groupBy("doc_id")
+        .agg(F.sum(F.expr("CASE WHEN vote >= 0 THEN shiftleft(cast(1 as bigint), b) ELSE 0 END")).alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH {DUCK_DOCS_CTE},
+tok_h AS (
+  SELECT doc_id, {tp.duck_u60_of("'sh:' || tok")} AS h
+  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM sh_t)
+),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+  FROM tok_h, (SELECT unnest(range({SIMHASH_BITS})) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN vote >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes
+GROUP BY doc_id
+ORDER BY doc_id"""
+
+
+# --- exact n-gram Jaccard within a blocking key ------------------------------
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard >= 0.2 between documents of the same lang.
+    The lang blocking key bounds the quadratic pair space per block; the
+    self-join shuffles on lang only. At 100 TB this is the verify stage
+    after LSH, not a standalone scan."""
+    sh = docs_normalized(spark, sf_dir).select("doc_id", "lang", "sh")
+    a = sh.select(F.col("lang"), F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("lang"), F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        a.join(b, ["lang"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard_raw", jac)
+        .filter(F.col("jaccard_raw") >= NGRAM_JACCARD_THRESHOLD)
+        .select("lang", "doc_a", "doc_b", roundn(F.col("jaccard_raw"), 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {DUCK_DOCS_CTE},
+pairs AS (
+  SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.sh, b.sh))::DOUBLE
+           / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard_raw
+  FROM sh_t a JOIN sh_t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT lang, doc_a, doc_b, {sql_roundn('jaccard_raw', 4)} AS jaccard
+FROM pairs
+WHERE jaccard_raw >= {NGRAM_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b"""

@@ -1,0 +1,93 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata,
+processed through Arrow-batched `mapInPandas` (driver north star,
+SURVEY.md §2.8).
+
+The container has no image/audio codecs, so the *decode* step is a
+deterministic fake (md5-derived metadata) or an explicit
+NotImplementedError stub — but the Spark-side plumbing is real and is the
+part that matters at 100 TB:
+
+- payloads travel as a `binary` column next to their keys (never driver
+  memory);
+- Python work happens in `mapInPandas` over Arrow record batches, so the
+  JVM<->Python boundary is columnar, zero-copy-ish, and batch-sized
+  (`spark.sql.execution.arrow.maxRecordsPerBatch` bounds peak memory per
+  task regardless of payload size);
+- the output schema is declared up front, so downstream relational ops
+  (joins on doc_id, filters on width/height) plan normally.
+
+The fake decode is md5-based and therefore reproducible by the DuckDB
+oracle — giving the pandas-UDF path a real correctness gate, which a
+stubbed NotImplementedError could never have.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import load_table
+
+META_SCHEMA = "doc_id long, n_bytes long, checksum string, width int, height int, fmt string"
+_FORMATS = ["png", "jpeg", "webp"]
+
+
+def _decode_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fake decoder: metadata derived from the payload digest. Pure
+    function of the bytes -> deterministic under retry/partitioning."""
+    for pdf in batches:
+        payloads = [bytes(p) for p in pdf["payload"]]
+        digests = [hashlib.md5(p).hexdigest() for p in payloads]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(p) for p in payloads],
+                "checksum": digests,
+                "width": [int(d[0:8], 16) % 1920 + 1 for d in digests],
+                "height": [int(d[8:16], 16) % 1080 + 1 for d in digests],
+                "fmt": [_FORMATS[int(d[16], 16) % 3] for d in digests],
+            }
+        )
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode — unavailable in this container (no PIL/opencv).
+
+    Kept as the documented extension point: swap `_decode_meta_batches`
+    for a decoder calling this per payload once codecs exist.
+    """
+    raise NotImplementedError("image codecs are not installed in this environment")
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text encoded to a binary payload column, then decoded to
+    typed metadata via Arrow-batched mapInPandas."""
+    payloads = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return payloads.mapInPandas(_decode_meta_batches, META_SCHEMA).orderBy("doc_id")
+
+
+# DuckDB twin: md5 of a VARCHAR hashes its UTF-8 bytes — identical to the
+# Python-side md5 of the encoded payload.
+SQL_MULTIMODAL_META = """
+WITH meta AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS checksum
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       checksum,
+       CAST(CAST(('0x' || substr(checksum, 1, 8)) AS BIGINT) % 1920 + 1 AS INT) AS width,
+       CAST(CAST(('0x' || substr(checksum, 9, 8)) AS BIGINT) % 1080 + 1 AS INT) AS height,
+       CASE CAST(('0x' || substr(checksum, 17, 1)) AS INT) % 3
+         WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS fmt
+FROM meta
+ORDER BY doc_id"""

@@ -1,0 +1,218 @@
+"""Similarity search over the `embeddings` table (array<float>, dim 64) —
+driver north-star extension (SURVEY.md §2.8); absent from the reference.
+
+Determinism strategy: cosine on IEEE doubles is order-sensitive, so both
+engines quantize components to fixed-point integers (scale 2^20) first.
+Products of quantized components stay < 2^41 and a 64-dim dot product
+< 2^47 — exactly representable in BIGINT *and* in a double accumulator —
+so dot products, norms (IEEE sqrt is correctly rounded) and cosines are
+bit-identical in Spark and DuckDB regardless of summation order.
+|x| < 0.5 in this corpus; 2^-20 quantization error is ~1e-6 on cosine.
+
+Scale paths:
+- brute-force top-k: broadcast the (small) query set against the corpus;
+  per-partition heaps via row_number, never a global sort. Right answer
+  when |queries| is small; cost O(|Q| x |corpus|).
+- LSH buckets: 16 deterministic random-hyperplane signs -> 16-bit bucket.
+  Bucketing is a map-only projection + one groupBy; ANN search then probes
+  only matching buckets (plus Hamming-adjacent ones for recall). This is
+  the 100 TB path: the corpus shuffles once on bucket, queries broadcast.
+- IVF (not materialized here) would replace the hash with learned
+  centroids; same probe-side plan shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable import roundn, sql_roundn
+from ..schemas import load_table
+
+QUANT_SCALE = 1 << 20  # 2^20: exact power of two, float -> double scaling is lossless
+EMBED_DIM = 64
+TOPK = 10
+QUERY_STRIDE = 50  # vec_id % 50 == 0 -> the query set
+COSINE_NEARDUP_THRESHOLD = 0.4
+N_HYPERPLANES = 16
+
+SPARK_QUANT = f"transform(embedding, x -> cast(floor(cast(x as double) * {QUANT_SCALE} + 0.5) as bigint))"
+DUCK_QUANT = f"list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * {QUANT_SCALE} + 0.5))"
+
+SPARK_SELF_DOT = "aggregate(q, cast(0 as bigint), (acc, v) -> acc + v * v)"
+DUCK_SELF_DOT = "list_dot_product(q, q)"
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("q", F.expr(SPARK_QUANT))
+        .withColumn("nrm", F.sqrt(F.expr(SPARK_SELF_DOT).cast("double")))
+    )
+
+
+DUCK_QUANT_CTE = f"""qe AS (
+  SELECT vec_id, label, {DUCK_QUANT} AS q FROM embeddings
+),
+qn AS (
+  SELECT vec_id, label, q, sqrt({DUCK_SELF_DOT}) AS nrm FROM qe
+)"""
+
+_SPARK_PAIR_DOT = "aggregate(zip_with(qa, qb, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
+
+
+# --- brute-force cosine top-k (the correctness baseline) ---------------------
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for the strided query set. The query
+    side is tiny -> broadcast; ranking is per-query row_number (heap), with
+    a bit-stable cosine and vec_id tie-break for full determinism."""
+    emb = _quantized(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), F.col("nrm").alias("na")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"), F.col("nrm").alias("nb"))
+    cos = F.expr(_SPARK_PAIR_DOT).cast("double") / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), F.col("neighbor_id"))
+    return (
+        F.broadcast(queries)
+        .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_raw", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            roundn(F.col("cosine_raw") + 1.0, 6).alias("cosine_p1"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+# cosine can be negative; the portable floor-rounding helper assumes
+# non-negative input, so both sides round (cosine + 1) instead.
+SQL_ANN_COSINE_TOPK = f"""
+WITH {DUCK_QUANT_CTE},
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.q, b.q) / (a.nrm * b.nrm) AS cosine_raw
+  FROM qn a JOIN qn b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id % {QUERY_STRIDE} = 0
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       {sql_roundn('cosine_raw + 1.0', 6)} AS cosine_p1
+FROM ranked
+WHERE rank <= {TOPK}
+ORDER BY query_id, rank"""
+
+
+# --- embedding-cosine near-dedup (blocked) -----------------------------------
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vector pairs: cosine >= 0.4 within the same label
+    block. Blocking bounds the pair space exactly like lang-blocking for
+    text; the unblocked scale path is LSH bucketing below."""
+    emb = _quantized(spark, sf_dir)
+    a = emb.select("label", F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("nrm").alias("na"))
+    b = emb.select("label", F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("nrm").alias("nb"))
+    cos = F.expr(_SPARK_PAIR_DOT).cast("double") / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, ["label"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= COSINE_NEARDUP_THRESHOLD)
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "vec_a",
+            "vec_b",
+            roundn(F.col("cosine_raw"), 6).alias("cosine"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+SQL_DEDUP_EMBEDDING_COSINE = f"""
+WITH {DUCK_QUANT_CTE},
+pairs AS (
+  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(a.q, b.q) / (a.nrm * b.nrm) AS cosine_raw
+  FROM qn a JOIN qn b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT CAST(label AS INT) AS label, vec_a, vec_b, {sql_roundn('cosine_raw', 6)} AS cosine
+FROM pairs
+WHERE cosine_raw >= {COSINE_NEARDUP_THRESHOLD}
+ORDER BY vec_a, vec_b"""
+
+
+# --- random-hyperplane LSH buckets (the ANN scale path) ----------------------
+
+
+def _hyperplane_signs() -> list[list[int]]:
+    """N_HYPERPLANES x EMBED_DIM matrix of deterministic +-1 signs, derived
+    from md5 so the planes are reproducible constants (inlined into both
+    the Spark plan and the oracle SQL, no RNG state anywhere)."""
+    planes = []
+    for p in range(N_HYPERPLANES):
+        row = []
+        for d in range(EMBED_DIM):
+            h = hashlib.md5(f"plane{p}:{d}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) & 1 else -1)
+        planes.append(row)
+    return planes
+
+
+_PLANES = _hyperplane_signs()
+
+
+def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every vector a 16-bit hyperplane-sign bucket and summarize
+    bucket occupancy. The assignment is a pure map (no shuffle); the
+    histogram is one partial-aggregated groupBy. ANN probing then joins
+    queries to their bucket (and Hamming-1 neighbors) instead of the full
+    corpus — O(corpus/2^16) candidates per query in the uniform case."""
+    emb = _quantized(spark, sf_dir)
+    bucket = None
+    for p, signs in enumerate(_PLANES):
+        arr = ", ".join(str(s) for s in signs)
+        dot = f"aggregate(zip_with(q, array({arr}), (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
+        bit = F.when(F.expr(dot) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return (
+        emb.withColumn("bucket", bucket.cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _sql_bucket_expr() -> str:
+    terms = []
+    for p, signs in enumerate(_PLANES):
+        arr = ", ".join(str(s) for s in signs)
+        terms.append(f"(CASE WHEN list_dot_product(q, [{arr}]) > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+SQL_LSH_BUCKET_HISTOGRAM = f"""
+WITH {DUCK_QUANT_CTE}
+SELECT CAST({_sql_bucket_expr()} AS BIGINT) AS bucket,
+       count(*) AS n_vectors,
+       min(vec_id) AS min_vec_id,
+       max(vec_id) AS max_vec_id
+FROM qn
+GROUP BY 1
+ORDER BY bucket"""

@@ -1,0 +1,209 @@
+"""Text-analysis operators over `documents` — language ID, quality
+scoring, token stats, fingerprinting (driver north star, SURVEY.md §2.8).
+
+Everything is a map-side projection over array/string built-ins (no UDFs,
+no shuffles except final presentation sorts): at 100 TB these run at scan
+speed inside whole-stage codegen, and the only cost that matters is that
+filters/projections reach the parquet reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import textprep as tp
+from ..functions.portable import roundn, sql_roundn
+from .dedup import DUCK_DOCS_CTE, docs_normalized
+
+# Deterministic per-language marker lexicons for the n-gram-style language
+# heuristic. The corpus vocabulary is synthetic; the lexicons exercise the
+# operator (argmax of marker hits with alphabetical tie-break).
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["scan", "merge", "sort", "hash"],
+    "en": ["the", "fast", "slow", "small"],
+    "es": ["data", "table", "row", "line"],
+    "fr": ["query", "filter", "group", "window"],
+    "zh": ["spark", "stream", "batch", "join"],
+}
+
+STOPWORDS = ["the", "a", "an", "of", "to", "in", "and", "or", "is"]
+
+FINGERPRINT_GRAM = 5
+FINGERPRINT_MOD = 16
+
+
+# --- token / quality statistics ---------------------------------------------
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts, lexical diversity, stopword ratio, and a
+    composite quality score — the classic pre-training corpus filters."""
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    d = (
+        docs_normalized(spark, sf_dir)
+        .withColumn("n_tokens", F.size("toks").cast("long"))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct("toks")).cast("long"))
+        .withColumn(
+            "n_stopwords",
+            F.expr(f"size(filter(toks, t -> t IN ({sw})))").cast("long"),
+        )
+        # tokens are single-space separated: total token chars = len - (n-1)
+        .withColumn(
+            "avg_token_len_raw",
+            (F.length("norm") - (F.col("n_tokens") - 1)).cast("double") / F.col("n_tokens"),
+        )
+        .withColumn("stopword_ratio_raw", F.col("n_stopwords").cast("double") / F.col("n_tokens"))
+        .withColumn("distinct_ratio_raw", F.col("n_distinct_tokens").cast("double") / F.col("n_tokens"))
+        .withColumn(
+            "quality_raw",
+            F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0)) * 0.4
+            + F.col("distinct_ratio_raw") * 0.3
+            + (F.lit(1.0) - F.col("stopword_ratio_raw")) * 0.3,
+        )
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_distinct_tokens",
+        roundn(F.col("avg_token_len_raw"), 4).alias("avg_token_len"),
+        roundn(F.col("stopword_ratio_raw"), 4).alias("stopword_ratio"),
+        roundn(F.col("quality_raw"), 4).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def _sql_text_stats() -> str:
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH {DUCK_DOCS_CTE},
+stats AS (
+  SELECT doc_id, lang,
+         len(toks)::BIGINT AS n_tokens,
+         len(list_distinct(toks))::BIGINT AS n_distinct_tokens,
+         len(list_filter(toks, t -> t IN ({sw})))::BIGINT AS n_stopwords,
+         (length(norm) - (len(toks) - 1))::DOUBLE / len(toks) AS avg_token_len_raw
+  FROM sh_t
+),
+derived AS (
+  SELECT *,
+         n_stopwords::DOUBLE / n_tokens AS stopword_ratio_raw,
+         n_distinct_tokens::DOUBLE / n_tokens AS distinct_ratio_raw
+  FROM stats
+)
+SELECT doc_id, lang, n_tokens, n_distinct_tokens,
+       {sql_roundn('avg_token_len_raw', 4)} AS avg_token_len,
+       {sql_roundn('stopword_ratio_raw', 4)} AS stopword_ratio,
+       {sql_roundn(
+           'least(n_tokens::DOUBLE / 100.0, 1.0) * 0.4 + distinct_ratio_raw * 0.3 + (1.0 - stopword_ratio_raw) * 0.3',
+           4,
+       )} AS quality_score
+FROM derived
+ORDER BY doc_id"""
+
+
+SQL_TEXT_STATS = _sql_text_stats()
+
+
+# --- language identification heuristic ---------------------------------------
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language scoring: hits per language lexicon, argmax
+    with alphabetical tie-break; compared against the labeled lang."""
+    d = docs_normalized(spark, sf_dir)
+    langs = sorted(LANG_MARKERS)
+    for lg in langs:
+        markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lg])
+        d = d.withColumn(f"hits_{lg}", F.expr(f"size(filter(toks, t -> t IN ({markers})))").cast("long"))
+    pred = None
+    for lg in langs:  # alphabetical order => earliest lang wins ties
+        cond = F.lit(True)
+        for other in langs:
+            if other != lg:
+                cond = cond & (F.col(f"hits_{lg}") >= F.col(f"hits_{other}"))
+        pred = F.when(cond, F.lit(lg)) if pred is None else pred.when(cond, F.lit(lg))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        *[F.col(f"hits_{lg}") for lg in langs],
+    ).orderBy("doc_id")
+
+
+def _sql_lang_id() -> str:
+    langs = sorted(LANG_MARKERS)
+    hit_cols = ",\n         ".join(
+        f"len(list_filter(toks, t -> t IN ({', '.join(chr(39) + w + chr(39) for w in LANG_MARKERS[lg])})))::BIGINT AS hits_{lg}"
+        for lg in langs
+    )
+    whens = []
+    for lg in langs:
+        conds = " AND ".join(f"hits_{lg} >= hits_{other}" for other in langs if other != lg)
+        whens.append(f"WHEN {conds} THEN '{lg}'")
+    case = "CASE " + " ".join(whens) + " END"
+    return f"""
+WITH {DUCK_DOCS_CTE},
+scored AS (
+  SELECT doc_id, lang,
+         {hit_cols}
+  FROM sh_t
+)
+SELECT doc_id, lang AS labeled_lang, {case} AS predicted_lang,
+       {', '.join(f'hits_{lg}' for lg in langs)}
+FROM scored
+ORDER BY doc_id"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+# --- document fingerprinting -------------------------------------------------
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mod-p sampled character-5-gram fingerprint (winnowing-style): hash
+    every 5-gram, keep hashes ≡ 0 (mod 16), reduce to a compact signature
+    (count, min, xor). Order-independent by construction -> stable under
+    any partitioning; two documents share fingerprint hashes iff they
+    share sampled 5-grams."""
+    grams = (
+        f"transform(sequence(1, greatest(length(norm) - {FINGERPRINT_GRAM - 1}, 1)),"
+        f" i -> substring(norm, i, {FINGERPRINT_GRAM}))"
+    )
+    gram_hash = tp.spark_u60_of("concat('fp:', g)")
+    hashed = f"transform({grams}, g -> {gram_hash})"
+    kept = f"filter({hashed}, h -> h % {FINGERPRINT_MOD} = 0)"
+    return (
+        docs_normalized(spark, sf_dir)
+        .withColumn("kept", F.expr(kept))
+        .select(
+            "doc_id",
+            F.size("kept").cast("long").alias("n_fingerprints"),
+            F.coalesce(F.array_min("kept"), F.lit(0)).cast("long").alias("min_fingerprint"),
+            F.expr("aggregate(kept, cast(0 as bigint), (acc, v) -> acc ^ v)").alias("xor_fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DUCK_GRAMS = (
+    f"list_transform(range(1, greatest(length(norm) - {FINGERPRINT_GRAM - 1}, 1) + 1),"
+    f" i -> substr(norm, i, {FINGERPRINT_GRAM}))"
+)
+_DUCK_GRAM_HASH = tp.duck_u60_of("'fp:' || g")
+_DUCK_HASHED = f"list_transform({_DUCK_GRAMS}, g -> {_DUCK_GRAM_HASH})"
+_DUCK_KEPT = f"list_filter({_DUCK_HASHED}, h -> h % {FINGERPRINT_MOD} = 0)"
+
+SQL_DOC_FINGERPRINT = f"""
+WITH {DUCK_DOCS_CTE},
+fp AS (
+  SELECT doc_id, {_DUCK_KEPT} AS kept FROM sh_t
+)
+SELECT doc_id,
+       len(kept)::BIGINT AS n_fingerprints,
+       coalesce(list_min(kept), 0)::BIGINT AS min_fingerprint,
+       CASE WHEN len(kept) = 0 THEN 0
+            ELSE list_reduce(kept, (x, y) -> xor(x, y)) END::BIGINT AS xor_fingerprint
+FROM fp
+ORDER BY doc_id"""

@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import analytics
+from .operators import analytics, dedup, multimodal, similarity, textops
 from .operators import kpi as kpi_ops
 from .operators import report as report_ops
 from .schemas import load_table
@@ -106,6 +106,27 @@ _ANALYTICS = [
 ]
 
 for _name, _fn, _sql in _ANALYTICS:
+    QUERIES[_name] = _fn
+    ORACLES[_name] = _sql
+
+
+# --- LLM-data-pipeline operators: dedup / similarity / text / multimodal ----
+
+_LLM_PIPELINE = [
+    ("dedup_exact", dedup.dedup_exact, dedup.SQL_DEDUP_EXACT),
+    ("dedup_minhash_lsh", dedup.dedup_minhash_lsh, dedup.SQL_DEDUP_MINHASH_LSH),
+    ("dedup_simhash", dedup.dedup_simhash, dedup.SQL_DEDUP_SIMHASH),
+    ("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, dedup.SQL_DEDUP_NGRAM_JACCARD),
+    ("dedup_embedding_cosine", similarity.dedup_embedding_cosine, similarity.SQL_DEDUP_EMBEDDING_COSINE),
+    ("ann_cosine_topk", similarity.ann_cosine_topk, similarity.SQL_ANN_COSINE_TOPK),
+    ("lsh_bucket_histogram", similarity.lsh_bucket_histogram, similarity.SQL_LSH_BUCKET_HISTOGRAM),
+    ("text_stats", textops.text_stats, textops.SQL_TEXT_STATS),
+    ("lang_id", textops.lang_id, textops.SQL_LANG_ID),
+    ("doc_fingerprint", textops.doc_fingerprint, textops.SQL_DOC_FINGERPRINT),
+    ("multimodal_meta", multimodal.multimodal_meta, multimodal.SQL_MULTIMODAL_META),
+]
+
+for _name, _fn, _sql in _LLM_PIPELINE:
     QUERIES[_name] = _fn
     ORACLES[_name] = _sql
 
