@@ -1,0 +1,117 @@
+"""Presentation-layer sinks (SURVEY.md §2.2 K5-K6): HTML report and PNG
+charts over the *already-aggregated* gold tables.
+
+Driver-side by design (SURVEY §2.2): the inputs are the per-endpoint
+report table (<= |endpoints| rows) and the single-row global metrics — at
+100 TB these are still tiny, because all reduction happened in the engine.
+Collecting them is O(endpoints), never O(data).
+
+Mirrors reference src/generar_reporte.py:163-250 (HTML: metric cards,
+per-endpoint table, alerta_p90 row highlighting) and :71-92 (PNG bar
+charts; gated on matplotlib availability).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+_PAGE = """<!DOCTYPE html>
+<html lang="es">
+<head>
+<meta charset="utf-8">
+<title>Reporte de KPIs HTTP</title>
+<style>
+body {{ font-family: sans-serif; margin: 2rem; }}
+.cards {{ display: flex; gap: 1rem; flex-wrap: wrap; }}
+.card {{ border: 1px solid #ccc; border-radius: 8px; padding: 1rem; min-width: 10rem; }}
+.card .value {{ font-size: 1.6rem; font-weight: bold; }}
+table {{ border-collapse: collapse; margin-top: 1.5rem; }}
+th, td {{ border: 1px solid #ccc; padding: 0.4rem 0.8rem; text-align: right; }}
+th {{ background: #f0f0f0; }}
+tr.alerta {{ background: #ffe0e0; }}
+</style>
+</head>
+<body>
+<h1>Reporte de KPIs HTTP</h1>
+<div class="cards">
+{cards}
+</div>
+{table}
+</body>
+</html>
+"""
+
+
+def _card(label: str, value: object) -> str:
+    return f'<div class="card"><div class="label">{label}</div><div class="value">{value}</div></div>'
+
+
+def render_html_report(global_metrics: DataFrame, endpoint_report: DataFrame, path: str) -> str:
+    """K5: metric cards from the 1-row global table + per-endpoint table
+    with alerta_p90 highlighting (reference src/generar_reporte.py:163-250;
+    the reference paints alert rows with embedded JS — here the class is
+    applied at render time, same visual contract, no script)."""
+    g = global_metrics.collect()[0].asDict()
+    rows = [r.asDict() for r in endpoint_report.collect()]
+
+    cards = "\n".join(_card(k, v) for k, v in g.items())
+    if rows:
+        cols = list(rows[0].keys())
+        head = "<tr>" + "".join(f"<th>{c}</th>" for c in cols) + "</tr>"
+        body = "\n".join(
+            '<tr class="alerta">' + "".join(f"<td>{r[c]}</td>" for c in cols) + "</tr>"
+            if r.get("alerta_p90") == "SI"
+            else "<tr>" + "".join(f"<td>{r[c]}</td>" for c in cols) + "</tr>"
+            for r in rows
+        )
+        table = f"<table>{head}\n{body}</table>"
+    else:
+        table = "<p>Sin datos.</p>"
+
+    html = _PAGE.format(cards=cards, table=table)
+    out = Path(path)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(html, encoding="utf-8")
+    return html
+
+
+def render_png_charts(endpoint_report: DataFrame, out_dir: str) -> list[str]:
+    """K6: requests-per-endpoint barh + p90 bar (reference
+    src/generar_reporte.py:71-92). Gated on matplotlib; returns the list
+    of files written (empty when matplotlib is absent)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return []
+
+    rows = [r.asDict() for r in endpoint_report.collect()]
+    if not rows:
+        return []
+    eps = [r["endpoint_base"] for r in rows]
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    written = []
+
+    fig, ax = plt.subplots(figsize=(8, 4.5))
+    ax.barh(eps, [r["requests_total"] for r in rows])
+    ax.set_xlabel("requests_total")
+    fig.tight_layout()
+    p1 = out / "requests_por_endpoint.png"
+    fig.savefig(p1)
+    plt.close(fig)
+    written.append(str(p1))
+
+    fig, ax = plt.subplots(figsize=(8, 4.5))
+    ax.bar(eps, [r["p90_elapsed_ms"] for r in rows])
+    ax.set_ylabel("p90_elapsed_ms")
+    fig.tight_layout()
+    p2 = out / "p90_por_endpoint.png"
+    fig.savefig(p2)
+    plt.close(fig)
+    written.append(str(p2))
+    return written

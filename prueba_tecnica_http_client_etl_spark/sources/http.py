@@ -1,0 +1,233 @@
+"""Distributed HTTP source layer (SURVEY.md §2.1 S3-S10).
+
+The reference (`src/http_client.py:199-211`) runs 8 sequential requests in
+one process, with a retry/backoff wrapper (`:39-75`), basic auth (`:78-87`),
+cookie round-trips (`:90-102`), redirects (`:187-196`), and JSON/XML/HTML/
+form-POST extraction (`:116-184`). Here the *endpoint list is itself a
+DataFrame* and fetching happens executor-side:
+
+- `fetch(df, ...)` maps a requests table through Arrow-batched
+  `mapInPandas`; one HTTP session per partition (the reference's
+  one-session-for-all, re-scoped to the unit of distribution), so
+  cookies/keep-alive are reused within a partition exactly as the
+  reference reuses them across tasks (S8).
+- retry semantics are the reference's, verbatim: up to `max_retries`
+  re-attempts on transport error or 403, linear backoff
+  `backoff_s * attempt`, fixed timeout (`http_client.py:39-75`). Spark task
+  retries (`spark.task.maxFailures`) wrap this as the outer layer.
+- at scale: repartition the URL table to bound per-host concurrency
+  (partitions ~= max parallel connections); fetches are idempotent GETs or
+  driver-controlled POSTs, so task retry is safe.
+
+Transport is injectable: `requests` when installed (gated import — not in
+this container), else any callable with the same signature; tests use the
+deterministic in-memory `httpbin_like_transport` which mimics the httpbin
+endpoints the reference calls. Extraction stays relational and JVM-side
+(`get_json_object`, `xpath_*`, `regexp_extract`) — see functions section.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable, Iterator
+from urllib.parse import parse_qs, urlsplit
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_TIMEOUT_S = 20.0  # reference http_client.py:44
+DEFAULT_MAX_RETRIES = 2  # reference http_client.py:45
+DEFAULT_BACKOFF_S = 0.5  # reference http_client.py:45
+
+RESULT_SCHEMA = (
+    "request_id long, url string, method string, status_code int, "
+    "final_url string, body string, elapsed_ms double, attempts int, error string"
+)
+
+# transport(session_state, method, url, data, auth) -> (status, body, final_url)
+Transport = Callable[[dict, str, str, dict | None, tuple[str, str] | None], tuple[int, str, str]]
+
+
+class TransportError(Exception):
+    """Network-level failure (connection/timeout), distinct from an HTTP
+    error status — mirrors requests.RequestException in the reference's
+    retry loop (http_client.py:57-63)."""
+
+
+def requests_transport(session_state: dict, method: str, url: str, data, auth):
+    """Real-network transport over `requests` (unavailable in this
+    container; import is deferred so the module loads without it)."""
+    try:
+        import requests
+    except ImportError as exc:  # pragma: no cover
+        raise TransportError("requests is not installed") from exc
+    sess = session_state.setdefault("session", requests.Session())
+    try:
+        resp = sess.request(
+            method, url, data=data, auth=auth, timeout=session_state.get("timeout_s", DEFAULT_TIMEOUT_S), allow_redirects=True
+        )
+    except requests.RequestException as exc:  # pragma: no cover
+        raise TransportError(str(exc)) from exc
+    return resp.status_code, resp.text, str(resp.url)
+
+
+def httpbin_like_transport(session_state: dict, method: str, url: str, data, auth):
+    """Deterministic in-memory httpbin: implements exactly the endpoint
+    behaviors the reference exercises (GET /get, /xml, /html,
+    /basic-auth/{u}/{p}, /cookies/set, /cookies, /redirect-to, /status/{n},
+    POST /post). Cookie state lives in session_state — per-partition, like
+    a real Session."""
+    parts = urlsplit(url)
+    path, query = parts.path, parse_qs(parts.query)
+    cookies: dict = session_state.setdefault("cookies", {})
+
+    if path == "/redirect-to":
+        target = query.get("url", ["/get"])[0]
+        if not target.startswith("http"):
+            target = f"{parts.scheme}://{parts.netloc}{target}"
+        return httpbin_like_transport(session_state, method, target, data, auth)
+    if path == "/get":
+        return 200, json.dumps({"url": url, "args": {k: v[0] for k, v in query.items()}}), url
+    if path == "/post" and method == "POST":
+        return 200, json.dumps({"form": data or {}, "url": url}), url
+    if path.startswith("/basic-auth/"):
+        _, _, user, pwd = path.rsplit("/", 3)
+        if auth == (user, pwd):
+            return 200, json.dumps({"authenticated": True, "user": user}), url
+        return 401, "", url
+    if path == "/cookies/set":
+        cookies.update({k: v[0] for k, v in query.items()})
+        return 200, json.dumps({"cookies": dict(cookies)}), url
+    if path == "/cookies":
+        return 200, json.dumps({"cookies": dict(cookies)}), url
+    if path.startswith("/status/"):
+        return int(path.rsplit("/", 1)[1]), "", url
+    if path == "/xml":
+        return (
+            200,
+            '<?xml version="1.0"?><slideshow>'
+            '<slide type="all"><title>Wake up to WonderWidgets!</title></slide>'
+            '<slide type="all"><title>Overview</title></slide>'
+            "</slideshow>",
+            url,
+        )
+    if path == "/html":
+        return 200, "<html><head></head><body><h1>Herman Melville - Moby-Dick</h1></body></html>", url
+    return 404, "", url
+
+
+def _fetch_with_retry(
+    session_state: dict,
+    transport: Transport,
+    method: str,
+    url: str,
+    data,
+    auth,
+    *,
+    max_retries: int,
+    backoff_s: float,
+) -> tuple[int, str, str, int, str | None]:
+    """The reference retry loop (http_client.py:39-75): retry on transport
+    error or 403, linear backoff backoff_s * attempt."""
+    attempts = 0
+    last_err: str | None = None
+    while attempts <= max_retries:
+        attempts += 1
+        try:
+            status, body, final_url = transport(session_state, method, url, data, auth)
+        except TransportError as exc:
+            last_err = str(exc)
+            status = None
+        else:
+            if status != 403:
+                return status, body, final_url, attempts, None
+            last_err = "403 Forbidden"
+        if attempts <= max_retries:
+            time.sleep(backoff_s * attempts)
+    if status is None:
+        return 0, "", url, attempts, last_err
+    return status, "", url, attempts, last_err
+
+
+def fetch(
+    requests_df: DataFrame,
+    *,
+    transport: Transport | None = None,
+    max_retries: int = DEFAULT_MAX_RETRIES,
+    backoff_s: float = DEFAULT_BACKOFF_S,
+    timeout_s: float = DEFAULT_TIMEOUT_S,
+) -> DataFrame:
+    """Executor-side fetch of a requests table.
+
+    Input columns: request_id long, method string, url string, and
+    optionally form_json string (urlencoded-form payload as JSON) and
+    auth_json string ('["user","pass"]').
+    """
+    tp = transport or requests_transport
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        session_state: dict = {"timeout_s": timeout_s}  # one per partition (S8)
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                data = json.loads(row.form_json) if getattr(row, "form_json", None) else None
+                auth_raw = json.loads(row.auth_json) if getattr(row, "auth_json", None) else None
+                auth = tuple(auth_raw) if auth_raw else None
+                t0 = time.perf_counter()
+                status, body, final_url, attempts, err = _fetch_with_retry(
+                    session_state, tp, row.method, row.url, data, auth,
+                    max_retries=max_retries, backoff_s=backoff_s,
+                )
+                out.append(
+                    {
+                        "request_id": row.request_id,
+                        "url": row.url,
+                        "method": row.method,
+                        "status_code": status,
+                        "final_url": final_url,
+                        "body": body,
+                        "elapsed_ms": (time.perf_counter() - t0) * 1000.0,
+                        "attempts": attempts,
+                        "error": err,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return requests_df.mapInPandas(run, RESULT_SCHEMA)
+
+
+# --- relational extraction over fetched bodies (S3-S6, P11-P12) --------------
+
+
+def json_field(body: Column | str, path: str) -> Column:
+    """S3: JSON payload field access (reference http_client.py:119-121)."""
+    c = F.col(body) if isinstance(body, str) else body
+    return F.get_json_object(c, path)
+
+
+def xml_slides(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """S4/P11: .//slide nodes -> one row per slide with (type, title)
+    (reference http_client.py:130-132), via JVM-side xpath functions."""
+    types = F.expr(f"xpath({body_col}, '//slide/@type')")
+    titles = F.expr(f"xpath({body_col}, '//slide/title/text()')")
+    pair = F.explode(F.arrays_zip(types.alias("type"), titles.alias("title"))).alias("slide")
+    return df.select("request_id", pair).select(
+        "request_id", F.col("slide.type").alias("type"), F.col("slide.title").alias("title")
+    )
+
+
+def html_title(body: Column | str) -> Column:
+    """S5/P12: <title> -> first <h1> -> 'SIN_TITULO' fallback chain
+    (reference http_client.py:156-165), as JVM regex — no bs4 in the hot
+    path."""
+    c = F.col(body) if isinstance(body, str) else body
+    title = F.regexp_extract(c, "(?is)<title[^>]*>(.*?)</title>", 1)
+    h1 = F.regexp_extract(c, "(?is)<h1[^>]*>(.*?)</h1>", 1)
+    return F.coalesce(
+        F.nullif(F.trim(title), F.lit("")),
+        F.nullif(F.trim(h1), F.lit("")),
+        F.lit("SIN_TITULO"),
+    )

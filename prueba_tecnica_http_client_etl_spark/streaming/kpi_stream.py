@@ -1,0 +1,117 @@
+"""Structured Streaming variant of the log -> KPI pipeline (SURVEY.md §7
+step 7).
+
+The reference is strictly batch (files between stages, SURVEY §2.6); this
+module runs the SAME cleaning semantics (P1-P7) and aggregates (A1-A8)
+over an unbounded JSONL stream:
+
+- event time = parsed `timestamp_utc`; `withWatermark` bounds state and
+  admits late data up to the configured delay;
+- tumbling 1-day windows on event time reproduce the batch `date_utc`
+  grouping key;
+- p90 uses `percentile_approx` — the exact percentile is NOT
+  incrementalizable (it needs every value; the batch path keeps the exact
+  variant). This is the one documented divergence between the batch and
+  streaming results (SURVEY §4.3 trap 4, §7 step 7).
+
+At scale the stream partitions by (window, endpoint_base) for the stateful
+aggregation — bounded keys, bounded state; watermark eviction keeps the
+state store O(active windows), not O(stream length).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import TIMESTAMP_FMT, normalize_endpoint
+from ..schemas import LOG_SCHEMA
+
+P90_ACCURACY = 10_000  # ~1e-4 relative rank error; memory O(accuracy) per group
+
+
+def read_log_stream(spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None) -> DataFrame:
+    """S1 as a stream: JSONL directory source with the explicit LOG_SCHEMA
+    (no inference job; corrupt rows handled by the same try_cast layer)."""
+    reader = spark.readStream.schema(LOG_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def clean_http_log_stream(raw: DataFrame) -> DataFrame:
+    """P1-P7 with an event-time column. Mirrors functions.cleaning
+    .clean_http_log exactly (same try_cast + flag coupling — reference
+    src/calcular_kpi.py:90-116), but keeps the parsed timestamp, which the
+    batch path discards and the watermark needs."""
+    status_cast = F.col("status_code").try_cast("int")
+    elapsed_cast = F.col("elapsed_ms").try_cast("double")
+    cast_failed = status_cast.isNull() | elapsed_cast.isNull()
+    return (
+        raw.select("timestamp_utc", "endpoint", "status_code", "elapsed_ms", "parse_result")
+        .filter(F.col("timestamp_utc").isNotNull() & F.col("endpoint").isNotNull())
+        .select(
+            F.to_timestamp("timestamp_utc", TIMESTAMP_FMT).alias("event_ts"),
+            normalize_endpoint("endpoint").alias("endpoint_base"),
+            F.coalesce(status_cast, F.lit(0)).alias("status_code"),
+            F.coalesce(elapsed_cast, F.lit(0.0)).alias("elapsed_ms"),
+            F.when(cast_failed, F.lit("error"))
+            .otherwise(F.coalesce(F.col("parse_result"), F.lit("error")))
+            .alias("parse_result"),
+        )
+        .filter(F.col("event_ts").isNotNull())
+    )
+
+
+def kpi_daily_stream(cleaned: DataFrame, *, watermark_delay: str = "1 day") -> DataFrame:
+    """A1-A8 over tumbling 1-day event-time windows.
+
+    Returns the same 9 KPI columns as the batch kpi_daily (date_utc from
+    the window start), with p90 approximate (see module docstring).
+    """
+
+    def count_if(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    return (
+        cleaned.withWatermark("event_ts", watermark_delay)
+        .groupBy(F.window("event_ts", "1 day").alias("w"), F.col("endpoint_base"))
+        .agg(
+            F.count(F.lit(1)).alias("requests_total"),
+            count_if(F.col("status_code").between(200, 299)).alias("success_2xx"),
+            count_if(F.col("status_code").between(400, 499)).alias("client_4xx"),
+            count_if(F.col("status_code").between(500, 599)).alias("server_5xx"),
+            count_if(F.col("parse_result") != "ok").alias("parse_errors"),
+            F.avg("elapsed_ms").alias("avg_elapsed_ms"),
+            F.percentile_approx("elapsed_ms", 0.9, P90_ACCURACY).alias("p90_elapsed_ms"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("date_utc"),
+            "endpoint_base",
+            "requests_total",
+            "success_2xx",
+            "client_4xx",
+            "server_5xx",
+            "parse_errors",
+            "avg_elapsed_ms",
+            "p90_elapsed_ms",
+        )
+    )
+
+
+def run_to_memory(spark: SparkSession, input_path: str, *, table_name: str = "kpi_stream") -> DataFrame:
+    """Drive the stream to completion over the files currently in
+    `input_path` (availableNow trigger) into an in-memory sink — the test/
+    demo harness. Complete output mode: every trigger re-emits the full
+    KPI table, so finite input yields exactly the batch answer (append
+    mode would hold back windows above the watermark)."""
+    kpis = kpi_daily_stream(clean_http_log_stream(read_log_stream(spark, input_path)))
+    q = (
+        kpis.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name)

@@ -1,0 +1,159 @@
+"""HTTP source layer (SURVEY §2.1 S3-S10) + file/report sinks (§2.2),
+exercised with the deterministic in-memory httpbin transport — the same
+8 task shapes the reference runs sequentially (reference
+src/http_client.py:199-211), here as one distributed fetch."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from prueba_tecnica_http_client_etl_spark.sources import http as H
+from prueba_tecnica_http_client_etl_spark.sinks import files as FS
+
+
+BASE = "https://httpbin.org"
+
+
+@pytest.fixture(scope="module")
+def fetched(spark):
+    reqs = [
+        (1, "GET", f"{BASE}/get?origen=prueba_tecnica", None, None),
+        (2, "GET", f"{BASE}/xml", None, None),
+        (3, "GET", f"{BASE}/html", None, None),
+        (4, "GET", f"{BASE}/basic-auth/usuario_test/clave123", None, json.dumps(["usuario_test", "clave123"])),
+        (5, "GET", f"{BASE}/cookies/set?session=activa", None, None),
+        (6, "GET", f"{BASE}/cookies", None, None),
+        (7, "GET", f"{BASE}/redirect-to?url=/get", None, None),
+        (8, "POST", f"{BASE}/post", json.dumps({"campo": "valor", "numero": "42"}), None),
+        (9, "GET", f"{BASE}/status/500", None, None),
+    ]
+    df = spark.createDataFrame(
+        reqs, "request_id long, method string, url string, form_json string, auth_json string"
+    ).coalesce(1)  # one partition -> one session -> cookie round-trip is observable
+    out = H.fetch(df, transport=H.httpbin_like_transport, backoff_s=0.0)
+    return {r["request_id"]: r.asDict() for r in out.collect()}
+
+
+def test_get_json_extraction(fetched, spark):
+    # S3: JSON body field access stays relational
+    row = fetched[1]
+    assert row["status_code"] == 200
+    df = spark.createDataFrame([(row["body"],)], "body string")
+    args = df.select(H.json_field("body", "$.args.origen").alias("v")).first()["v"]
+    assert args == "prueba_tecnica"
+
+
+def test_xml_slides(fetched, spark):
+    # S4/P11: .//slide -> (type, title) rows via xpath
+    df = spark.createDataFrame([(2, fetched[2]["body"])], "request_id long, body string")
+    slides = H.xml_slides(df).collect()
+    assert [(s["type"], s["title"]) for s in slides] == [
+        ("all", "Wake up to WonderWidgets!"),
+        ("all", "Overview"),
+    ]
+
+
+def test_html_title_fallback_chain(fetched, spark):
+    # S5/P12: no <title> -> falls back to first <h1>; neither -> SIN_TITULO
+    df = spark.createDataFrame(
+        [(fetched[3]["body"],), ("<html><title>T1</title></html>",), ("<html></html>",)],
+        "body string",
+    )
+    vals = [r["t"] for r in df.select(H.html_title("body").alias("t")).collect()]
+    assert vals == ["Herman Melville - Moby-Dick", "T1", "SIN_TITULO"]
+
+
+def test_basic_auth(fetched):
+    # S7: authenticated flag asserted true (reference http_client.py:85-86)
+    row = fetched[4]
+    assert row["status_code"] == 200
+    assert json.loads(row["body"])["authenticated"] is True
+
+
+def test_cookie_round_trip(fetched):
+    # S8: cookie set by request 5 is visible to request 6 (same partition session)
+    assert json.loads(fetched[6]["body"])["cookies"] == {"session": "activa"}
+
+
+def test_redirect_followed(fetched):
+    # S9: /redirect-to lands on /get with a 200
+    row = fetched[7]
+    assert row["status_code"] == 200
+    assert "/get" in row["final_url"]
+
+
+def test_post_form_echo(fetched):
+    # S6: urlencoded form echoed back in the 'form' field
+    assert json.loads(fetched[8]["body"])["form"] == {"campo": "valor", "numero": "42"}
+
+
+def test_5xx_no_retry(fetched):
+    # S10: 5xx is NOT retried (only transport errors and 403 are —
+    # reference http_client.py:57-66)
+    assert fetched[9]["status_code"] == 500
+    assert fetched[9]["attempts"] == 1
+
+
+def test_retry_on_403_then_exhaust():
+    # S10: 403 retried max_retries times with linear backoff, then returned
+    calls = []
+
+    def flaky(session_state, method, url, data, auth):
+        calls.append(url)
+        return 403, "", url
+
+    status, body, final_url, attempts, err = H._fetch_with_retry(
+        {}, flaky, "GET", "u", None, None, max_retries=2, backoff_s=0.0
+    )
+    assert status == 403 and attempts == 3 and len(calls) == 3
+
+
+def test_transport_error_then_success():
+    state = {"n": 0}
+
+    def recovers(session_state, method, url, data, auth):
+        state["n"] += 1
+        if state["n"] < 2:
+            raise H.TransportError("conn reset")
+        return 200, "ok", url
+
+    status, body, final_url, attempts, err = H._fetch_with_retry(
+        {}, recovers, "GET", "u", None, None, max_retries=2, backoff_s=0.0
+    )
+    assert status == 200 and attempts == 2 and err is None
+
+
+# --- sinks -------------------------------------------------------------------
+
+
+def test_jsonl_and_csv_sinks(spark, tmp_path: Path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    FS.write_jsonl(df, str(tmp_path / "j"), single_file=True)
+    lines = []
+    for p in (tmp_path / "j").glob("part-*"):
+        lines += [json.loads(ln) for ln in p.read_text().splitlines()]
+    assert sorted(lines, key=lambda d: d["id"]) == [{"id": 1, "s": "a"}, {"id": 2, "s": "b"}]
+
+    FS.write_csv(df, str(tmp_path / "c"), columns=["s", "id"], single_file=True)
+    csv_files = list((tmp_path / "c").glob("part-*.csv"))
+    assert len(csv_files) == 1
+    header = csv_files[0].read_text().splitlines()[0]
+    assert header == "s,id"
+
+
+def test_html_report_sink(spark, tmp_path: Path):
+    from prueba_tecnica_http_client_etl_spark.sinks.report import render_html_report
+
+    g = spark.createDataFrame([(100, 95.0)], "requests_total long, pct_success double")
+    ep = spark.createDataFrame(
+        [("/get", 60, 280.5, "NO"), ("/status", 40, 420.1, "SI")],
+        "endpoint_base string, requests_total long, p90_elapsed_ms double, alerta_p90 string",
+    )
+    html = render_html_report(g, ep, str(tmp_path / "r.html"))
+    assert (tmp_path / "r.html").exists()
+    assert 'class="alerta"' in html and "/status" in html and "95.0" in html
