@@ -25,7 +25,12 @@ def parse_date_utc(ts: Column | str) -> Column:
     Reference src/calcular_kpi.py:51-53 (strptime/strftime round-trip).
     """
     c = F.col(ts) if isinstance(ts, str) else ts
-    return F.date_format(F.to_timestamp(c, TIMESTAMP_FMT), "yyyy-MM-dd")
+    # try_to_timestamp, not to_timestamp: ANSI mode (Spark 4 default) makes
+    # the plain variant THROW on malformed input — one bad row would kill a
+    # 100 TB job. A garbage timestamp becomes a NULL date_utc group instead
+    # (the reference never defines this case: its generator only emits valid
+    # timestamps and strptime would have crashed the process).
+    return F.date_format(F.try_to_timestamp(c, F.lit(TIMESTAMP_FMT)), "yyyy-MM-dd")
 
 
 def normalize_endpoint(ep: Column | str) -> Column:

@@ -51,7 +51,7 @@ def clean_http_log_stream(raw: DataFrame) -> DataFrame:
         raw.select("timestamp_utc", "endpoint", "status_code", "elapsed_ms", "parse_result")
         .filter(F.col("timestamp_utc").isNotNull() & F.col("endpoint").isNotNull())
         .select(
-            F.to_timestamp("timestamp_utc", TIMESTAMP_FMT).alias("event_ts"),
+            F.try_to_timestamp(F.col("timestamp_utc"), F.lit(TIMESTAMP_FMT)).alias("event_ts"),
             normalize_endpoint("endpoint").alias("endpoint_base"),
             F.coalesce(status_cast, F.lit(0)).alias("status_code"),
             F.coalesce(elapsed_cast, F.lit(0.0)).alias("elapsed_ms"),
