@@ -131,6 +131,37 @@ for _name, _fn, _sql in _LLM_PIPELINE:
     ORACLES[_name] = _sql
 
 
+# --- rows-only entries (no SQL-expressible oracle; driver records the
+# weaker rows-only check) ----------------------------------------------------
+
+
+@register("kpi_daily_approx_p90")
+def q_kpi_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 at the 100 TB tier: percentile_approx (mergeable KLL-style
+    sketch, bounded memory) instead of the exact sort-based percentile.
+    No oracle: DuckDB's approx_quantile is a different sketch with
+    different outputs — approximate answers are engine-specific by
+    nature (SURVEY §4.3 trap 4)."""
+    return kpi_ops.kpi_daily(_events_clean_log(spark, sf_dir), exact_percentile=False)
+
+
+@register("kpi_daily_stream")
+def q_kpi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KPI pipeline as Structured Streaming (SURVEY §7 step 7):
+    dirty log -> JSONL files -> event-time 1-day windows + watermark ->
+    A1-A8 with approx p90. Finite input driven to completion with
+    availableNow; no oracle (stateful streaming + sketch percentile)."""
+    import tempfile
+    import uuid
+
+    from .streaming import kpi_stream as KS
+
+    raw = synthetic.http_log_from_events(load_table(spark, sf_dir, "events"))
+    tmp = tempfile.mkdtemp(prefix="kpi_stream_in_")
+    raw.coalesce(4).write.mode("overwrite").json(tmp)
+    return KS.run_to_memory(spark, tmp, table_name=f"kpi_stream_{uuid.uuid4().hex[:8]}")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
