@@ -54,16 +54,32 @@ NUM_MINHASHES = 16
 LSH_BANDS = 4
 LSH_ROWS = NUM_MINHASHES // LSH_BANDS
 
+# Double hashing (Broder-style): two md5 streams per shingle, the i-th
+# permutation is h1 + i*h2 — 2 md5 evaluations per shingle instead of 16.
+# h2 is reduced mod 2^56 so h1 + 15*h2 < 2^60 + 2^60 stays far from BIGINT
+# overflow in both engines.
+H2_MOD = 1 << 56
 
-def spark_minhash(i: int, shingles_col: str = "sh") -> str:
-    """i-th MinHash: min over shingles of u60('mh<i>:' || shingle)."""
-    hashed = spark_u60_of(f"concat('mh{i}:', s)")
-    return f"array_min(transform({shingles_col}, s -> {hashed}))"
+
+def spark_hash_pairs(shingles_col: str = "sh") -> str:
+    h1 = spark_u60_of("concat('mha:', s)")
+    h2 = spark_u60_of("concat('mhb:', s)")
+    return f"transform({shingles_col}, s -> struct({h1} as h1, ({h2} % {H2_MOD}) as h2))"
 
 
-def duck_minhash(i: int, shingles_col: str = "sh") -> str:
-    hashed = duck_u60_of(f"'mh{i}:' || s")
-    return f"list_min(list_transform({shingles_col}, s -> {hashed}))"
+def duck_hash_pairs(shingles_col: str = "sh") -> str:
+    h1 = duck_u60_of("'mha:' || s")
+    h2 = duck_u60_of("'mhb:' || s")
+    return f"list_transform({shingles_col}, s -> {{'h1': {h1}, 'h2': ({h2} % {H2_MOD})}})"
+
+
+def spark_minhash(i: int, pairs_col: str = "hp") -> str:
+    """i-th MinHash over the precomputed (h1, h2) pair array."""
+    return f"array_min(transform({pairs_col}, p -> p.h1 + {i} * p.h2))"
+
+
+def duck_minhash(i: int, pairs_col: str = "hp") -> str:
+    return f"list_min(list_transform({pairs_col}, p -> p.h1 + {i} * p.h2))"
 
 
 def spark_band_hash(band: int) -> str:

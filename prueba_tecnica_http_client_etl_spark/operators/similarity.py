@@ -46,8 +46,12 @@ DUCK_SELF_DOT = "list_dot_product(q, q)"
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # repartition first: quantization/dot lambdas are interpreted
+    # (higher-order functions sit outside codegen), so spread the rows
+    # before paying them; the table arrives as one parquet task otherwise.
     return (
         load_table(spark, sf_dir, "embeddings")
+        .repartition(F.col("vec_id"))
         .withColumn("q", F.expr(SPARK_QUANT))
         .withColumn("nrm", F.sqrt(F.expr(SPARK_SELF_DOT).cast("double")))
     )
