@@ -504,6 +504,37 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority"""
 
 
+# --- distinct aggregation ----------------------------------------------------
+
+
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group — absent from the reference
+    (SURVEY §2.4 'no distinct aggregation'). Spark executes it as a
+    two-phase expand+aggregate, partial-deduping map-side; the sketch
+    alternative for the 100 TB tier is approx_count_distinct (HLL++,
+    mergeable, engine-specific values so no cross-engine oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(F.to_date("ts")).alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_DISTINCT_USERS = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+FROM events
+GROUP BY event_type
+ORDER BY event_type"""
+
+
 # --- JSON path extraction over events (S3-analog surface) -------------------
 
 

@@ -203,6 +203,102 @@ def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF-style ANN (coarse quantizer + probed cells) -------------------------
+
+CENTROID_STRIDE = 97  # vec_id % 97 == 0 -> the deterministic coarse centroids
+NPROBE = 2
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximation of cosine top-k: vectors are assigned to their
+    nearest coarse centroid (a deterministic strided subset standing in
+    for k-means — same plan shape, no training step), queries probe their
+    NPROBE nearest cells, and rank only candidates in probed cells.
+
+    Scale story vs brute force: assignment is |corpus| x |centroids|
+    (centroids broadcast), probing touches ~NPROBE/|cells| of the corpus
+    per query instead of all of it, and the corpus shuffles once on
+    cell id. Results are approximate (documented recall tradeoff) but
+    bit-deterministic: quantized-integer cosine on both engines."""
+    emb = _quantized(spark, sf_dir).persist()
+    cents = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("qc"), F.col("nrm").alias("nc")
+    )
+    cos_to_cent = F.expr(
+        "aggregate(zip_with(q, qc, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
+    ).cast("double") / (F.col("nrm") * F.col("nc"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cent_cos").desc(), F.col("cent_id"))
+    assigned = (
+        emb.join(F.broadcast(cents), F.lit(True))
+        .withColumn("cent_cos", cos_to_cent)
+        .withColumn("cent_rank", F.row_number().over(w_assign))
+    ).persist()
+    corpus = assigned.filter(F.col("cent_rank") == 1).select(
+        F.col("cent_id").alias("cell"), F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("qb"), F.col("nrm").alias("nb"),
+    )
+    probes = assigned.filter(
+        (F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("cent_rank") <= NPROBE)
+    ).select(
+        F.col("cent_id").alias("cell"), F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qa"), F.col("nrm").alias("na"),
+    )
+    cos = F.expr(_SPARK_PAIR_DOT).cast("double") / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), F.col("neighbor_id"))
+    return (
+        probes.join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_raw", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            roundn(F.col("cosine_raw") + 1.0, 6).alias("cosine_p1"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH {DUCK_QUANT_CTE},
+cents AS (
+  SELECT vec_id AS cent_id, q AS qc, nrm AS nc FROM qn WHERE vec_id % {CENTROID_STRIDE} = 0
+),
+assigned AS (
+  SELECT v.vec_id, v.q, v.nrm, c.cent_id,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_dot_product(v.q, c.qc) / (v.nrm * c.nc) DESC, c.cent_id
+         ) AS cent_rank
+  FROM qn v CROSS JOIN cents c
+),
+corpus AS (
+  SELECT cent_id AS cell, vec_id AS neighbor_id, q AS qb, nrm AS nb
+  FROM assigned WHERE cent_rank = 1
+),
+probes AS (
+  SELECT cent_id AS cell, vec_id AS query_id, q AS qa, nrm AS na
+  FROM assigned WHERE vec_id % {QUERY_STRIDE} = 0 AND cent_rank <= {NPROBE}
+),
+scored AS (
+  SELECT p.query_id, c.neighbor_id,
+         list_dot_product(p.qa, c.qb) / (p.na * c.nb) AS cosine_raw
+  FROM probes p JOIN corpus c ON p.cell = c.cell
+  WHERE p.query_id <> c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       {sql_roundn('cosine_raw + 1.0', 6)} AS cosine_p1
+FROM ranked WHERE rank <= {TOPK}
+ORDER BY query_id, rank"""
+
+
 def _sql_bucket_expr() -> str:
     terms = []
     for p, signs in enumerate(_PLANES):

@@ -158,6 +158,49 @@ ORDER BY doc_id"""
 SQL_LANG_ID = _sql_lang_id()
 
 
+# --- tokenizer-style counting ------------------------------------------------
+
+# Conservative BPE-pretokenizer-style pattern, restricted to syntax both
+# Java regex (Spark) and RE2-ish (DuckDB) treat identically: runs of
+# letters, runs of digits, or a single non-alphanumeric non-space char.
+BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-style token counts per document — the cost model
+    for LLM-pipeline budgeting (chars/token ratios). Pure map-side regex;
+    at scale this runs at scan speed and the usual estimator
+    (chars/4) is validated against it."""
+    d = (
+        docs_normalized(spark, sf_dir)
+        .withColumn("n_ws_tokens", F.size("toks").cast("long"))
+        .withColumn("n_bpe_tokens", F.size(F.expr(f"regexp_extract_all(norm, '{BPE_TOKEN_RE}', 0)")).cast("long"))
+        .withColumn("n_chars_norm", F.length("norm").cast("long"))
+    )
+    return d.select(
+        "doc_id",
+        "n_chars_norm",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        roundn(F.col("n_chars_norm").cast("double") / F.col("n_bpe_tokens"), 4).alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+SQL_TOKEN_COUNTS = f"""
+WITH {DUCK_DOCS_CTE},
+c AS (
+  SELECT doc_id,
+         length(norm)::BIGINT AS n_chars_norm,
+         len(toks)::BIGINT AS n_ws_tokens,
+         len(regexp_extract_all(norm, '{BPE_TOKEN_RE}', 0))::BIGINT AS n_bpe_tokens
+  FROM sh_t
+)
+SELECT doc_id, n_chars_norm, n_ws_tokens, n_bpe_tokens,
+       {sql_roundn('n_chars_norm::DOUBLE / n_bpe_tokens', 4)} AS chars_per_token
+FROM c
+ORDER BY doc_id"""
+
+
 # --- document fingerprinting -------------------------------------------------
 
 

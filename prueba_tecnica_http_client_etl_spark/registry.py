@@ -103,6 +103,7 @@ _ANALYTICS = [
     ("purchase_after_view_asof", analytics.purchase_after_view_asof, analytics.SQL_PURCHASE_AFTER_VIEW_ASOF),
     ("shipped_within_30_days", analytics.shipped_within_30_days, analytics.SQL_SHIPPED_WITHIN_30_DAYS),
     ("events_json_stats", analytics.events_json_stats, analytics.SQL_EVENTS_JSON_STATS),
+    ("events_distinct_users", analytics.events_distinct_users, analytics.SQL_EVENTS_DISTINCT_USERS),
 ]
 
 for _name, _fn, _sql in _ANALYTICS:
@@ -120,7 +121,9 @@ _LLM_PIPELINE = [
     ("dedup_embedding_cosine", similarity.dedup_embedding_cosine, similarity.SQL_DEDUP_EMBEDDING_COSINE),
     ("ann_cosine_topk", similarity.ann_cosine_topk, similarity.SQL_ANN_COSINE_TOPK),
     ("lsh_bucket_histogram", similarity.lsh_bucket_histogram, similarity.SQL_LSH_BUCKET_HISTOGRAM),
+    ("ann_ivf_topk", similarity.ann_ivf_topk, similarity.SQL_ANN_IVF_TOPK),
     ("text_stats", textops.text_stats, textops.SQL_TEXT_STATS),
+    ("token_counts", textops.token_counts, textops.SQL_TOKEN_COUNTS),
     ("lang_id", textops.lang_id, textops.SQL_LANG_ID),
     ("doc_fingerprint", textops.doc_fingerprint, textops.SQL_DOC_FINGERPRINT),
     ("multimodal_meta", multimodal.multimodal_meta, multimodal.SQL_MULTIMODAL_META),
