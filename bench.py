@@ -41,6 +41,10 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name, fn in sorted(registry.queries().items()):
+        # isolate queries: some operators persist() intermediate stages
+        # (signature/posting tables); dropping them between queries keeps
+        # storage memory flat and timings independent of suite order.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
