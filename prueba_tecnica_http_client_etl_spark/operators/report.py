@@ -115,6 +115,47 @@ SELECT
 FROM {source}"""
 
 
+def global_metrics_exact(clean_log: DataFrame) -> DataFrame:
+    """The engine improvement the reference explicitly could not do
+    ('sin raw no hay exacto global', reference src/generar_reporte.py:29-30):
+    global metrics computed from the RAW clean log in one pass — exact
+    global p90 over every elapsed value, not the p90-of-p90s heuristic.
+    One aggregation, no KPI intermediate; at 100 TB the exact percentile
+    is the sort-based ObjectHashAggregate (spills), with
+    percentile_approx as the documented sketch alternative."""
+    total = F.count(F.lit(1))
+    return clean_log.agg(
+        total.alias("requests_total"),
+        round2(
+            F.when(
+                total > 0,
+                F.sum(F.when(F.col("status_code").between(200, 299), 1).otherwise(0)) * 100.0 / total,
+            ).otherwise(F.lit(0.0))
+        ).alias("pct_success"),
+        round2(
+            F.when(
+                total > 0,
+                F.sum(F.when(F.col("status_code").between(400, 599), 1).otherwise(0)) * 100.0 / total,
+            ).otherwise(F.lit(0.0))
+        ).alias("pct_errors"),
+        round2(F.avg("elapsed_ms")).alias("avg_elapsed_ms"),
+        round2(F.percentile(F.col("elapsed_ms"), F.lit(0.9))).alias("p90_elapsed_ms_exact"),
+    )
+
+
+def sql_global_metrics_exact_select(source: str = "clean_log") -> str:
+    pct_s = "CASE WHEN count(*) > 0 THEN sum(CASE WHEN status_code BETWEEN 200 AND 299 THEN 1 ELSE 0 END) * 100.0 / count(*) ELSE 0.0 END"
+    pct_e = "CASE WHEN count(*) > 0 THEN sum(CASE WHEN status_code BETWEEN 400 AND 599 THEN 1 ELSE 0 END) * 100.0 / count(*) ELSE 0.0 END"
+    return f"""
+SELECT
+  count(*) AS requests_total,
+  {sql_round2(pct_s)} AS pct_success,
+  {sql_round2(pct_e)} AS pct_errors,
+  {sql_round2('avg(elapsed_ms)')} AS avg_elapsed_ms,
+  {sql_round2('quantile_cont(elapsed_ms, 0.9)')} AS p90_elapsed_ms_exact
+FROM {source}"""
+
+
 def kpi_rollup(clean_log: DataFrame) -> DataFrame:
     """GROUPING SETS ((date, endpoint), (endpoint), ()) in ONE pass —
     the Spark-native fusion of level-1 + level-2 + global (SURVEY §2.4).

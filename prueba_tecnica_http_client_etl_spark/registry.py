@@ -80,6 +80,13 @@ def q_kpi_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report_ops.global_metrics(kpi_ops.kpi_daily(_events_clean_log(spark, sf_dir)))
 
 
+@register("kpi_global_exact", _LOG_CTES + report_ops.sql_global_metrics_exact_select())
+def q_kpi_global_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact raw-data global metrics — the improvement the reference
+    flags as impossible from its KPI intermediate (p90-of-p90s)."""
+    return report_ops.global_metrics_exact(_events_clean_log(spark, sf_dir))
+
+
 @register("kpi_rollup", _LOG_CTES + report_ops.sql_kpi_rollup_select())
 def q_kpi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS fusion of daily/endpoint/global levels in one pass."""
@@ -163,6 +170,29 @@ def q_kpi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="kpi_stream_in_")
     raw.coalesce(4).write.mode("overwrite").json(tmp)
     return KS.run_to_memory(spark, tmp, table_name=f"kpi_stream_{uuid.uuid4().hex[:8]}")
+
+
+@register("sessionize_stream")
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    cross-batch gap sessionization of the events table replayed as a
+    multi-batch file stream. No oracle: stateful streaming emission
+    (closed-sessions-only) is not SQL-expressible."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from .streaming import sessionize_stream as SS
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("double").alias("ts_s"), "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="sess_stream_in_")
+    ev.repartition(4).write.mode("overwrite").json(tmp)
+    return SS.run_files_to_memory(
+        spark, tmp, table_name=f"sess_stream_{uuid.uuid4().hex[:8]}", one_file_per_batch=False
+    )
 
 
 def queries() -> dict[str, QueryFn]:
