@@ -67,8 +67,13 @@ def decode_image(payload: bytes) -> "object":
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text encoded to a binary payload column, then decoded to
     typed metadata via Arrow-batched mapInPandas."""
-    payloads = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    payloads = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+        # spread before the Python stage: the table arrives as one parquet
+        # split, which would serialize all decode work through a single
+        # Python worker; after the repartition every core runs a worker.
+        .repartition(F.col("doc_id"))
     )
     return payloads.mapInPandas(_decode_meta_batches, META_SCHEMA).orderBy("doc_id")
 
