@@ -504,6 +504,50 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority"""
 
 
+# --- correlated-aggregate join (TPC-H Q17 shape) -----------------------------
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str, *, brand: str = "Brand#13") -> DataFrame:
+    """Q17 shape: revenue from lineitems whose quantity is below 20% of
+    the part's average quantity. The correlated scalar subquery
+    decorrelates into (per-part aggregate) join (fact): the aggregate
+    shuffles once on partkey, the filtered part dim broadcasts, and the
+    fact joins on its own key — no per-row subquery execution anywhere."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == brand)
+    # exact_avg denominator: integerized quantities keep the threshold
+    # bit-identical across engines
+    per_part = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        exact_avg(F.col("l_quantity")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lineitems"),
+            round2(exact_sum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = f"""
+SELECT p_brand,
+       count(*) AS n_small_lineitems,
+       {sql_round2(sql_exact_sum('l_extendedprice') + ' / 7.0')} AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (
+  SELECT l_partkey AS t_partkey, {sql_exact_avg('l_quantity')} AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+) t ON l_partkey = t_partkey
+WHERE p_brand = 'Brand#13' AND l_quantity < 0.2 * avg_qty
+GROUP BY p_brand
+ORDER BY p_brand"""
+
+
 # --- distinct aggregation ----------------------------------------------------
 
 

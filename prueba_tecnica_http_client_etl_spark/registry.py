@@ -111,6 +111,7 @@ _ANALYTICS = [
     ("shipped_within_30_days", analytics.shipped_within_30_days, analytics.SQL_SHIPPED_WITHIN_30_DAYS),
     ("events_json_stats", analytics.events_json_stats, analytics.SQL_EVENTS_JSON_STATS),
     ("events_distinct_users", analytics.events_distinct_users, analytics.SQL_EVENTS_DISTINCT_USERS),
+    ("small_quantity_revenue", analytics.small_quantity_revenue, analytics.SQL_SMALL_QUANTITY_REVENUE),
 ]
 
 for _name, _fn, _sql in _ANALYTICS:
