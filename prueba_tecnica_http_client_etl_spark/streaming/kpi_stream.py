@@ -99,6 +99,59 @@ def kpi_daily_stream(cleaned: DataFrame, *, watermark_delay: str = "1 day") -> D
     )
 
 
+def run_with_quarantine(
+    spark: SparkSession, input_path: str, out_root: str, *, checkpoint: str
+) -> dict[str, int]:
+    """Streaming ingest with a two-way split per micro-batch (foreachBatch
+    multi-sink): clean rows append to the silver layer, malformed JSON
+    lines append to a quarantine layer — one scan, two sinks, exactly-once
+    per batch via the checkpoint. This is the 100 TB quarantine pattern
+    the batch `sources.files.split_corrupt` documents: never cache a full
+    scan to split it; split each bounded micro-batch instead.
+
+    Returns row counts per layer after the stream drains.
+    """
+    from pyspark.sql import types as T
+
+    from ..sources.files import CORRUPT_COL
+
+    schema = T.StructType(LOG_SCHEMA.fields + [T.StructField(CORRUPT_COL, T.StringType(), True)])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(input_path)
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()  # one evaluation feeds both sinks
+        (
+            batch_df.filter(F.col(CORRUPT_COL).isNull())
+            .drop(CORRUPT_COL)
+            .write.mode("append")
+            .parquet(f"{out_root}/silver")
+        )
+        (
+            batch_df.filter(F.col(CORRUPT_COL).isNotNull())
+            .select(F.col(CORRUPT_COL).alias("raw"))
+            .write.mode("append")
+            .parquet(f"{out_root}/quarantine")
+        )
+        batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        "silver": spark.read.parquet(f"{out_root}/silver").count(),
+        "quarantine": spark.read.parquet(f"{out_root}/quarantine").count(),
+    }
+
+
 def run_to_memory(spark: SparkSession, input_path: str, *, table_name: str = "kpi_stream") -> DataFrame:
     """Drive the stream to completion over the files currently in
     `input_path` (availableNow trigger) into an in-memory sink — the test/

@@ -60,6 +60,23 @@ def test_stream_matches_batch_counts(stream_result, spark):
     assert (p["requests_total"], p["parse_errors"]) == (1, 1)
 
 
+def test_streaming_quarantine_split(spark, tmp_path):
+    """foreachBatch multi-sink: one scan, clean rows to silver, malformed
+    lines to quarantine, exactly-once per batch."""
+    good = json.dumps(ROWS[0])
+    bad = '{"timestamp_utc": broken'
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.jsonl").write_text("\n".join([good, bad, good]))
+    (d / "b.jsonl").write_text("\n".join([good, bad]))
+    counts = KS.run_with_quarantine(
+        spark, str(d), str(tmp_path / "out"), checkpoint=str(tmp_path / "ckpt")
+    )
+    assert counts == {"silver": 3, "quarantine": 2}
+    quarantined = {r["raw"] for r in spark.read.parquet(str(tmp_path / "out/quarantine")).collect()}
+    assert quarantined == {bad}
+
+
 def test_stream_agg_values_match_batch_engine(stream_result, spark):
     """avg must equal the batch engine's exactly; approx p90 must agree at
     this tiny cardinality (sketch is exact below its compression size)."""
