@@ -504,6 +504,145 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority"""
 
 
+# --- range-frame window (trailing time window) -------------------------------
+
+
+def supplier_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing revenue per supplier via a RANGE window frame over
+    day numbers — the time-window counterpart of the rowsBetween running
+    sum. Pre-aggregating to (supplier, day) first keeps the window input
+    |suppliers| x |days| instead of |lineitems|: partial aggregation does
+    the heavy reduction before the single window shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        li.groupBy("l_suppkey", F.to_date("l_shipdate").alias("ship_day"))
+        .agg(F.sum(cents).alias("day_cents"))
+        .withColumn("day_num", F.unix_date(F.col("ship_day")))
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "l_suppkey",
+        F.date_format("ship_day", "yyyy-MM-dd").alias("ship_day"),
+        (F.sum("day_cents").over(w).cast("double") / 100).alias("trailing_7d_revenue"),
+    ).orderBy("l_suppkey", "ship_day")
+
+
+SQL_SUPPLIER_TRAILING_REVENUE = """
+WITH daily AS (
+  SELECT l_suppkey,
+         CAST(l_shipdate AS DATE) AS ship_day,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS day_cents,
+         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day_num
+  FROM lineitem
+  GROUP BY 1, 2, 4
+)
+SELECT l_suppkey,
+       strftime(ship_day, '%Y-%m-%d') AS ship_day,
+       (CAST(sum(day_cents) OVER (
+          PARTITION BY l_suppkey ORDER BY day_num
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100) AS trailing_7d_revenue
+FROM daily
+ORDER BY l_suppkey, ship_day"""
+
+
+# --- max_by / arg-max aggregation ---------------------------------------------
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user latest event via max_by over a unique (ts, event_id)
+    ordering — one partial-aggregatable pass, no window shuffle + filter.
+    The DuckDB oracle phrases the identical semantics as a row_number
+    window (its arg_max cannot take a composite ordering); both reduce to
+    the unique maximum, so values match exactly."""
+    ev = _t(spark, sf_dir, "events")
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max_by("event_type", order_key).alias("last_event_type"),
+            F.max_by(round2(F.col("value")), order_key).alias("last_value"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_LATEST_EVENT_PER_USER = f"""
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts,
+         count(*) OVER (PARTITION BY user_id) AS n_events,
+         max(ts) OVER (PARTITION BY user_id) AS max_ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+)
+SELECT user_id,
+       n_events,
+       event_type AS last_event_type,
+       {sql_round2('value')} AS last_value,
+       strftime(max_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+FROM ranked WHERE rk = 1
+ORDER BY user_id"""
+
+
+# --- calendar spine + gap fill ------------------------------------------------
+
+GAPFILL_USER_MOD = 20  # deterministic 1-in-20 user sample keeps output bounded
+
+
+def user_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: per-user calendar spine (sequence of
+    days between first and last activity), left join of daily counts,
+    zero-fill, cumulative running total. The spine explode generates
+    |users| x |span| rows — bounded, deterministic, and partitioned on
+    user_id end-to-end (spine, join, and window share the key, so AQE
+    plans one shuffle)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % GAPFILL_USER_MOD == 0)
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_raw")
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .withColumn("n_events", F.coalesce(F.col("n_raw"), F.lit(0)).cast("long"))
+        .withColumn("cum_events", F.sum("n_events").over(w))
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "cum_events",
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+SQL_USER_DAILY_GAPFILL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_raw
+  FROM events WHERE user_id % {GAPFILL_USER_MOD} = 0
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id)
+),
+joined AS (
+  SELECT s.user_id, s.day, coalesce(d.n_raw, 0)::BIGINT AS n_events
+  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_events,
+       CAST(sum(n_events) OVER (PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events
+FROM joined
+ORDER BY user_id, day"""
+
+
 # --- correlated-aggregate join (TPC-H Q17 shape) -----------------------------
 
 

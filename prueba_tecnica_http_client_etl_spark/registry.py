@@ -112,6 +112,9 @@ _ANALYTICS = [
     ("events_json_stats", analytics.events_json_stats, analytics.SQL_EVENTS_JSON_STATS),
     ("events_distinct_users", analytics.events_distinct_users, analytics.SQL_EVENTS_DISTINCT_USERS),
     ("small_quantity_revenue", analytics.small_quantity_revenue, analytics.SQL_SMALL_QUANTITY_REVENUE),
+    ("supplier_trailing_revenue", analytics.supplier_trailing_revenue, analytics.SQL_SUPPLIER_TRAILING_REVENUE),
+    ("latest_event_per_user", analytics.latest_event_per_user, analytics.SQL_LATEST_EVENT_PER_USER),
+    ("user_daily_gapfill", analytics.user_daily_gapfill, analytics.SQL_USER_DAILY_GAPFILL),
 ]
 
 for _name, _fn, _sql in _ANALYTICS:
