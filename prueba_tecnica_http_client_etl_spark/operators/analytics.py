@@ -751,3 +751,155 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 ORDER BY event_type"""
+
+
+# --- join-back-to-max (TPC-H Q15 shape) --------------------------------------
+
+
+def top_supplier_per_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per calendar quarter, the supplier(s) achieving the maximum
+    revenue — the TPC-H Q15 "create view revenue; select where revenue =
+    (select max)" shape, expressed as one aggregate plus a window max
+    instead of a self-join back to a scalar subquery. The window
+    partitions on `quarter` (a handful of values) AFTER the heavy
+    (quarter, supplier) aggregation, so its input is |quarters| x
+    |suppliers| rows, not lineitems; partial aggregation did the 100 TB
+    reduction already. (Extension operator; the reference has no joins —
+    SURVEY §2.6, reference README.md:165-178 sketches only a staged
+    star-schema load.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)).cast("long")
+    rev = (
+        li.groupBy(
+            F.date_format(F.date_trunc("quarter", "l_shipdate"), "yyyy-MM").alias("quarter"),
+            F.col("l_suppkey").alias("s_suppkey"),
+        )
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    w = Window.partitionBy("quarter")
+    top = rev.withColumn("max_cents", F.max("rev_cents").over(w)).filter(
+        F.col("rev_cents") == F.col("max_cents")
+    )
+    sup = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        top.join(sup, "s_suppkey")
+        .select(
+            "quarter",
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_cents").cast("double") / 100).alias("total_revenue"),
+        )
+        .orderBy("quarter", "s_suppkey")
+    )
+
+
+SQL_TOP_SUPPLIER_PER_QUARTER = """
+WITH rev AS (
+  SELECT strftime(date_trunc('quarter', l_shipdate), '%Y-%m') AS quarter,
+         l_suppkey AS s_suppkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS rev_cents
+  FROM lineitem
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT *, max(rev_cents) OVER (PARTITION BY quarter) AS max_cents FROM rev
+)
+SELECT quarter, t.s_suppkey, s.s_name,
+       CAST(rev_cents AS DOUBLE) / 100 AS total_revenue
+FROM top t JOIN supplier s ON t.s_suppkey = s.s_suppkey
+WHERE rev_cents = max_cents
+ORDER BY quarter, t.s_suppkey"""
+
+
+# --- scalar subquery + anti join (TPC-H Q22 shape) ---------------------------
+
+
+def high_balance_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average positive account balance and no OPEN
+    orders (o_orderstatus = 'O'), aggregated per nation — the TPC-H Q22
+    shape: scalar aggregate subquery feeding a filter, then an anti join
+    against a filtered fact, then a group-by.
+    At scale: the scalar avg is a one-row broadcast (cross join of a
+    single-row frame, never a shuffle); the anti join shuffles customer
+    against orders' custkey projection — with AQE it downgrades to
+    broadcast when the filtered customer side is small. (Extension
+    operator, absent in reference — SURVEY §2.6.)"""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    # cents-exact scalar average of positive balances (portable vs oracle)
+    bal_cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    avg_row = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(bal_cents).cast("double") / F.count(F.lit(1)) / 100).alias("avg_bal"))
+    )
+    rich = cust.crossJoin(F.broadcast(avg_row)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    idle = rich.join(open_orders, "c_custkey", "left_anti")
+    return (
+        idle.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(bal_cents).cast("double") / 100).alias("total_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SQL_HIGH_BALANCE_IDLE_CUSTOMERS = """
+SELECT n_name,
+       count(*) AS n_customers,
+       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c_acctbal > (
+        SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / count(*) / 100
+        FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+GROUP BY n_name
+ORDER BY n_name"""
+
+
+# --- deterministic stratified sampling ---------------------------------------
+
+SAMPLE_PCT = 10  # per-stratum sampling rate, percent
+
+
+def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% per-event-type sample (train/held-out splitting
+    for pipeline experiments): a row is sampled iff
+    u60(md5('smp:<event_id>')) % 100 < 10 — a pure function of the row,
+    so the sample is identical under any partitioning, task retry, or
+    engine (portable.py contract). Per stratum we report sampled counts
+    and value stats. At 100 TB the sample predicate is map-side only —
+    no shuffle beyond the final tiny aggregate — unlike reservoir-style
+    sampling which needs coordinated state."""
+    ev = _t(spark, sf_dir, "events")
+    from ..functions.portable import salted
+
+    sampled = ev.filter(salted("smp", F.col("event_id")) % 100 < SAMPLE_PCT)
+    val_cents = F.floor(F.col("value") * 10_000 + F.lit(0.5)).cast("long")
+    return (
+        sampled.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.countDistinct("user_id").alias("n_users"),
+            roundn(F.sum(val_cents).cast("double") / F.count(F.lit(1)) / 10_000, 4).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_STRATIFIED_EVENT_SAMPLE = f"""
+SELECT event_type,
+       count(*) AS n_sampled,
+       count(DISTINCT user_id) AS n_users,
+       {sql_roundn("CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 10000", 4)} AS avg_value
+FROM events
+WHERE CAST(('0x' || substr(md5('smp:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < {SAMPLE_PCT}
+GROUP BY event_type
+ORDER BY event_type"""

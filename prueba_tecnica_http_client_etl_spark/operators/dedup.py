@@ -304,3 +304,90 @@ SELECT lang, doc_a, doc_b, {sql_roundn('jaccard_raw', 4)} AS jaccard
 FROM pairs
 WHERE jaccard_raw >= {NGRAM_JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b"""
+
+
+# --- duplicate-cluster connected components ----------------------------------
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified MinHash-LSH duplicate pairs:
+    each near-duplicate doc mapped to its cluster id (the minimum doc_id
+    reachable through duplicate edges). This is the step that turns
+    pairwise near-dup hits into keep-one-per-cluster decisions.
+
+    Distributed iterative min-label propagation: labels start as self,
+    each round every node takes the min of its own and its neighbors'
+    labels (one shuffle join + one aggregate per round), until a round
+    changes nothing. Rounds needed = cluster diameter, which for
+    dedup clusters is tiny (boilerplate families are star-shaped); the
+    loop is driver-side control flow but every round's work is fully
+    distributed, and each round's labels are persisted so lineage stays
+    O(1). Oracle: DuckDB recursive-CTE transitive closure — same min
+    reachable id. [rows-only at 100 TB would be wrong: this IS
+    SQL-expressible, just not in one pass.]"""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+    while True:
+        neigh = (
+            edges.join(labels, edges.doc_a == labels.doc_id)
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("component_id").alias("neigh_min"))
+        )
+        updated = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("component_id"), F.coalesce(F.col("neigh_min"), F.col("component_id"))).alias(
+                    "component_id"
+                ),
+                (F.col("neigh_min") < F.col("component_id")).alias("changed"),
+            )
+            .persist()
+        )
+        n_changed = updated.filter(F.col("changed")).count()
+        old = labels
+        labels = updated.select("doc_id", "component_id").persist()
+        labels.count()
+        old.unpersist()
+        updated.unpersist()
+        if n_changed == 0:
+            break
+    # final labels stay persisted (they were counted above, so they're hot);
+    # callers / bench clear the cache between queries.
+    edges.unpersist()
+    return labels.orderBy("doc_id").select("doc_id", "component_id")
+
+
+def _sql_dedup_components() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({SQL_DEDUP_MINHASH_LSH})
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS component_id
+FROM reach
+GROUP BY a
+ORDER BY doc_id"""
+
+
+SQL_DEDUP_COMPONENTS = _sql_dedup_components()

@@ -9,7 +9,7 @@ filters/projections reach the parquet reader.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import textprep as tp
@@ -250,3 +250,68 @@ SELECT doc_id,
             ELSE list_reduce(kept, (x, y) -> xor(x, y)) END::BIGINT AS xor_fingerprint
 FROM fp
 ORDER BY doc_id"""
+
+
+# --- TF-IDF top terms --------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. idf is the *rational* smooth form
+    (N+1)/(df+1) rather than its logarithm: log implementations differ in
+    the last ulp across engines while IEEE multiply/divide are correctly
+    rounded, so tf*(N+1)/(df+1) is bit-identical in Spark and DuckDB and
+    the ranking it induces is the same as the log form's (log is
+    monotone). Plan shape at 100 TB: explode -> (doc,term) count with
+    map-side combine, term-keyed df aggregate (|vocab| rows) joined back
+    on term, then a per-doc window over at most |doc vocab| rows. The
+    scalar N is a one-row broadcast."""
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    toks = (
+        docs_normalized(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .filter(~F.col("term").isin(STOPWORDS))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs_normalized(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf_raw", F.col("tf").cast("double") * (F.col("n_docs") + 1) / (F.col("df") + 1))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_raw").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "term", "tf", "df", roundn(F.col("tfidf_raw"), 6).alias("tfidf"))
+        .orderBy("doc_id", "rank")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH {DUCK_DOCS_CTE},
+terms AS (
+  SELECT doc_id, unnest(toks) AS term FROM sh_t
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms
+  WHERE term NOT IN ({", ".join(chr(39) + w + chr(39) for w in STOPWORDS)})
+  GROUP BY doc_id, term
+),
+df_t AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df_t.df,
+         CAST(tf.tf AS DOUBLE) * ((SELECT count(*) FROM sh_t) + 1) / (df_t.df + 1) AS tfidf_raw
+  FROM tf JOIN df_t ON tf.term = df_t.term
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_raw DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tf, df, {sql_roundn("tfidf_raw", 6)} AS tfidf
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+ORDER BY doc_id, rank"""

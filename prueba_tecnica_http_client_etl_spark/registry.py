@@ -115,6 +115,9 @@ _ANALYTICS = [
     ("supplier_trailing_revenue", analytics.supplier_trailing_revenue, analytics.SQL_SUPPLIER_TRAILING_REVENUE),
     ("latest_event_per_user", analytics.latest_event_per_user, analytics.SQL_LATEST_EVENT_PER_USER),
     ("user_daily_gapfill", analytics.user_daily_gapfill, analytics.SQL_USER_DAILY_GAPFILL),
+    ("top_supplier_per_quarter", analytics.top_supplier_per_quarter, analytics.SQL_TOP_SUPPLIER_PER_QUARTER),
+    ("high_balance_idle_customers", analytics.high_balance_idle_customers, analytics.SQL_HIGH_BALANCE_IDLE_CUSTOMERS),
+    ("stratified_event_sample", analytics.stratified_event_sample, analytics.SQL_STRATIFIED_EVENT_SAMPLE),
 ]
 
 for _name, _fn, _sql in _ANALYTICS:
@@ -129,6 +132,7 @@ _LLM_PIPELINE = [
     ("dedup_minhash_lsh", dedup.dedup_minhash_lsh, dedup.SQL_DEDUP_MINHASH_LSH),
     ("dedup_simhash", dedup.dedup_simhash, dedup.SQL_DEDUP_SIMHASH),
     ("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, dedup.SQL_DEDUP_NGRAM_JACCARD),
+    ("dedup_components", dedup.dedup_components, dedup.SQL_DEDUP_COMPONENTS),
     ("dedup_embedding_cosine", similarity.dedup_embedding_cosine, similarity.SQL_DEDUP_EMBEDDING_COSINE),
     ("ann_cosine_topk", similarity.ann_cosine_topk, similarity.SQL_ANN_COSINE_TOPK),
     ("lsh_bucket_histogram", similarity.lsh_bucket_histogram, similarity.SQL_LSH_BUCKET_HISTOGRAM),
@@ -137,6 +141,7 @@ _LLM_PIPELINE = [
     ("token_counts", textops.token_counts, textops.SQL_TOKEN_COUNTS),
     ("lang_id", textops.lang_id, textops.SQL_LANG_ID),
     ("doc_fingerprint", textops.doc_fingerprint, textops.SQL_DOC_FINGERPRINT),
+    ("tfidf_top_terms", textops.tfidf_top_terms, textops.SQL_TFIDF_TOP_TERMS),
     ("multimodal_meta", multimodal.multimodal_meta, multimodal.SQL_MULTIMODAL_META),
 ]
 
