@@ -325,10 +325,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(1). Oracle: DuckDB recursive-CTE transitive closure — same min
     reachable id. [rows-only at 100 TB would be wrong: this IS
     SQL-expressible, just not in one pass.]"""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # persist pairs BEFORE the symmetric union: both union branches read
+    # the cache instead of re-running the whole LSH pipeline per branch
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
+    # the edge/label tables are tiny (near-dup pairs, not the corpus):
+    # coalesce to a few partitions so each propagation round pays small-task
+    # overhead, not 32-partition shuffle latency
     edges = (
         pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
         .distinct()
+        .coalesce(4)
         .persist()
     )
     labels = (
@@ -338,6 +344,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     labels.count()
+    pairs.unpersist()
     while True:
         neigh = (
             edges.join(labels, edges.doc_a == labels.doc_id)

@@ -316,3 +316,42 @@ SELECT CAST({_sql_bucket_expr()} AS BIGINT) AS bucket,
 FROM qn
 GROUP BY 1
 ORDER BY bucket"""
+
+
+# --- per-label centroids (vector aggregation) --------------------------------
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise centroid of the embedding vectors per label — the
+    vector-aggregation primitive behind k-means/IVF training and
+    class-prototype analysis, emitted in long form (label, pos, centroid)
+    so the oracle can check every component. Plan shape: posexplode
+    fans each vector into 64 (label, pos, component) rows that partial-
+    aggregate map-side, so the single shuffle carries |labels| x 64
+    partial sums, not the corpus; identical at 100 TB. Components are
+    summed as exact quantized integers (2^20 fixed point) and divided
+    once at the end — order-independent, bit-identical to DuckDB."""
+    qe = _quantized(spark, sf_dir)
+    return (
+        qe.select("label", F.posexplode("q").alias("pos", "qv"))
+        .groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            roundn(F.sum("qv").cast("double") / F.count(F.lit(1)) / QUANT_SCALE, 6).alias("centroid"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = f"""
+WITH {DUCK_QUANT_CTE},
+comp AS (
+  SELECT label, i AS pos, CAST(q[i + 1] AS BIGINT) AS qv
+  FROM qe, range({EMBED_DIM}) t(i)
+)
+SELECT label, pos,
+       count(*) AS n_vectors,
+       {sql_roundn(f"CAST(sum(qv) AS DOUBLE) / count(*) / {QUANT_SCALE}", 6)} AS centroid
+FROM comp
+GROUP BY label, pos
+ORDER BY label, pos"""

@@ -137,6 +137,7 @@ _LLM_PIPELINE = [
     ("ann_cosine_topk", similarity.ann_cosine_topk, similarity.SQL_ANN_COSINE_TOPK),
     ("lsh_bucket_histogram", similarity.lsh_bucket_histogram, similarity.SQL_LSH_BUCKET_HISTOGRAM),
     ("ann_ivf_topk", similarity.ann_ivf_topk, similarity.SQL_ANN_IVF_TOPK),
+    ("embedding_centroids", similarity.embedding_centroids, similarity.SQL_EMBEDDING_CENTROIDS),
     ("text_stats", textops.text_stats, textops.SQL_TEXT_STATS),
     ("token_counts", textops.token_counts, textops.SQL_TOKEN_COUNTS),
     ("lang_id", textops.lang_id, textops.SQL_LANG_ID),
@@ -162,6 +163,27 @@ def q_kpi_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     different outputs — approximate answers are engine-specific by
     nature (SURVEY §4.3 trap 4)."""
     return kpi_ops.kpi_daily(_events_clean_log(spark, sf_dir), exact_percentile=False)
+
+
+@register("events_distinct_users_approx")
+def q_events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB tier of events_distinct_users: approx_count_distinct
+    (HyperLogLog++, bounded memory, mergeable across partitions) instead
+    of the exact distinct, which shuffles every distinct key. No oracle:
+    DuckDB's approx_count_distinct is a different HLL implementation with
+    different estimates — sketch outputs are engine-specific, like
+    kpi_daily_approx_p90."""
+    from pyspark.sql import functions as F
+
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
 
 
 @register("kpi_daily_stream")
