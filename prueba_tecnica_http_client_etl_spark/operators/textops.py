@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions import textprep as tp
 from ..functions.portable import roundn, sql_roundn
+from ..schemas import load_table
 from .dedup import DUCK_DOCS_CTE, docs_normalized
 
 # Deterministic per-language marker lexicons for the n-gram-style language
@@ -315,3 +316,56 @@ ranked AS (
 SELECT doc_id, rank, term, tf, df, {sql_roundn("tfidf_raw", 6)} AS tfidf
 FROM ranked WHERE rank <= {TFIDF_TOP_K}
 ORDER BY doc_id, rank"""
+
+
+# --- corpus mixing (per-source weighted sampling) ----------------------------
+
+# training-mix recipe: sampling rate (percent) per document source
+MIX_RATES = {"src0": 100, "src1": 80, "src2": 60, "src3": 50, "src4": 30}
+MIX_DEFAULT_RATE = 70  # any source not in the recipe
+
+
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: each source is downsampled to its
+    recipe rate with the md5 row-hash predicate (u60('mix:'||doc_id) %
+    100 < rate), so the mix is a pure row function — identical under any
+    partitioning, task retry, or engine, and re-runnable incrementally as
+    the corpus grows (a doc's keep/drop never changes). Reports per-source
+    kept/total and achieved rate. At 100 TB this is a map-side filter at
+    scan speed; the aggregate output is |sources| rows."""
+    from ..functions.portable import salted
+
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.lit(MIX_DEFAULT_RATE)
+    for src, r in sorted(MIX_RATES.items()):
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+    kept = salted("mix", F.col("doc_id")) % 100 < rate
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            roundn(F.sum(kept.cast("long")).cast("double") / F.count(F.lit(1)), 4).alias("achieved_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_corpus_mix() -> str:
+    whens = " ".join(f"WHEN source = '{s}' THEN {r}" for s, r in sorted(MIX_RATES.items()))
+    rate = f"CASE {whens} ELSE {MIX_DEFAULT_RATE} END"
+    kept = (
+        f"CASE WHEN CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < {rate} "
+        "THEN 1 ELSE 0 END"
+    )
+    return f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum({kept}) AS BIGINT) AS n_kept,
+       {sql_roundn(f'CAST(sum({kept}) AS DOUBLE) / count(*)', 4)} AS achieved_rate
+FROM documents
+GROUP BY source
+ORDER BY source"""
+
+
+SQL_CORPUS_MIX = _sql_corpus_mix()

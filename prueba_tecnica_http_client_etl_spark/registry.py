@@ -143,6 +143,7 @@ _LLM_PIPELINE = [
     ("lang_id", textops.lang_id, textops.SQL_LANG_ID),
     ("doc_fingerprint", textops.doc_fingerprint, textops.SQL_DOC_FINGERPRINT),
     ("tfidf_top_terms", textops.tfidf_top_terms, textops.SQL_TFIDF_TOP_TERMS),
+    ("corpus_mix", textops.corpus_mix, textops.SQL_CORPUS_MIX),
     ("multimodal_meta", multimodal.multimodal_meta, multimodal.SQL_MULTIMODAL_META),
 ]
 
