@@ -903,3 +903,52 @@ FROM events
 WHERE CAST(('0x' || substr(md5('smp:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < {SAMPLE_PCT}
 GROUP BY event_type
 ORDER BY event_type"""
+
+
+# --- ntile decile segmentation -----------------------------------------------
+
+
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value deciles: per-customer spend, ntile(10) over
+    a *unique* global ordering (spend desc, custkey — ties on spend alone
+    would make bucket boundaries engine-dependent), then per-decile
+    aggregates. The global ntile needs a single total ordering — at 100 TB
+    that is the honest cost of exact deciles (one range-partitioned sort of
+    the |customers|-row aggregate, ~1000x smaller than the fact table);
+    the approximate alternative is percentile_approx cut points applied
+    map-side. (Extension operator; reference has no windows — SURVEY §2.6.)"""
+    orders = _t(spark, sf_dir, "orders")
+    spend_cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    per_cust = orders.groupBy("o_custkey").agg(F.sum(spend_cents).alias("spend_cents"))
+    w = Window.orderBy(F.col("spend_cents").desc(), F.col("o_custkey"))
+    return (
+        per_cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("spend_cents").cast("double") / 100).alias("total_spend"),
+            (F.min("spend_cents").cast("double") / 100).alias("min_spend"),
+            (F.max("spend_cents").cast("double") / 100).alias("max_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+SQL_CUSTOMER_VALUE_DECILES = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend_cents
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT *, ntile(10) OVER (ORDER BY spend_cents DESC, o_custkey) AS decile
+  FROM per_cust
+)
+SELECT decile,
+       count(*) AS n_customers,
+       CAST(sum(spend_cents) AS DOUBLE) / 100 AS total_spend,
+       CAST(min(spend_cents) AS DOUBLE) / 100 AS min_spend,
+       CAST(max(spend_cents) AS DOUBLE) / 100 AS max_spend
+FROM tiled
+GROUP BY decile
+ORDER BY decile"""

@@ -345,6 +345,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels.count()
     pairs.unpersist()
+    # one action per round: the changed-count materializes the persisted
+    # `updated` frame, and the next round's `labels` is a lazy projection
+    # over that same cache — no second count, no second persist.
+    backing = labels
     while True:
         neigh = (
             edges.join(labels, edges.doc_a == labels.doc_id)
@@ -363,15 +367,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
         n_changed = updated.filter(F.col("changed")).count()
-        old = labels
-        labels = updated.select("doc_id", "component_id").persist()
-        labels.count()
-        old.unpersist()
-        updated.unpersist()
+        labels = updated.select("doc_id", "component_id")
+        backing.unpersist()
+        backing = updated
         if n_changed == 0:
             break
-    # final labels stay persisted (they were counted above, so they're hot);
-    # callers / bench clear the cache between queries.
+    # the final round's `updated` stays persisted (materialized by its
+    # count) and backs the returned frame; callers / bench clear the cache.
     edges.unpersist()
     return labels.orderBy("doc_id").select("doc_id", "component_id")
 

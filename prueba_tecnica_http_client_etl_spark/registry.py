@@ -118,6 +118,7 @@ _ANALYTICS = [
     ("top_supplier_per_quarter", analytics.top_supplier_per_quarter, analytics.SQL_TOP_SUPPLIER_PER_QUARTER),
     ("high_balance_idle_customers", analytics.high_balance_idle_customers, analytics.SQL_HIGH_BALANCE_IDLE_CUSTOMERS),
     ("stratified_event_sample", analytics.stratified_event_sample, analytics.SQL_STRATIFIED_EVENT_SAMPLE),
+    ("customer_value_deciles", analytics.customer_value_deciles, analytics.SQL_CUSTOMER_VALUE_DECILES),
 ]
 
 for _name, _fn, _sql in _ANALYTICS:
