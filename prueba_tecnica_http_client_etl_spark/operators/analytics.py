@@ -952,3 +952,42 @@ SELECT decile,
 FROM tiled
 GROUP BY decile
 ORDER BY decile"""
+
+
+# --- tumbling time-window aggregation (batch) --------------------------------
+
+
+def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows over the events stream table,
+    in batch, via F.window() — the same windowing primitive the streaming
+    KPI pipeline uses, here oracle-checked (streaming can only get the
+    weaker rows-only check). groupBy(window) is partial-aggregatable like
+    any groupBy: at 100 TB the shuffle carries |windows| x |event types|
+    partial rows. Value sums are fixed-point cents for cross-engine
+    exactness."""
+    ev = _t(spark, sf_dir, "events")
+    val_cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(val_cents).cast("double") / 100).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+SQL_EVENTS_HOURLY_WINDOW = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_start, event_type"""

@@ -119,6 +119,7 @@ _ANALYTICS = [
     ("high_balance_idle_customers", analytics.high_balance_idle_customers, analytics.SQL_HIGH_BALANCE_IDLE_CUSTOMERS),
     ("stratified_event_sample", analytics.stratified_event_sample, analytics.SQL_STRATIFIED_EVENT_SAMPLE),
     ("customer_value_deciles", analytics.customer_value_deciles, analytics.SQL_CUSTOMER_VALUE_DECILES),
+    ("events_hourly_window", analytics.events_hourly_window, analytics.SQL_EVENTS_HOURLY_WINDOW),
 ]
 
 for _name, _fn, _sql in _ANALYTICS:
