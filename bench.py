@@ -39,14 +39,28 @@ def main() -> int:
     # JVM / codegen warmup outside the timed region.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    all_queries = registry.queries()
+    # Streaming queries run LAST: their Python state-store workers and file
+    # staging contaminate the next timed slot (round-1 bench showed the query
+    # scheduled right after sessionize_stream reading 30-50x its fresh-session
+    # floor). Batch queries first, alphabetical; streams at the end.
+    names = sorted(all_queries)
+    stream_names = [n for n in names if n.endswith("_stream")]
+    ordered = [n for n in names if n not in stream_names] + stream_names
+
     timings: dict[str, float] = {}
-    for name, fn in sorted(registry.queries().items()):
+    for name in ordered:
         # isolate queries: some operators persist() intermediate stages
         # (signature/posting tables); dropping them between queries keeps
         # storage memory flat and timings independent of suite order.
         spark.catalog.clearCache()
+        for q in spark.streams.active:  # defensive: no stream may straddle a timer
+            q.stop()
+        # untimed barrier: absorb any straggler tasks / worker teardown from
+        # the previous query before the next timer starts.
+        spark.range(10_000).selectExpr("count(*)").collect()
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        all_queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

@@ -258,7 +258,10 @@ def supplier_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
         (F.sum(cents).over(w).cast("double") / 100).alias("running_revenue"),
-    ).orderBy("l_suppkey", "ship_date", "l_orderkey", "l_linenumber")
+    )
+    # no trailing orderBy: the driver's value-hash is order-insensitive and a
+    # global sort of |lineitem| output rows is a full range-partition exchange
+    # that buys nothing at any scale.
 
 
 SQL_SUPPLIER_RUNNING_REVENUE = f"""
@@ -268,8 +271,7 @@ SELECT
   (CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) OVER (
     PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100) AS running_revenue
-FROM lineitem
-ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber"""
+FROM lineitem"""
 
 
 # --- set operations ---------------------------------------------------------
@@ -391,7 +393,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             round2(exact_sum(F.col("value"))).alias("total_value"),
         )
         .select("user_id", F.col("session_seq").cast("long").alias("session_seq"), "n_events", "duration_s", "total_value")
-        .orderBy("user_id", "session_seq")
+        # no trailing orderBy: |users|x|sessions| output, order-insensitive hash
     )
 
 
@@ -525,7 +527,8 @@ def supplier_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         F.date_format("ship_day", "yyyy-MM-dd").alias("ship_day"),
         (F.sum("day_cents").over(w).cast("double") / 100).alias("trailing_7d_revenue"),
-    ).orderBy("l_suppkey", "ship_day")
+    )
+    # no trailing orderBy (order-insensitive hash; see supplier_running_revenue)
 
 
 SQL_SUPPLIER_TRAILING_REVENUE = """
@@ -542,8 +545,7 @@ SELECT l_suppkey,
        (CAST(sum(day_cents) OVER (
           PARTITION BY l_suppkey ORDER BY day_num
           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100) AS trailing_7d_revenue
-FROM daily
-ORDER BY l_suppkey, ship_day"""
+FROM daily"""
 
 
 # --- max_by / arg-max aggregation ---------------------------------------------

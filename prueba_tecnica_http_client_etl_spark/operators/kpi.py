@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.portable import round2, sql_round2
+from ..functions.portable import exact_avg, round2, sql_exact_avg, sql_round2
 from ..schemas import KPI_COLUMNS
 
 
@@ -51,7 +51,12 @@ def kpi_aggregates(exact_percentile: bool = True) -> list[F.Column]:
         _count_if(status.between(400, 499)).alias("client_4xx"),
         _count_if(status.between(500, 599)).alias("server_5xx"),
         _count_if(F.col("parse_result") != "ok").alias("parse_errors"),
-        round2(F.avg("elapsed_ms")).alias("avg_elapsed_ms"),
+        # exact_avg (cents fixed-point): elapsed_ms values are <=2-dp doubles,
+        # so integerizing at scale 100 is lossless, and the integer sum is
+        # order-independent — plain double avg can differ in the last ulp
+        # across engines/partitionings and flip the floor-based round2 at a
+        # tie boundary.
+        round2(exact_avg(F.col("elapsed_ms"), 100)).alias("avg_elapsed_ms"),
         round2(p90).alias("p90_elapsed_ms"),
     ]
 
@@ -70,7 +75,7 @@ def kpi_daily(clean_log: DataFrame, *, exact_percentile: bool = True) -> DataFra
 
 def sql_kpi_daily_select(source: str = "clean_log") -> str:
     """DuckDB twin of kpi_daily (depends on a clean_log CTE/view)."""
-    avg2 = sql_round2("avg(elapsed_ms)")
+    avg2 = sql_round2(sql_exact_avg("elapsed_ms", 100))
     p902 = sql_round2("quantile_cont(elapsed_ms, 0.9)")
     return f"""
 SELECT

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import alert_flag, pct_of_total
-from ..functions.portable import round2, sql_round2
+from ..functions.portable import exact_avg, round2, sql_exact_avg, sql_round2
 from ..schemas import REPORT_COLUMNS
 
 DEFAULT_P90_THRESHOLD = 300.0  # reference README.md:137 example --umbral_p90
@@ -31,7 +31,14 @@ DEFAULT_P90_THRESHOLD = 300.0  # reference README.md:137 example --umbral_p90
 def report_by_endpoint(kpi: DataFrame, *, p90_threshold: float = DEFAULT_P90_THRESHOLD) -> DataFrame:
     """A9-A11 + P8-P10 + O2 (reference src/generar_reporte.py:34-68,:178)."""
     req = F.col("requests_total")
-    weighted = lambda c: F.sum(F.col(c) * req) / F.greatest(F.sum(req), F.lit(1))  # noqa: E731
+    # weighted mean in cents fixed-point: the KPI inputs are 2-dp, so
+    # floor(x*100+0.5) is lossless and the integer sum is order-independent
+    # (same convention as portable.exact_avg).
+    weighted = lambda c: (  # noqa: E731
+        F.sum(F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long") * req).cast("double")
+        / 100
+        / F.greatest(F.sum(req), F.lit(1))
+    )
     agg = kpi.groupBy("endpoint_base").agg(
         F.sum("requests_total").alias("requests_total"),
         F.sum("success_2xx").alias("success_2xx"),
@@ -60,8 +67,14 @@ def report_by_endpoint(kpi: DataFrame, *, p90_threshold: float = DEFAULT_P90_THR
 
 
 def sql_report_by_endpoint_select(source: str = "kpi", p90_threshold: float = DEFAULT_P90_THRESHOLD) -> str:
-    w_avg = "sum(avg_elapsed_ms * requests_total) / greatest(sum(requests_total), 1)"
-    w_p90 = "sum(p90_elapsed_ms * requests_total) / greatest(sum(requests_total), 1)"
+    w_avg = (
+        "(CAST(sum(CAST(floor(avg_elapsed_ms * 100 + 0.5) AS BIGINT) * requests_total) AS DOUBLE)"
+        " / 100 / greatest(sum(requests_total), 1))"
+    )
+    w_p90 = (
+        "(CAST(sum(CAST(floor(p90_elapsed_ms * 100 + 0.5) AS BIGINT) * requests_total) AS DOUBLE)"
+        " / 100 / greatest(sum(requests_total), 1))"
+    )
     pct = lambda c: f"CASE WHEN sum(requests_total) > 0 THEN sum({c}) * 100.0 / sum(requests_total) ELSE 0.0 END"  # noqa: E731
     return f"""
 SELECT
@@ -138,7 +151,7 @@ def global_metrics_exact(clean_log: DataFrame) -> DataFrame:
                 F.sum(F.when(F.col("status_code").between(400, 599), 1).otherwise(0)) * 100.0 / total,
             ).otherwise(F.lit(0.0))
         ).alias("pct_errors"),
-        round2(F.avg("elapsed_ms")).alias("avg_elapsed_ms"),
+        round2(exact_avg(F.col("elapsed_ms"), 100)).alias("avg_elapsed_ms"),
         round2(F.percentile(F.col("elapsed_ms"), F.lit(0.9))).alias("p90_elapsed_ms_exact"),
     )
 
@@ -151,7 +164,7 @@ SELECT
   count(*) AS requests_total,
   {sql_round2(pct_s)} AS pct_success,
   {sql_round2(pct_e)} AS pct_errors,
-  {sql_round2('avg(elapsed_ms)')} AS avg_elapsed_ms,
+  {sql_round2(sql_exact_avg('elapsed_ms', 100))} AS avg_elapsed_ms,
   {sql_round2('quantile_cont(elapsed_ms, 0.9)')} AS p90_elapsed_ms_exact
 FROM {source}"""
 
@@ -173,7 +186,7 @@ def kpi_rollup(clean_log: DataFrame) -> DataFrame:
             F.grouping_id("date_utc", "endpoint_base").cast("int").alias("grp"),
             F.count(F.lit(1)).alias("requests_total"),
             F.sum(F.when(F.col("status_code").between(200, 299), 1).otherwise(0)).alias("success_2xx"),
-            round2(F.avg("elapsed_ms")).alias("avg_elapsed_ms"),
+            round2(exact_avg(F.col("elapsed_ms"), 100)).alias("avg_elapsed_ms"),
             round2(F.percentile(F.col("elapsed_ms"), F.lit(0.9))).alias("p90_elapsed_ms"),
         )
         .orderBy("grp", "date_utc", "endpoint_base")
@@ -188,7 +201,7 @@ SELECT
   CAST(GROUPING(date_utc) * 2 + GROUPING(endpoint_base) AS INT) AS grp,
   count(*) AS requests_total,
   CAST(sum(CASE WHEN status_code BETWEEN 200 AND 299 THEN 1 ELSE 0 END) AS BIGINT) AS success_2xx,
-  {sql_round2('avg(elapsed_ms)')} AS avg_elapsed_ms,
+  {sql_round2(sql_exact_avg('elapsed_ms', 100))} AS avg_elapsed_ms,
   {sql_round2('quantile_cont(elapsed_ms, 0.9)')} AS p90_elapsed_ms
 FROM {source}
 GROUP BY GROUPING SETS ((date_utc, endpoint_base), (endpoint_base), ())

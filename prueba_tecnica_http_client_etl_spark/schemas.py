@@ -96,12 +96,15 @@ def load_table(spark, sf_dir: str, name: str):
     """Parquet scan with Catalyst pushdown; schemas come from parquet footers.
 
     `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    by default. We read nanos as INT64 (legacy conf) and truncate to
-    microseconds — the same truncation DuckDB applies, so oracle timestamps
-    agree exactly.
+    by default. `get_spark` sets spark.sql.legacy.parquet.nanosAsLong at
+    session build (never here — a read must not mutate shared session conf);
+    we truncate the INT64 nanos to microseconds — the same truncation DuckDB
+    applies, so oracle timestamps agree exactly. The conf.set below is a
+    fallback for externally-built sessions and is skipped when already set.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             from pyspark.sql import functions as F

@@ -134,6 +134,7 @@ def _fetch_with_retry(
     error or 403, linear backoff backoff_s * attempt."""
     attempts = 0
     last_err: str | None = None
+    body, final_url = "", url
     while attempts <= max_retries:
         attempts += 1
         try:
@@ -141,6 +142,7 @@ def _fetch_with_retry(
         except TransportError as exc:
             last_err = str(exc)
             status = None
+            body, final_url = "", url
         else:
             if status != 403:
                 return status, body, final_url, attempts, None
@@ -149,7 +151,10 @@ def _fetch_with_retry(
             time.sleep(backoff_s * attempts)
     if status is None:
         return 0, "", url, attempts, last_err
-    return status, "", url, attempts, last_err
+    # exhausted 403: return the LAST response intact (body + final_url) —
+    # the reference (http_client.py:63) hands the final response to the
+    # caller, so any 403 error payload stays visible downstream.
+    return status, body, final_url, attempts, last_err
 
 
 def fetch(

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import TIMESTAMP_FMT, normalize_endpoint
+from ..functions.portable import exact_avg
 from ..schemas import LOG_SCHEMA
 
 P90_ACCURACY = 10_000  # ~1e-4 relative rank error; memory O(accuracy) per group
@@ -82,7 +83,10 @@ def kpi_daily_stream(cleaned: DataFrame, *, watermark_delay: str = "1 day") -> D
             count_if(F.col("status_code").between(400, 499)).alias("client_4xx"),
             count_if(F.col("status_code").between(500, 599)).alias("server_5xx"),
             count_if(F.col("parse_result") != "ok").alias("parse_errors"),
-            F.avg("elapsed_ms").alias("avg_elapsed_ms"),
+            # same cents fixed-point mean as the batch kpi_daily: integer
+            # partial sums are mergeable across micro-batches, so the
+            # incremental result is bit-identical to the batch one.
+            exact_avg(F.col("elapsed_ms"), 100).alias("avg_elapsed_ms"),
             F.percentile_approx("elapsed_ms", 0.9, P90_ACCURACY).alias("p90_elapsed_ms"),
         )
         .select(
@@ -103,11 +107,17 @@ def run_with_quarantine(
     spark: SparkSession, input_path: str, out_root: str, *, checkpoint: str
 ) -> dict[str, int]:
     """Streaming ingest with a two-way split per micro-batch (foreachBatch
-    multi-sink): clean rows append to the silver layer, malformed JSON
-    lines append to a quarantine layer — one scan, two sinks, exactly-once
-    per batch via the checkpoint. This is the 100 TB quarantine pattern
-    the batch `sources.files.split_corrupt` documents: never cache a full
-    scan to split it; split each bounded micro-batch instead.
+    multi-sink): clean rows land in the silver layer, malformed JSON
+    lines in a quarantine layer — one scan, two sinks. This is the 100 TB
+    quarantine pattern the batch `sources.files.split_corrupt` documents:
+    never cache a full scan to split it; split each bounded micro-batch
+    instead.
+
+    foreachBatch alone is only at-least-once (a crash between the two
+    writes replays the batch); each sink therefore OVERWRITES its own
+    batch_id-derived partition directory, so a replayed batch converges
+    to the same files — idempotent, hence effectively exactly-once
+    end-to-end. Readers see `batch_id` as a discovered partition column.
 
     Returns row counts per layer after the stream drains.
     """
@@ -128,14 +138,14 @@ def run_with_quarantine(
         (
             batch_df.filter(F.col(CORRUPT_COL).isNull())
             .drop(CORRUPT_COL)
-            .write.mode("append")
-            .parquet(f"{out_root}/silver")
+            .write.mode("overwrite")  # idempotent under checkpoint replay
+            .parquet(f"{out_root}/silver/batch_id={batch_id}")
         )
         (
             batch_df.filter(F.col(CORRUPT_COL).isNotNull())
             .select(F.col(CORRUPT_COL).alias("raw"))
-            .write.mode("append")
-            .parquet(f"{out_root}/quarantine")
+            .write.mode("overwrite")
+            .parquet(f"{out_root}/quarantine/batch_id={batch_id}")
         )
         batch_df.unpersist()
 

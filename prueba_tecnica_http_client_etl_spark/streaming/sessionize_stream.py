@@ -70,6 +70,14 @@ def _sessionize_group(
     closed: list[tuple] = []
     events = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_s")
     for ts, value in zip(events["ts_s"], events["value"]):
+        # Late-data policy: events are sorted within a micro-batch, but an
+        # event arriving in a LATER batch with ts < state.last_ts would
+        # otherwise produce a negative gap and silently distort duration.
+        # Clamp it to last_ts: it joins the open session with zero gap
+        # (counted in n_events/total_value, never reopens a closed session).
+        # True event-time correction would need watermark-style buffering.
+        if last_ts is not None and ts < last_ts:
+            ts = last_ts
         if last_ts is not None and ts - last_ts > SESSION_GAP_S:
             closed.append((user_id, seq, n, last_ts - start_ts, total))
             seq += 1
