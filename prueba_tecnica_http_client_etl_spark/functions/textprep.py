@@ -61,24 +61,16 @@ LSH_ROWS = NUM_MINHASHES // LSH_BANDS
 H2_MOD = 1 << 56
 
 
-def spark_hash_pairs(shingles_col: str = "sh") -> str:
-    h1 = spark_u60_of("concat('mha:', s)")
-    h2 = spark_u60_of("concat('mhb:', s)")
-    return f"transform({shingles_col}, s -> struct({h1} as h1, ({h2} % {H2_MOD}) as h2))"
-
-
+# Spark computes the pairs via explode + codegen aggregates
+# (operators/dedup.py::_minhash_signatures); DuckDB stays in list form.
 def duck_hash_pairs(shingles_col: str = "sh") -> str:
     h1 = duck_u60_of("'mha:' || s")
     h2 = duck_u60_of("'mhb:' || s")
     return f"list_transform({shingles_col}, s -> {{'h1': {h1}, 'h2': ({h2} % {H2_MOD})}})"
 
 
-def spark_minhash(i: int, pairs_col: str = "hp") -> str:
-    """i-th MinHash over the precomputed (h1, h2) pair array."""
-    return f"array_min(transform({pairs_col}, p -> p.h1 + {i} * p.h2))"
-
-
 def duck_minhash(i: int, pairs_col: str = "hp") -> str:
+    """i-th MinHash over the precomputed (h1, h2) pair list."""
     return f"list_min(list_transform({pairs_col}, p -> p.h1 + {i} * p.h2))"
 
 

@@ -907,6 +907,55 @@ GROUP BY event_type
 ORDER BY event_type"""
 
 
+# --- skew-safe two-stage aggregation -----------------------------------------
+
+
+def event_value_by_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table aggregate on `event_type` — a handful of distinct keys
+    over the whole fact table, the textbook aggregation-skew shape (AQE
+    splits skewed *join* partitions, not aggregation groups). Runs through
+    functions.skew.salted_agg: stage 1 aggregates on (event_type, salt),
+    spreading each hot key over 16 reducers; stage 2 merges the 16 partials
+    per key. Semantically identical to a plain groupBy — the oracle IS the
+    plain GROUP BY — so the skew path is oracle-checked end-to-end, not
+    just unit-tested. Value stats are fixed-point (1e-4) for cross-engine
+    exactness."""
+    from ..functions.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    val_cents = F.floor(F.col("value") * 10_000 + F.lit(0.5)).cast("long")
+    base = ev.select("event_type", "event_id", val_cents.alias("val_cents"))
+    agg = salted_agg(
+        base,
+        ["event_type"],
+        {
+            "n_events": ("count", "event_id"),
+            "total_cents": ("sum", "val_cents"),
+            "min_cents": ("min", "val_cents"),
+            "max_cents": ("max", "val_cents"),
+        },
+        n_salts=16,
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        (F.col("total_cents").cast("double") / 10_000).alias("total_value"),
+        (F.col("min_cents").cast("double") / 10_000).alias("min_value"),
+        (F.col("max_cents").cast("double") / 10_000).alias("max_value"),
+    ).orderBy("event_type")
+
+
+SQL_EVENT_VALUE_BY_TYPE_SALTED = """
+SELECT event_type,
+       count(event_id) AS n_events,
+       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS total_value,
+       CAST(min(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS min_value,
+       CAST(max(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type"""
+
+
 # --- ntile decile segmentation -----------------------------------------------
 
 
@@ -925,6 +974,38 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("spend_cents").desc(), F.col("o_custkey"))
     return (
         per_cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("spend_cents").cast("double") / 100).alias("total_spend"),
+            (F.min("spend_cents").cast("double") / 100).alias("min_spend"),
+            (F.max("spend_cents").cast("double") / 100).alias("max_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+def customer_value_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB tier of customer_value_deciles: decile CUT POINTS from
+    percentile_approx (mergeable KLL-style sketch, bounded memory), then a
+    map-side bucket assignment — no unpartitioned window, no single-task
+    global sort of |customers|. The 9 cut points broadcast as one row;
+    bucketing is an array scan over them. Bucket populations are only
+    approximately equal (sketch rank error), which is the documented
+    tradeoff vs the exact ntile variant; rows-only like
+    kpi_daily_approx_p90 because sketch outputs are engine-specific."""
+    orders = _t(spark, sf_dir, "orders")
+    spend_cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    per_cust = orders.groupBy("o_custkey").agg(F.sum(spend_cents).alias("spend_cents"))
+    cuts = per_cust.agg(
+        F.percentile_approx("spend_cents", [i / 10 for i in range(1, 10)], 10_000).alias("cuts")
+    )
+    # decile 1 = top spenders (same orientation as the exact ntile DESC):
+    # 1 + number of ascending cut points strictly above this spend.
+    decile = F.lit(1) + F.size(F.filter("cuts", lambda c: F.col("spend_cents") < c))
+    return (
+        per_cust.join(F.broadcast(cuts), F.lit(True))
+        .withColumn("decile", decile.cast("int"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

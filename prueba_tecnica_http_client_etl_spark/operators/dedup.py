@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from ..functions import textprep as tp
 from ..functions.portable import roundn, sql_roundn
 from ..schemas import load_table
+from ..session import default_parallelism
 
 MINHASH_JACCARD_THRESHOLD = 0.5
 NGRAM_JACCARD_THRESHOLD = 0.2
@@ -47,10 +48,14 @@ def docs_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order functions (interpreted row-by-row, outside codegen) —
     without the spread, one task does all the lambda evaluation. One
     small shuffle buys full-width parallelism for every downstream text
-    operator."""
+    operator. The partition count is EXPLICIT: an unsized
+    repartition(col) is an AQE-coalescible exchange, and on a small
+    byte-size input AQE folds it back to one partition — serializing
+    exactly the per-row compute the repartition exists to spread
+    (bytes are a bad proxy for lambda/hash cost)."""
     return (
         load_table(spark, sf_dir, "documents")
-        .repartition(F.col("doc_id"))
+        .repartition(default_parallelism(), F.col("doc_id"))
         .withColumn("norm", F.expr(tp.SPARK_NORM))
         .withColumn("toks", F.expr(tp.SPARK_TOKS))
         .withColumn("sh", F.expr(tp.SPARK_SHINGLES))
@@ -98,27 +103,40 @@ ORDER BY keep_doc_id"""
 # --- MinHash + LSH near-dedup ------------------------------------------------
 
 
-def _with_minhashes(docs: DataFrame) -> DataFrame:
-    """Two md5 streams per shingle, then the 16 permutations as cheap
-    integer combinations (double hashing) — 8x less hashing than one md5
-    per permutation."""
-    out = docs.withColumn("hp", F.expr(tp.spark_hash_pairs()))
-    for i in range(tp.NUM_MINHASHES):
-        out = out.withColumn(f"mh{i}", F.expr(tp.spark_minhash(i)))
-    return out.drop("hp")
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id -> 16 minhash columns (Broder double hashing: two md5
+    streams per shingle, i-th permutation = h1 + i*h2).
+
+    Computed by exploding to one row per (doc, shingle) and taking 16
+    partial-aggregated mins: every expression (md5, conv, modulo, the
+    min aggregates) stays inside whole-stage codegen, and the shuffle
+    carries |docs| x 16 longs of map-side partials. The previous form —
+    16 higher-order array lambdas per document — was interpreted
+    row-at-a-time outside codegen and ~2x slower cold. Values are
+    bit-identical (same multiset min per permutation); explode_outer
+    keeps the generator from pushing an is-not-empty filter into the
+    scan (shingle arrays are never empty by the whole-norm fallback)."""
+    ex = docs.select("doc_id", F.explode_outer("sh").alias("s"))
+    h1 = F.expr(tp.spark_u60_of("concat('mha:', s)"))
+    h2 = F.expr(tp.spark_u60_of("concat('mhb:', s)")) % tp.H2_MOD
+    hashed = ex.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(F.col("h1") + i * F.col("h2")).alias(f"mh{i}") for i in range(tp.NUM_MINHASHES)]
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding, verified with exact
     shingle Jaccard >= 0.5. Output: (doc_a, doc_b, jaccard).
 
-    The signature table is persisted: it feeds four plan branches (both
-    sides of the band self-join and both sides of the verify join), and
-    without the persist Spark recomputes shingling+hashing once per
-    branch. At 100 TB the signature table is a materialized pipeline
-    stage (tiny next to the corpus: 16 longs + shingle set per doc)."""
-    sh = docs_normalized(spark, sf_dir).select("doc_id", "sh")
-    mh = _with_minhashes(sh).persist()
+    Both the shingle table and the signature table are persisted: the
+    shingle set feeds both sides of the verify join (and the signature
+    build), the signatures feed both sides of the band self-join —
+    without the persists Spark recomputes shingling+hashing once per
+    branch. At 100 TB both are materialized pipeline stages (tiny next
+    to the corpus: 16 longs + shingle set per doc)."""
+    sh = docs_normalized(spark, sf_dir).select("doc_id", "sh").persist()
+    mh = _minhash_signatures(sh).persist()
     bands = mh.select(
         "doc_id",
         F.explode(
@@ -146,8 +164,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    x = mh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    y = mh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
@@ -340,6 +358,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
+        .coalesce(4)
         .withColumn("component_id", F.col("doc_id"))
         .persist()
     )

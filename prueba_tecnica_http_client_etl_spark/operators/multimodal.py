@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import load_table
+from ..session import default_parallelism
 
 META_SCHEMA = "doc_id long, n_bytes long, checksum string, width int, height int, fmt string"
 _FORMATS = ["png", "jpeg", "webp"]
@@ -73,7 +74,10 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         # spread before the Python stage: the table arrives as one parquet
         # split, which would serialize all decode work through a single
         # Python worker; after the repartition every core runs a worker.
-        .repartition(F.col("doc_id"))
+        # Explicit count — an unsized repartition(col) is AQE-coalescible
+        # back to ~1 partition on byte-small inputs (bytes are a bad proxy
+        # for decode cost).
+        .repartition(default_parallelism(), F.col("doc_id"))
     )
     return payloads.mapInPandas(_decode_meta_batches, META_SCHEMA).orderBy("doc_id")
 

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.portable import roundn, sql_roundn
 from ..schemas import load_table
+from ..session import default_parallelism
 
 QUANT_SCALE = 1 << 20  # 2^20: exact power of two, float -> double scaling is lossless
 EMBED_DIM = 64
@@ -49,9 +50,12 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition first: quantization/dot lambdas are interpreted
     # (higher-order functions sit outside codegen), so spread the rows
     # before paying them; the table arrives as one parquet task otherwise.
+    # Explicit partition count: an unsized repartition(col) is AQE-
+    # coalescible and collapses to ~1 partition on byte-small inputs,
+    # serializing the lambda work (see dedup.docs_normalized).
     return (
         load_table(spark, sf_dir, "embeddings")
-        .repartition(F.col("vec_id"))
+        .repartition(default_parallelism(), F.col("vec_id"))
         .withColumn("q", F.expr(SPARK_QUANT))
         .withColumn("nrm", F.sqrt(F.expr(SPARK_SELF_DOT).cast("double")))
     )
@@ -70,11 +74,13 @@ _SPARK_PAIR_DOT = "aggregate(zip_with(qa, qb, (x, y) -> x * y), cast(0 as bigint
 # --- brute-force cosine top-k (the correctness baseline) ---------------------
 
 
-def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_cosine_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None) -> DataFrame:
     """Exact top-10 cosine neighbors for the strided query set. The query
     side is tiny -> broadcast; ranking is per-query row_number (heap), with
-    a bit-stable cosine and vec_id tie-break for full determinism."""
-    emb = _quantized(spark, sf_dir)
+    a bit-stable cosine and vec_id tie-break for full determinism.
+    `emb` lets composite queries (ann_ivf_recall) pass a shared persisted
+    quantized frame instead of rebuilding it."""
+    emb = emb if emb is not None else _quantized(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), F.col("nrm").alias("na")
     )
@@ -178,21 +184,27 @@ def _hyperplane_signs() -> list[list[int]]:
 _PLANES = _hyperplane_signs()
 
 
-def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assign every vector a 16-bit hyperplane-sign bucket and summarize
-    bucket occupancy. The assignment is a pure map (no shuffle); the
-    histogram is one partial-aggregated groupBy. ANN probing then joins
-    queries to their bucket (and Hamming-1 neighbors) instead of the full
-    corpus — O(corpus/2^16) candidates per query in the uniform case."""
-    emb = _quantized(spark, sf_dir)
+def _bucket_col() -> F.Column:
+    """16-bit hyperplane-sign bucket id as a Column over the quantized `q`."""
     bucket = None
     for p, signs in enumerate(_PLANES):
         arr = ", ".join(str(s) for s in signs)
         dot = f"aggregate(zip_with(q, array({arr}), (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
         bit = F.when(F.expr(dot) > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")
+
+
+def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every vector a 16-bit hyperplane-sign bucket and summarize
+    bucket occupancy. The assignment is a pure map (no shuffle); the
+    histogram is one partial-aggregated groupBy. ANN probing then joins
+    queries to their bucket (and Hamming-1 neighbors) instead of the full
+    corpus — O(corpus/2^16) candidates per query in the uniform case;
+    `ann_lsh_topk` below is that search path."""
+    emb = _quantized(spark, sf_dir)
     return (
-        emb.withColumn("bucket", bucket.cast("long"))
+        emb.withColumn("bucket", _bucket_col())
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
@@ -209,7 +221,7 @@ CENTROID_STRIDE = 97  # vec_id % 97 == 0 -> the deterministic coarse centroids
 NPROBE = 2
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None) -> DataFrame:
     """IVF approximation of cosine top-k: vectors are assigned to their
     nearest coarse centroid (a deterministic strided subset standing in
     for k-means — same plan shape, no training step), queries probe their
@@ -218,9 +230,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale story vs brute force: assignment is |corpus| x |centroids|
     (centroids broadcast), probing touches ~NPROBE/|cells| of the corpus
     per query instead of all of it, and the corpus shuffles once on
-    cell id. Results are approximate (documented recall tradeoff) but
-    bit-deterministic: quantized-integer cosine on both engines."""
-    emb = _quantized(spark, sf_dir).persist()
+    cell id. Results are approximate (the measured tradeoff is
+    `ann_ivf_recall`) but bit-deterministic: quantized-integer cosine on
+    both engines."""
+    emb = (emb if emb is not None else _quantized(spark, sf_dir)).persist()
     cents = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("q").alias("qc"), F.col("nrm").alias("nc")
     )
@@ -316,6 +329,150 @@ SELECT CAST({_sql_bucket_expr()} AS BIGINT) AS bucket,
 FROM qn
 GROUP BY 1
 ORDER BY bucket"""
+
+
+# --- multiprobe LSH ANN (the bucketed search path) ---------------------------
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k through the hyperplane LSH buckets with Hamming-1
+    multiprobe: each query probes its own bucket plus the 16 buckets one
+    bit-flip away, and ranks only candidates found there by exact
+    quantized cosine. This turns `lsh_bucket_histogram` into a search
+    path: the corpus is bucketed map-side and shuffled once on bucket id;
+    probes explode each query into 17 (cell, query) rows — candidates per
+    query are O(17 x corpus / 2^16) in the uniform case instead of
+    |corpus|. Recall is bounded by the probe radius (documented tradeoff,
+    same contract as IVF's NPROBE); results are bit-deterministic, so the
+    DuckDB twin reproduces them exactly. Queries with fewer than k
+    candidates in probed cells emit fewer than k rows — honest sparsity,
+    identical in the oracle."""
+    emb = _quantized(spark, sf_dir).withColumn("bucket", _bucket_col()).persist()
+    corpus = emb.select(
+        F.col("bucket").alias("cell"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("qb"),
+        F.col("nrm").alias("nb"),
+    )
+    probe_cells = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_HYPERPLANES)]
+    )
+    probes = (
+        emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qa"),
+            F.col("nrm").alias("na"),
+            F.explode(probe_cells).alias("cell"),
+        )
+    )
+    cos = F.expr(_SPARK_PAIR_DOT).cast("double") / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), F.col("neighbor_id"))
+    return (
+        F.broadcast(probes)
+        .join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_raw", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            roundn(F.col("cosine_raw") + 1.0, 6).alias("cosine_p1"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _sql_probe_cells() -> str:
+    cells = ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(N_HYPERPLANES)]
+    return f"list_value({', '.join(cells)})"
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH {DUCK_QUANT_CTE},
+bucketed AS (
+  SELECT vec_id, q, nrm, CAST({_sql_bucket_expr()} AS BIGINT) AS bucket FROM qn
+),
+corpus AS (
+  SELECT bucket AS cell, vec_id AS neighbor_id, q AS qb, nrm AS nb FROM bucketed
+),
+probes AS (
+  SELECT vec_id AS query_id, q AS qa, nrm AS na, unnest({_sql_probe_cells()}) AS cell
+  FROM bucketed WHERE vec_id % {QUERY_STRIDE} = 0
+),
+scored AS (
+  SELECT p.query_id, c.neighbor_id,
+         list_dot_product(p.qa, c.qb) / (p.na * c.nb) AS cosine_raw
+  FROM probes p JOIN corpus c ON p.cell = c.cell
+  WHERE p.query_id <> c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       {sql_roundn('cosine_raw + 1.0', 6)} AS cosine_p1
+FROM ranked WHERE rank <= {TOPK}
+ORDER BY query_id, rank"""
+
+
+# --- ANN quality gate: measured recall of the approximate tiers ---------------
+
+
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF tier against the brute-force baseline, per
+    query id — the measured number behind IVF's 'documented recall
+    tradeoff'. Both inputs are bit-deterministic, so recall itself is
+    oracle-checkable by composing the two existing SQL twins. The join is
+    on (query_id, neighbor_id) between two k x |queries| row sets — tiny;
+    at 100 TB this gate runs on a sampled query set the same way. The
+    quantized frame is built and persisted ONCE and shared by both tiers."""
+    emb = _quantized(spark, sf_dir).persist()
+    exact = ann_cosine_topk(spark, sf_dir, emb=emb).select("query_id", "neighbor_id")
+    approx = ann_ivf_topk(spark, sf_dir, emb=emb).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            roundn(F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_exact"), 4).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+SQL_ANN_IVF_RECALL = f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM ({SQL_ANN_COSINE_TOPK})
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM ({SQL_ANN_IVF_TOPK})
+),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM exact e JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+),
+n_ex AS (
+  SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id
+)
+SELECT n_ex.query_id,
+       CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       {sql_roundn('CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / n_ex.n_exact', 4)} AS recall_at_10
+FROM n_ex LEFT JOIN hits ON n_ex.query_id = hits.query_id
+ORDER BY n_ex.query_id"""
 
 
 # --- per-label centroids (vector aggregation) --------------------------------

@@ -120,6 +120,7 @@ _ANALYTICS = [
     ("stratified_event_sample", analytics.stratified_event_sample, analytics.SQL_STRATIFIED_EVENT_SAMPLE),
     ("customer_value_deciles", analytics.customer_value_deciles, analytics.SQL_CUSTOMER_VALUE_DECILES),
     ("events_hourly_window", analytics.events_hourly_window, analytics.SQL_EVENTS_HOURLY_WINDOW),
+    ("event_value_by_type_salted", analytics.event_value_by_type_salted, analytics.SQL_EVENT_VALUE_BY_TYPE_SALTED),
 ]
 
 for _name, _fn, _sql in _ANALYTICS:
@@ -139,6 +140,8 @@ _LLM_PIPELINE = [
     ("ann_cosine_topk", similarity.ann_cosine_topk, similarity.SQL_ANN_COSINE_TOPK),
     ("lsh_bucket_histogram", similarity.lsh_bucket_histogram, similarity.SQL_LSH_BUCKET_HISTOGRAM),
     ("ann_ivf_topk", similarity.ann_ivf_topk, similarity.SQL_ANN_IVF_TOPK),
+    ("ann_lsh_topk", similarity.ann_lsh_topk, similarity.SQL_ANN_LSH_TOPK),
+    ("ann_ivf_recall", similarity.ann_ivf_recall, similarity.SQL_ANN_IVF_RECALL),
     ("embedding_centroids", similarity.embedding_centroids, similarity.SQL_EMBEDDING_CENTROIDS),
     ("text_stats", textops.text_stats, textops.SQL_TEXT_STATS),
     ("token_counts", textops.token_counts, textops.SQL_TOKEN_COUNTS),
@@ -214,6 +217,15 @@ def _ensure_staged(path: str, write_fn) -> None:
 
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write_fn(path)
+
+
+@register("customer_value_deciles_approx")
+def q_customer_value_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB tier of customer_value_deciles: sketch cut points
+    applied map-side instead of a global ntile sort. No oracle: DuckDB's
+    approx_quantile is a different sketch — engine-specific outputs, same
+    contract as kpi_daily_approx_p90."""
+    return analytics.customer_value_deciles_approx(spark, sf_dir)
 
 
 @register("kpi_daily_stream")

@@ -42,6 +42,21 @@ def test_salt_spreads_hot_key(spark):
     assert n_salts_used >= 6  # content-derived salt spreads the hot key
 
 
+def test_registered_salted_query_plan_is_two_stage(spark):
+    """The registered event_value_by_type_salted query must actually run
+    the two-stage plan: an aggregate keyed on (event_type, _salt) below
+    the final aggregate keyed on event_type alone."""
+    from prueba_tecnica_http_client_etl_spark.operators.analytics import event_value_by_type_salted
+
+    df = event_value_by_type_salted(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    agg_lines = [ln for ln in plan.splitlines() if "Aggregate" in ln]
+    salted_stage = [ln for ln in agg_lines if "_salt" in ln]
+    merge_stage = [ln for ln in agg_lines if "_salt" not in ln and "event_type" in ln]
+    assert salted_stage, plan
+    assert merge_stage, plan
+
+
 def test_salt_is_deterministic(spark):
     df = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, v double")
     s1 = sorted(map(tuple, with_salt(df, 16).collect()))
