@@ -82,6 +82,67 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_decode_meta_batches, META_SCHEMA).orderBy("doc_id")
 
 
+# --- frame sampling (1 -> N generator through Arrow) -------------------------
+
+MAX_FRAMES = 48
+FRAME_STRIDE = 7
+
+
+def _sample_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fake video frame sampler: the payload stands in for a container
+    whose frame count and per-frame digests derive from the payload md5
+    (pure function of bytes — deterministic under retry/partitioning).
+    Swap this body for a real demuxer (pyav/opencv) when codecs exist;
+    the 1->N row-expansion shape, schema, and batching stay identical."""
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "n_frames": [], "frame_idx": [], "frame_hash": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            digest = hashlib.md5(bytes(payload)).hexdigest()
+            n_frames = int(digest[:8], 16) % MAX_FRAMES + 1
+            for idx in range(0, n_frames, FRAME_STRIDE):
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n_frames)
+                out["frame_idx"].append(idx)
+                out["frame_hash"].append(hashlib.md5(f"{digest}:{idx}".encode()).hexdigest())
+        yield pd.DataFrame(out)
+
+
+FRAME_SCHEMA = "doc_id long, n_frames long, frame_idx long, frame_hash string"
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided frame sampling over video-like payloads — the 1->N
+    generator variant of the multimodal plumbing: one input row fans out
+    to a variable number of frame rows INSIDE the Arrow batch iterator
+    (mapInPandas yields frames, never materializing per-doc frame lists
+    in driver or JVM memory). At 100 TB this is the decode->sample stage
+    of a video pipeline: payloads spread across workers before the Python
+    stage, output rows flow straight into relational ops."""
+    payloads = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+        .repartition(default_parallelism(), F.col("doc_id"))
+    )
+    return payloads.mapInPandas(_sample_frame_batches, FRAME_SCHEMA).orderBy("doc_id", "frame_idx")
+
+
+# DuckDB twin: range() in DuckDB 1.0 cannot take a per-row (lateral) bound,
+# so the oracle joins a constant 0..MAX_FRAMES-1 spine and filters.
+SQL_MULTIMODAL_FRAME_SAMPLE = f"""
+WITH meta AS (
+  SELECT doc_id, md5(text) AS digest,
+         CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % {MAX_FRAMES} + 1 AS n_frames
+  FROM documents
+),
+spine AS (SELECT unnest(range({MAX_FRAMES})) AS frame_idx)
+SELECT m.doc_id,
+       m.n_frames,
+       CAST(s.frame_idx AS BIGINT) AS frame_idx,
+       md5(m.digest || ':' || CAST(s.frame_idx AS VARCHAR)) AS frame_hash
+FROM meta m JOIN spine s ON s.frame_idx < m.n_frames AND s.frame_idx % {FRAME_STRIDE} = 0
+ORDER BY m.doc_id, s.frame_idx"""
+
+
 # DuckDB twin: md5 of a VARCHAR hashes its UTF-8 bytes — identical to the
 # Python-side md5 of the encoded payload.
 SQL_MULTIMODAL_META = """

@@ -150,6 +150,7 @@ _LLM_PIPELINE = [
     ("tfidf_top_terms", textops.tfidf_top_terms, textops.SQL_TFIDF_TOP_TERMS),
     ("corpus_mix", textops.corpus_mix, textops.SQL_CORPUS_MIX),
     ("multimodal_meta", multimodal.multimodal_meta, multimodal.SQL_MULTIMODAL_META),
+    ("multimodal_frame_sample", multimodal.multimodal_frame_sample, multimodal.SQL_MULTIMODAL_FRAME_SAMPLE),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
@@ -267,6 +268,28 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(p),
     )
     return SS.run_files_to_memory(spark, tmp, table_name=tag, one_file_per_batch=False)
+
+
+@register("dedup_stream")
+def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicates state store): the documents
+    table replayed as a multi-batch file stream, one output row per
+    distinct normalized-text digest (first occurrence wins). No oracle:
+    first-occurrence emission depends on batch order, which is a
+    streaming-only notion; the row COUNT equals the batch dedup_exact
+    group count, which the rows-only check records."""
+    from .streaming import dedup_stream as DS
+
+    tmp, tag = _stream_staging_path(sf_dir, "dedup_stream_in")
+    _ensure_staged(
+        tmp,
+        lambda p: load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(4)
+        .write.mode("overwrite")
+        .json(p),
+    )
+    return DS.run_files_to_memory(spark, tmp, table_name=tag)
 
 
 def queries() -> dict[str, QueryFn]:
