@@ -334,7 +334,7 @@ ORDER BY bucket"""
 # --- multiprobe LSH ANN (the bucketed search path) ---------------------------
 
 
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_lsh_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None) -> DataFrame:
     """ANN top-k through the hyperplane LSH buckets with Hamming-1
     multiprobe: each query probes its own bucket plus the 16 buckets one
     bit-flip away, and ranks only candidates found there by exact
@@ -347,7 +347,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin reproduces them exactly. Queries with fewer than k
     candidates in probed cells emit fewer than k rows — honest sparsity,
     identical in the oracle."""
-    emb = _quantized(spark, sf_dir).withColumn("bucket", _bucket_col()).persist()
+    emb = (emb if emb is not None else _quantized(spark, sf_dir)).withColumn(
+        "bucket", _bucket_col()
+    ).persist()
     corpus = emb.select(
         F.col("bucket").alias("cell"),
         F.col("vec_id").alias("neighbor_id"),
@@ -422,17 +424,16 @@ ORDER BY query_id, rank"""
 # --- ANN quality gate: measured recall of the approximate tiers ---------------
 
 
-def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of the IVF tier against the brute-force baseline, per
-    query id — the measured number behind IVF's 'documented recall
-    tradeoff'. Both inputs are bit-deterministic, so recall itself is
-    oracle-checkable by composing the two existing SQL twins. The join is
-    on (query_id, neighbor_id) between two k x |queries| row sets — tiny;
-    at 100 TB this gate runs on a sampled query set the same way. The
+def _recall_vs_exact(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
+    """Recall@10 of an approximate tier against the brute-force baseline,
+    per query id. Both inputs are bit-deterministic, so recall itself is
+    oracle-checkable by composing the tiers' SQL twins. The join is on
+    (query_id, neighbor_id) between two k x |queries| row sets — tiny; at
+    100 TB this gate runs on a sampled query set the same way. The
     quantized frame is built and persisted ONCE and shared by both tiers."""
     emb = _quantized(spark, sf_dir).persist()
     exact = ann_cosine_topk(spark, sf_dir, emb=emb).select("query_id", "neighbor_id")
-    approx = ann_ivf_topk(spark, sf_dir, emb=emb).select("query_id", "neighbor_id")
+    approx = approx_fn(spark, sf_dir, emb=emb).select("query_id", "neighbor_id")
     hits = (
         exact.join(approx, ["query_id", "neighbor_id"])
         .groupBy("query_id")
@@ -453,12 +454,26 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_ANN_IVF_RECALL = f"""
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10 of the IVF tier — the number behind its
+    'documented recall tradeoff' (see _recall_vs_exact)."""
+    return _recall_vs_exact(spark, sf_dir, ann_ivf_topk)
+
+
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10 of the Hamming-1 multiprobe LSH tier. Together
+    with ann_ivf_recall this makes both approximate search paths carry a
+    measured, oracle-checked quality number next to their cost."""
+    return _recall_vs_exact(spark, sf_dir, ann_lsh_topk)
+
+
+def _sql_recall(approx_sql: str) -> str:
+    return f"""
 WITH exact AS (
   SELECT query_id, neighbor_id FROM ({SQL_ANN_COSINE_TOPK})
 ),
 approx AS (
-  SELECT query_id, neighbor_id FROM ({SQL_ANN_IVF_TOPK})
+  SELECT query_id, neighbor_id FROM ({approx_sql})
 ),
 hits AS (
   SELECT e.query_id, count(*) AS n_hits
@@ -473,6 +488,10 @@ SELECT n_ex.query_id,
        {sql_roundn('CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / n_ex.n_exact', 4)} AS recall_at_10
 FROM n_ex LEFT JOIN hits ON n_ex.query_id = hits.query_id
 ORDER BY n_ex.query_id"""
+
+
+SQL_ANN_IVF_RECALL = _sql_recall(SQL_ANN_IVF_TOPK)
+SQL_ANN_LSH_RECALL = _sql_recall(SQL_ANN_LSH_TOPK)
 
 
 # --- per-label centroids (vector aggregation) --------------------------------

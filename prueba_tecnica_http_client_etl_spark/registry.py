@@ -142,6 +142,7 @@ _LLM_PIPELINE = [
     ("ann_ivf_topk", similarity.ann_ivf_topk, similarity.SQL_ANN_IVF_TOPK),
     ("ann_lsh_topk", similarity.ann_lsh_topk, similarity.SQL_ANN_LSH_TOPK),
     ("ann_ivf_recall", similarity.ann_ivf_recall, similarity.SQL_ANN_IVF_RECALL),
+    ("ann_lsh_recall", similarity.ann_lsh_recall, similarity.SQL_ANN_LSH_RECALL),
     ("embedding_centroids", similarity.embedding_centroids, similarity.SQL_EMBEDDING_CENTROIDS),
     ("text_stats", textops.text_stats, textops.SQL_TEXT_STATS),
     ("token_counts", textops.token_counts, textops.SQL_TOKEN_COUNTS),

@@ -98,6 +98,11 @@ def http_log_from_events(events: DataFrame) -> DataFrame:
     event_id -> the hash-stream key for endpoints/status/corruption.
     All values are pure functions of (event_id, ts, value) so the DuckDB
     CTE from `sql_http_log_cte()` reproduces them bit-for-bit.
+
+    No pre-spread: the md5-stream projection is cheap enough that the
+    downstream aggregate dominates (measured — a repartition here bought
+    nothing locally and would cost a full exchange of the fact table at
+    scale).
     """
     ev = events.select(
         "event_id",

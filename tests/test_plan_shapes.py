@@ -1,0 +1,66 @@
+"""Physical-plan assertions for the scale-critical properties VERDICT-style
+review checks by hand: filters reach the parquet scan, projections prune
+columns, small dims broadcast, top-k never global-sorts. These lock the
+plan shape in CI so a refactor that silently regresses one of them fails
+loudly, not at 100 TB.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark):
+    from prueba_tecnica_http_client_etl_spark.operators.analytics import pricing_summary
+
+    plan = _physical(pricing_summary(spark, SF_SMOKE))
+    # date filter is pushed into the parquet scan
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters: [", 1)[1].split("]")[0], plan
+    # the scan reads only the columns the query needs, not the full table
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema, read_schema
+
+
+def test_region_revenue_broadcasts_dims(spark):
+    from prueba_tecnica_http_client_etl_spark.operators.analytics import region_revenue
+
+    plan = _physical(region_revenue(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_top_revenue_orders_is_take_ordered(spark):
+    from prueba_tecnica_http_client_etl_spark.operators.analytics import top_revenue_orders
+
+    plan = _physical(top_revenue_orders(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_large_outputs_have_no_trailing_global_sort(spark):
+    """supplier_running_revenue/_trailing must not end in a range-partitioned
+    global Sort: the window sort is per-supplier (inside the partition);
+    a trailing Exchange rangepartitioning would be the round-1 waste."""
+    from prueba_tecnica_http_client_etl_spark.operators.analytics import (
+        supplier_running_revenue,
+        supplier_trailing_revenue,
+    )
+
+    for fn in (supplier_running_revenue, supplier_trailing_revenue):
+        plan = _physical(fn(spark, SF_SMOKE))
+        assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_minhash_signatures_partial_aggregate(spark):
+    """The signature build must be a HashAggregate pair (partial + final),
+    i.e. codegen partial aggregation — not interpreted array lambdas."""
+    from prueba_tecnica_http_client_etl_spark.operators.dedup import (
+        _minhash_signatures,
+        docs_normalized,
+    )
+
+    sig = _minhash_signatures(docs_normalized(spark, SF_SMOKE).select("doc_id", "sh"))
+    plan = _physical(sig)
+    assert plan.count("HashAggregate") >= 2, plan
