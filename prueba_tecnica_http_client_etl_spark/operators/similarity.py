@@ -184,10 +184,10 @@ def _hyperplane_signs() -> list[list[int]]:
 _PLANES = _hyperplane_signs()
 
 
-def _bucket_col() -> F.Column:
-    """16-bit hyperplane-sign bucket id as a Column over the quantized `q`."""
+def _bucket_col(bits: int = N_HYPERPLANES) -> F.Column:
+    """Hyperplane-sign bucket id (low `bits` planes) over the quantized `q`."""
     bucket = None
-    for p, signs in enumerate(_PLANES):
+    for p, signs in enumerate(_PLANES[:bits]):
         arr = ", ".join(str(s) for s in signs)
         dot = f"aggregate(zip_with(q, array({arr}), (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
         bit = F.when(F.expr(dot) > 0, F.lit(1 << p)).otherwise(F.lit(0))
@@ -218,7 +218,12 @@ def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- IVF-style ANN (coarse quantizer + probed cells) -------------------------
 
 CENTROID_STRIDE = 97  # vec_id % 97 == 0 -> the deterministic coarse centroids
-NPROBE = 2
+# Probed cells per query. Measured on this corpus at sf0.1 (~103 cells),
+# recall@10 vs brute force: NPROBE=2 -> 0.29, 4 -> 0.45, 8 -> 0.68 at near-
+# equal wall time locally; candidate volume (the 100 TB cost) scales as
+# NPROBE/|cells|. 8 probes ~8% of the corpus — still sublinear, and the
+# tradeoff stays visible through `ann_ivf_recall` rather than baked in.
+NPROBE = 8
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None) -> DataFrame:
@@ -312,9 +317,9 @@ FROM ranked WHERE rank <= {TOPK}
 ORDER BY query_id, rank"""
 
 
-def _sql_bucket_expr() -> str:
+def _sql_bucket_expr(bits: int = N_HYPERPLANES) -> str:
     terms = []
-    for p, signs in enumerate(_PLANES):
+    for p, signs in enumerate(_PLANES[:bits]):
         arr = ", ".join(str(s) for s in signs)
         terms.append(f"(CASE WHEN list_dot_product(q, [{arr}]) > 0 THEN {1 << p} ELSE 0 END)")
     return " + ".join(terms)
@@ -334,21 +339,32 @@ ORDER BY bucket"""
 # --- multiprobe LSH ANN (the bucketed search path) ---------------------------
 
 
+PROBE_BITS = 8  # search-tier bucket width; the histogram keeps all 16 planes
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None) -> DataFrame:
-    """ANN top-k through the hyperplane LSH buckets with Hamming-1
-    multiprobe: each query probes its own bucket plus the 16 buckets one
-    bit-flip away, and ranks only candidates found there by exact
-    quantized cosine. This turns `lsh_bucket_histogram` into a search
-    path: the corpus is bucketed map-side and shuffled once on bucket id;
-    probes explode each query into 17 (cell, query) rows — candidates per
-    query are O(17 x corpus / 2^16) in the uniform case instead of
-    |corpus|. Recall is bounded by the probe radius (documented tradeoff,
-    same contract as IVF's NPROBE); results are bit-deterministic, so the
-    DuckDB twin reproduces them exactly. Queries with fewer than k
-    candidates in probed cells emit fewer than k rows — honest sparsity,
-    identical in the oracle."""
+    """ANN top-k through hyperplane LSH buckets with Hamming-1 multiprobe:
+    each query probes its own bucket plus the PROBE_BITS buckets one
+    bit-flip away, ranking only candidates found there by exact quantized
+    cosine. This turns the hyperplane bucketing into a search path: the
+    corpus is bucketed map-side and shuffled once on bucket id; probes
+    explode each query into PROBE_BITS+1 (cell, query) rows — candidates
+    per query are O((PROBE_BITS+1) x corpus / 2^PROBE_BITS) in the uniform
+    case instead of |corpus|.
+
+    The search tier uses the LOW 8 of the 16 histogram planes: bucket
+    granularity is a recall/cost knob exactly like IVF's NPROBE, and
+    16-bit cells over this corpus are so fine that Hamming-1 probing finds
+    almost nothing (measured recall@10 at sf0.1: 0.005 with 16-bit cells
+    vs 0.11 with 8-bit; `ann_lsh_recall` keeps the number visible). On
+    near-random embeddings recall is data-limited — hyperplane collision
+    odds track cosine, and this corpus's neighbors are only weakly
+    separated — so the gate, not the constant, is the contract. Results
+    are bit-deterministic; the DuckDB twin reproduces them exactly.
+    Queries with fewer than k candidates in probed cells emit fewer than
+    k rows — honest sparsity, identical in the oracle."""
     emb = (emb if emb is not None else _quantized(spark, sf_dir)).withColumn(
-        "bucket", _bucket_col()
+        "bucket", _bucket_col(PROBE_BITS)
     ).persist()
     corpus = emb.select(
         F.col("bucket").alias("cell"),
@@ -357,7 +373,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = No
         F.col("nrm").alias("nb"),
     )
     probe_cells = F.array(
-        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_HYPERPLANES)]
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(PROBE_BITS)]
     )
     probes = (
         emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
@@ -388,14 +404,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = No
 
 
 def _sql_probe_cells() -> str:
-    cells = ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(N_HYPERPLANES)]
+    cells = ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(PROBE_BITS)]
     return f"list_value({', '.join(cells)})"
 
 
 SQL_ANN_LSH_TOPK = f"""
 WITH {DUCK_QUANT_CTE},
 bucketed AS (
-  SELECT vec_id, q, nrm, CAST({_sql_bucket_expr()} AS BIGINT) AS bucket FROM qn
+  SELECT vec_id, q, nrm, CAST({_sql_bucket_expr(PROBE_BITS)} AS BIGINT) AS bucket FROM qn
 ),
 corpus AS (
   SELECT bucket AS cell, vec_id AS neighbor_id, q AS qb, nrm AS nb FROM bucketed
