@@ -1,0 +1,287 @@
+"""Corpus-curation operators — PII scrubbing, benchmark-contamination
+checking, and a composed quality gate over `documents`.
+
+These are the training-data-pipeline steps that sit between raw scrape
+and dedup/tokenize: redact personal data, drop documents that overlap an
+evaluation set, and apply threshold filters with an auditable reason.
+The reference pipeline has no equivalent (it is an HTTP-log ETL,
+/root/reference/src/calcular_kpi.py); these extend the engine the way
+SURVEY.md §6 scopes for LLM data work.
+
+Scale notes (100 TB):
+- `pii_scrub` is a pure map-side projection (regexp over each row inside
+  whole-stage codegen) — runs at scan speed, no shuffle.
+- `contamination_check` broadcasts the probe set's n-gram postings
+  (benchmark suites are tiny by construction); the corpus side is one
+  explode + broadcast-hash-join + partial-aggregated count per doc — no
+  all-pairs comparison and no shuffle of document text.
+- `quality_gate` is again map-side; the per-source rollup shuffles only
+  (source, decision, reason) triples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.portable import roundn, sql_roundn
+from .dedup import DUCK_DOCS_CTE, docs_normalized
+from .textops import STOPWORDS
+
+# --- PII scrubbing -----------------------------------------------------------
+
+# Portable regexes: the subset of syntax Java (Spark) and RE2 (DuckDB)
+# interpret identically — character classes, bounded repeats, \b, \d; no
+# lookaround, no backreferences.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# Deterministic injection classes: the synthetic corpus carries no natural
+# PII, so the operator seeds each doc_id class with synthetic markers
+# (email / phone / IPv4) derived from doc_id — both engines build the same
+# dirty text, so counts and the redacted fingerprint are oracle-checkable.
+EMAIL_MOD, PHONE_MOD, IP_MOD = 7, 11, 13
+
+
+def _dirty_col() -> F.Column:
+    did = F.col("doc_id")
+    email = F.when(
+        did % EMAIL_MOD == 0,
+        F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % PHONE_MOD == 0,
+        F.concat(
+            F.lit(" call "),
+            (did % 900 + 100).cast("string"),
+            F.lit("-"),
+            ((did * 7) % 900 + 100).cast("string"),
+            F.lit("-"),
+            (did % 9000 + 1000).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % IP_MOD == 0,
+        F.concat(
+            F.lit(" host 10."),
+            (did % 256).cast("string"),
+            F.lit("."),
+            ((did * 3) % 256).cast("string"),
+            F.lit("."),
+            (did % 250).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("norm"), email, phone, ip)
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count and redact emails / phone numbers / IPv4 addresses per
+    document. Counts are taken on the dirty text; redaction replaces each
+    match class with a typed token, and the md5 fingerprint of the
+    redacted text proves (against the oracle) that both engines produced
+    byte-identical clean output."""
+    d = docs_normalized(spark, sf_dir).withColumn("dirty", _dirty_col())
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("dirty"), EMAIL_RE, "<email>"),
+            PHONE_RE,
+            "<phone>",
+        ),
+        IP_RE,
+        "<ip>",
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.regexp_count(F.col("dirty"), F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+            F.regexp_count(F.col("dirty"), F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+            F.regexp_count(F.col("dirty"), F.lit(IP_RE)).cast("long").alias("n_ips"),
+            F.substring(F.md5(redacted), 1, 16).alias("redacted_fp"),
+            F.length(redacted).cast("long").alias("n_chars_clean"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_dirty() -> str:
+    return (
+        "norm"
+        f" || (CASE WHEN doc_id % {EMAIL_MOD} = 0 THEN"
+        " ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END)"
+        f" || (CASE WHEN doc_id % {PHONE_MOD} = 0 THEN"
+        " ' call ' || CAST(doc_id % 900 + 100 AS VARCHAR)"
+        " || '-' || CAST((doc_id * 7) % 900 + 100 AS VARCHAR)"
+        " || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END)"
+        f" || (CASE WHEN doc_id % {IP_MOD} = 0 THEN"
+        " ' host 10.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)"
+        " || '.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END)"
+    )
+
+
+SQL_PII_SCRUB = f"""
+WITH {DUCK_DOCS_CTE},
+dirty_t AS (
+  SELECT doc_id, {_sql_dirty()} AS dirty FROM sh_t
+),
+red AS (
+  SELECT doc_id, dirty,
+         regexp_replace(regexp_replace(regexp_replace(dirty,
+             '{EMAIL_RE}', '<email>', 'g'),
+             '{PHONE_RE}', '<phone>', 'g'),
+             '{IP_RE}', '<ip>', 'g') AS redacted
+  FROM dirty_t
+)
+SELECT doc_id,
+       len(regexp_extract_all(dirty, '{EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(dirty, '{PHONE_RE}'))::BIGINT AS n_phones,
+       len(regexp_extract_all(dirty, '{IP_RE}'))::BIGINT AS n_ips,
+       substr(md5(redacted), 1, 16) AS redacted_fp,
+       length(redacted)::BIGINT AS n_chars_clean
+FROM red
+ORDER BY doc_id"""
+
+
+# --- benchmark contamination -------------------------------------------------
+
+CONTAM_GRAM = 4  # word n-gram length: long enough that chance collisions
+# in this vocabulary are rare, short enough to catch partial overlap
+PROBE_STRIDE = 97  # doc_id % 97 == 0 -> the held-out "benchmark" probe set
+
+_SPARK_GRAMS = (
+    f"array_distinct(CASE WHEN size(toks) >= {CONTAM_GRAM} THEN "
+    f"transform(sequence(0, size(toks) - {CONTAM_GRAM}), "
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])) "
+    "ELSE array(norm) END)"
+)
+_DUCK_GRAMS = (
+    f"list_distinct(CASE WHEN len(toks) >= {CONTAM_GRAM} THEN "
+    f"list_transform(range(len(toks) - {CONTAM_GRAM - 1}), "
+    "i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]) "
+    "ELSE [norm] END)"
+)
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag corpus documents whose word 4-grams overlap a held-out probe
+    set (doc_id % 97 == 0) — the decontamination step that keeps
+    evaluation data out of a training corpus.
+
+    The probe set's distinct grams are broadcast (benchmark suites are
+    thousands of documents, not billions); each corpus doc explodes its
+    distinct grams map-side, hash-joins against the broadcast postings,
+    and partial-aggregates a per-doc overlap count. Nothing all-pairs,
+    and the shuffle carries only (doc_id, counts)."""
+    d = docs_normalized(spark, sf_dir).withColumn("grams", F.expr(_SPARK_GRAMS))
+    probes = (
+        d.filter(F.col("doc_id") % PROBE_STRIDE == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corpus = (
+        d.filter(F.col("doc_id") % PROBE_STRIDE != 0)
+        .select("doc_id", F.size("grams").cast("long").alias("n_grams"), F.explode("grams").alias("gram"))
+    )
+    return (
+        corpus.join(F.broadcast(probes), "gram")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_overlap",
+            roundn(F.col("n_overlap").cast("double") / F.col("n_grams"), 4).alias("contamination"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_CONTAMINATION_CHECK = f"""
+WITH {DUCK_DOCS_CTE},
+g AS (
+  SELECT doc_id, {_DUCK_GRAMS} AS grams FROM sh_t
+),
+probe AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % {PROBE_STRIDE} = 0
+),
+corpus AS (
+  SELECT doc_id, len(grams)::BIGINT AS n_grams, unnest(grams) AS gram
+  FROM g WHERE doc_id % {PROBE_STRIDE} <> 0
+)
+SELECT doc_id, n_grams, CAST(count(*) AS BIGINT) AS n_overlap,
+       {sql_roundn('count(*)::DOUBLE / n_grams', 4)} AS contamination
+FROM corpus JOIN probe USING (gram)
+GROUP BY doc_id, n_grams
+ORDER BY doc_id"""
+
+
+# --- composed quality gate ---------------------------------------------------
+
+MIN_TOKENS = 24
+MIN_DISTINCT_RATIO = 0.35
+MAX_STOPWORD_RATIO = 0.12
+
+
+def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop decision per document with the FIRST failing reason
+    (too_short -> low_diversity -> high_stopword -> ok), i.e. the
+    composed filter pipeline a curation run applies before tokenization.
+    Thresholds sit at this corpus's p10/p25/p90 so every branch is
+    exercised. Pure map-side projection."""
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    d = (
+        docs_normalized(spark, sf_dir)
+        .withColumn("n_tokens", F.size("toks").cast("long"))
+        .withColumn(
+            "distinct_ratio",
+            F.size(F.array_distinct("toks")).cast("double") / F.col("n_tokens"),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.expr(f"size(filter(toks, t -> t IN ({sw})))").cast("double") / F.col("n_tokens"),
+        )
+        .withColumn(
+            "reason",
+            F.when(F.col("n_tokens") < MIN_TOKENS, F.lit("too_short"))
+            .when(F.col("distinct_ratio") < MIN_DISTINCT_RATIO, F.lit("low_diversity"))
+            .when(F.col("stopword_ratio") > MAX_STOPWORD_RATIO, F.lit("high_stopword"))
+            .otherwise(F.lit("ok")),
+        )
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.when(F.col("reason") == "ok", F.lit("keep")).otherwise(F.lit("drop")).alias("decision"),
+        "reason",
+    ).orderBy("doc_id")
+
+
+def _sql_quality_gate() -> str:
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH {DUCK_DOCS_CTE},
+s AS (
+  SELECT doc_id, source, lang,
+         len(toks)::BIGINT AS n_tokens,
+         len(list_distinct(toks))::DOUBLE / len(toks) AS distinct_ratio,
+         len(list_filter(toks, t -> t IN ({sw})))::DOUBLE / len(toks) AS stopword_ratio
+  FROM sh_t
+),
+r AS (
+  SELECT doc_id, source, lang,
+         CASE WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+              WHEN distinct_ratio < {MIN_DISTINCT_RATIO} THEN 'low_diversity'
+              WHEN stopword_ratio > {MAX_STOPWORD_RATIO} THEN 'high_stopword'
+              ELSE 'ok' END AS reason
+  FROM s
+)
+SELECT doc_id, source, lang,
+       CASE WHEN reason = 'ok' THEN 'keep' ELSE 'drop' END AS decision,
+       reason
+FROM r
+ORDER BY doc_id"""
+
+
+SQL_QUALITY_GATE = _sql_quality_gate()

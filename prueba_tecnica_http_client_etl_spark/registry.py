@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import analytics, dedup, multimodal, similarity, textops
+from .operators import analytics, curation, dedup, multimodal, similarity, textops
 from .operators import kpi as kpi_ops
 from .operators import report as report_ops
 from .schemas import load_table
@@ -152,6 +152,9 @@ _LLM_PIPELINE = [
     ("corpus_mix", textops.corpus_mix, textops.SQL_CORPUS_MIX),
     ("multimodal_meta", multimodal.multimodal_meta, multimodal.SQL_MULTIMODAL_META),
     ("multimodal_frame_sample", multimodal.multimodal_frame_sample, multimodal.SQL_MULTIMODAL_FRAME_SAMPLE),
+    ("pii_scrub", curation.pii_scrub, curation.SQL_PII_SCRUB),
+    ("contamination_check", curation.contamination_check, curation.SQL_CONTAMINATION_CHECK),
+    ("quality_gate", curation.quality_gate, curation.SQL_QUALITY_GATE),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
