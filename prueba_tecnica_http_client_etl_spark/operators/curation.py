@@ -172,16 +172,25 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     thousands of documents, not billions); each corpus doc explodes its
     distinct grams map-side, hash-joins against the broadcast postings,
     and partial-aggregates a per-doc overlap count. Nothing all-pairs,
-    and the shuffle carries only (doc_id, counts)."""
+    and the shuffle carries only (doc_id, counts).
+
+    explode_outer, not explode: the plain generator implies a non-empty-
+    array filter that Catalyst pushes below docs_normalized's explicit
+    repartition into the single-task scan, re-evaluating the whole
+    (interpreted, non-codegen) gram-transform lambda there serially —
+    a measured 10s-vs-subsecond difference at sf0.1. Gram arrays are
+    never empty (whole-norm fallback in the expression), so the outer
+    variant is value-identical and keeps the lambda above the shuffle
+    (same trap and fix as dedup.dedup_ngram_jaccard)."""
     d = docs_normalized(spark, sf_dir).withColumn("grams", F.expr(_SPARK_GRAMS))
     probes = (
         d.filter(F.col("doc_id") % PROBE_STRIDE == 0)
-        .select(F.explode("grams").alias("gram"))
+        .select(F.explode_outer("grams").alias("gram"))
         .distinct()
     )
     corpus = (
         d.filter(F.col("doc_id") % PROBE_STRIDE != 0)
-        .select("doc_id", F.size("grams").cast("long").alias("n_grams"), F.explode("grams").alias("gram"))
+        .select("doc_id", F.size("grams").cast("long").alias("n_grams"), F.explode_outer("grams").alias("gram"))
     )
     return (
         corpus.join(F.broadcast(probes), "gram")

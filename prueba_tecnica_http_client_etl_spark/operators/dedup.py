@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import textprep as tp
+from ..functions.cachepool import adopt, managed_persist
 from ..functions.portable import roundn, sql_roundn
 from ..schemas import load_table
 from ..session import default_parallelism
@@ -134,9 +135,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     build), the signatures feed both sides of the band self-join —
     without the persists Spark recomputes shingling+hashing once per
     branch. At 100 TB both are materialized pipeline stages (tiny next
-    to the corpus: 16 longs + shingle set per doc)."""
-    sh = docs_normalized(spark, sf_dir).select("doc_id", "sh").persist()
-    mh = _minhash_signatures(sh).persist()
+    to the corpus: 16 longs + shingle set per doc). Both persists are
+    pool-managed: released when the next registry query runs."""
+    sh = managed_persist(docs_normalized(spark, sf_dir).select("doc_id", "sh"))
+    mh = managed_persist(_minhash_signatures(sh))
     bands = mh.select(
         "doc_id",
         F.explode(
@@ -292,7 +294,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle expression there; shingle arrays are never empty (whole-norm
     # fallback), so the outer variant is value-identical and keeps the
     # heavy lambda above the shuffle.
-    ex = base.select("lang", "doc_id", "n", F.explode_outer("sh").alias("s")).persist()
+    ex = managed_persist(base.select("lang", "doc_id", "n", F.explode_outer("sh").alias("s")))
     a = ex.select(F.col("lang"), F.col("s"), F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     b = ex.select(F.col("lang"), F.col("s"), F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     co = (
@@ -392,8 +394,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n_changed == 0:
             break
     # the final round's `updated` stays persisted (materialized by its
-    # count) and backs the returned frame; callers / bench clear the cache.
+    # count) and backs the returned frame; the pool releases it when the
+    # next registry query runs.
     edges.unpersist()
+    adopt(backing)
     return labels.orderBy("doc_id").select("doc_id", "component_id")
 
 
