@@ -1074,3 +1074,67 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
 FROM events
 GROUP BY 1, 2
 ORDER BY hour_start, event_type"""
+
+
+# --- time-range join (bucketed band join) ------------------------------------
+
+RANGE_JOIN_WINDOW_S = 3600  # purchases within an hour after a view
+
+
+def purchases_near_views_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join: for each 'view' event, every 'purchase' by the
+    same user in the (0, 3600s] window after it, aggregated to a count and
+    the minimum gap. Spark has no native band join, and the naive
+    implementation (theta-join on the inequality) degenerates to a
+    per-user cross product.
+
+    The scale-correct shape used here: quantize time into WINDOW-sized
+    buckets, explode each view to its bucket and the next one (a WINDOW-long
+    band can only overlap two WINDOW-sized buckets), equi-join on
+    (user_id, bucket) — hash-partitionable, AQE-skew-handled — then apply
+    the exact range predicate. Candidate volume is bounded by bucket
+    co-residency, not |views| x |purchases|; the same plan shape serves
+    any banded interval join at 100 TB. The as-of join
+    (purchase_after_view_asof) is the union-sort sibling; this one keeps
+    ALL matches in the band, not just the nearest."""
+    ev = _t(spark, sf_dir, "events")
+    ts_s = F.col("ts").cast("double")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            ts_s.alias("vts"),
+            F.floor(ts_s / RANGE_JOIN_WINDOW_S).cast("long").alias("b0"),
+        )
+        .withColumn("bucket", F.explode(F.array(F.col("b0"), F.col("b0") + 1)))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        ts_s.alias("pts"),
+        F.floor(ts_s / RANGE_JOIN_WINDOW_S).cast("long").alias("bucket"),
+    )
+    return (
+        views.join(purchases, ["user_id", "bucket"])
+        .filter((F.col("pts") > F.col("vts")) & (F.col("pts") <= F.col("vts") + RANGE_JOIN_WINDOW_S))
+        .groupBy("view_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            roundn(F.min(F.col("pts") - F.col("vts")), 3).alias("min_gap_s"),
+        )
+        .orderBy("view_id")
+    )
+
+
+SQL_PURCHASES_NEAR_VIEWS_RANGE = f"""
+SELECT v.event_id AS view_id, v.user_id,
+       count(*) AS n_purchases,
+       {sql_roundn('min(epoch(p.ts) - epoch(v.ts))', 3)} AS min_gap_s
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND epoch(p.ts) > epoch(v.ts)
+ AND epoch(p.ts) <= epoch(v.ts) + {RANGE_JOIN_WINDOW_S}
+GROUP BY v.event_id, v.user_id
+ORDER BY view_id"""

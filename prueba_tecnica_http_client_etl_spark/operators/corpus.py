@@ -1,0 +1,226 @@
+"""Corpus-preparation operators past dedup/curation: vocabulary building,
+repetition scoring (Gopher-style quality signals), and sequence packing —
+the steps that turn a cleaned corpus into tokenizer/training input.
+
+Not present in the reference (an HTTP-log ETL, /root/reference/src); these
+extend the engine for LLM data work the way SURVEY.md §6 scopes.
+
+Scale notes (100 TB):
+- `vocab_topk` is explode + partial-aggregated groupBy; the shuffle
+  carries |vocab| partial counts, not token occurrences, and the top-k
+  is orderBy+limit (TakeOrderedAndProject: per-partition heaps + a
+  k-row driver merge, never a global sort).
+- `repetition_score` is two partial-aggregated per-doc groupBys; shuffle
+  volume is |docs| x distinct-bigrams-per-doc, bounded by doc length.
+- `sequence_pack` windows per source shard — the unit a real packing job
+  shards by — so window state stays bounded per task and no global sort
+  exists anywhere in the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable import roundn, sql_roundn
+from .dedup import DUCK_DOCS_CTE, docs_normalized
+
+# --- corpus vocabulary -------------------------------------------------------
+
+VOCAB_TOPK = 100
+
+# (count desc, token asc) is a TOTAL order, so the top-100 cut is
+# deterministic on both engines even across count ties.
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide vocabulary: the VOCAB_TOPK most frequent tokens with
+    occurrence and document frequencies — the counting pass behind
+    tokenizer training / vocab pruning. explode_outer keeps the token
+    lambda above the repartition (toks is never empty; see
+    dedup.dedup_ngram_jaccard for the generator-pushdown trap)."""
+    ex = docs_normalized(spark, sf_dir).select("doc_id", F.explode_outer("toks").alias("tok"))
+    return (
+        ex.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "tok")
+        .limit(VOCAB_TOPK)
+    )
+
+
+SQL_VOCAB_TOPK = f"""
+WITH {DUCK_DOCS_CTE},
+ex AS (
+  SELECT doc_id, unnest(toks) AS tok FROM sh_t
+)
+SELECT tok, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM ex
+GROUP BY tok
+ORDER BY n_occurrences DESC, tok
+LIMIT {VOCAB_TOPK}"""
+
+
+# --- repetition scoring (Gopher-style quality signals) -----------------------
+
+# Thresholds sit at this corpus's ~p90 (top-bigram fraction) and ~p95
+# (duplicate-trigram fraction) so both flag branches are exercised.
+TOP_BIGRAM_MAX = 0.12
+DUP_TRIGRAM_MAX = 0.01
+
+_SPARK_BIGRAMS = (
+    "CASE WHEN size(toks) >= 2 THEN "
+    "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1])) "
+    "ELSE array(norm) END"
+)
+_DUCK_BIGRAMS = (
+    "CASE WHEN len(toks) >= 2 THEN "
+    "list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) "
+    "ELSE [norm] END"
+)
+# NON-distinct trigrams (unlike textprep's shingles): repetition scoring
+# needs occurrence multiplicity.
+_SPARK_TRIGRAMS = (
+    "CASE WHEN size(toks) >= 3 THEN "
+    "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) "
+    "ELSE array(norm) END"
+)
+_DUCK_TRIGRAMS = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(len(toks) - 2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) "
+    "ELSE [norm] END"
+)
+
+
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals in the style of the Gopher quality
+    rules: the token fraction covered by the single most frequent bigram,
+    and the fraction of trigram occurrences that are duplicates. Docs
+    exceeding either threshold are flagged repetitive (1) — the filter a
+    curation run applies to drop boilerplate/spam before training.
+
+    Plan: the bigram top-count is explode -> (doc, gram) count ->
+    per-doc max, both groupBys partial-aggregated; the trigram dup
+    fraction needs no explode at all (size vs array_distinct size,
+    evaluated map-side)."""
+    d = (
+        docs_normalized(spark, sf_dir)
+        .withColumn("bi", F.expr(_SPARK_BIGRAMS))
+        .withColumn("tri", F.expr(_SPARK_TRIGRAMS))
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.size("tri").cast("long").alias("n_tri"),
+            F.size(F.array_distinct("tri")).cast("long").alias("n_tri_d"),
+            F.explode_outer("bi").alias("gram"),
+        )
+    )
+    per_gram = d.groupBy("doc_id", "n_tokens", "n_tri", "n_tri_d", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top_bi_frac = F.lit(2.0) * F.col("top_bi") / F.col("n_tokens")
+    dup_tri_frac = (F.col("n_tri") - F.col("n_tri_d")).cast("double") / F.col("n_tri")
+    return (
+        per_gram.groupBy("doc_id", "n_tokens", "n_tri", "n_tri_d")
+        .agg(F.max("c").alias("top_bi"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            roundn(top_bi_frac, 4).alias("top_bigram_frac"),
+            roundn(dup_tri_frac, 4).alias("dup_trigram_frac"),
+            F.when(
+                (top_bi_frac > TOP_BIGRAM_MAX) | (dup_tri_frac > DUP_TRIGRAM_MAX), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_REPETITION_SCORE = f"""
+WITH {DUCK_DOCS_CTE},
+g AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         {_DUCK_BIGRAMS} AS bi, {_DUCK_TRIGRAMS} AS tri
+  FROM sh_t
+),
+base AS (
+  SELECT doc_id, n_tokens, len(tri)::BIGINT AS n_tri,
+         len(list_distinct(tri))::BIGINT AS n_tri_d, unnest(bi) AS gram
+  FROM g
+),
+per_gram AS (
+  SELECT doc_id, n_tokens, n_tri, n_tri_d, gram, count(*) AS c
+  FROM base GROUP BY doc_id, n_tokens, n_tri, n_tri_d, gram
+),
+scored AS (
+  SELECT doc_id, n_tokens, n_tri, n_tri_d, max(c) AS top_bi
+  FROM per_gram GROUP BY doc_id, n_tokens, n_tri, n_tri_d
+)
+SELECT doc_id, n_tokens,
+       {sql_roundn('2.0 * top_bi / n_tokens', 4)} AS top_bigram_frac,
+       {sql_roundn('CAST(n_tri - n_tri_d AS DOUBLE) / n_tri', 4)} AS dup_trigram_frac,
+       CAST(CASE WHEN 2.0 * top_bi / n_tokens > {TOP_BIGRAM_MAX}
+                   OR CAST(n_tri - n_tri_d AS DOUBLE) / n_tri > {DUP_TRIGRAM_MAX}
+            THEN 1 ELSE 0 END AS INT) AS repetitive
+FROM scored
+ORDER BY doc_id"""
+
+
+# --- sequence packing --------------------------------------------------------
+
+CONTEXT_TOKENS = 256  # the training context budget each bin fills
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: within each source shard, docs
+    are concatenated in doc_id order and the token stream is cut into
+    CONTEXT_TOKENS-sized bins — exactly the EOD-concat packing a
+    pretraining data loader performs. Emits each doc's start offset in
+    its shard stream, the bin its first token lands in, and whether it
+    straddles a bin boundary (i.e. would be split across training
+    sequences).
+
+    The window partitions by source — the shard unit a packing job
+    distributes over — so the only shuffle keys on source and per-task
+    window state is one shard's running sum; there is no global sort at
+    any scale."""
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = (
+        docs_normalized(spark, sf_dir)
+        .select("source", "doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("start_off", F.col("cum") - F.col("n_tokens"))
+    )
+    bin_id = F.floor(F.col("start_off") / CONTEXT_TOKENS).cast("long")
+    end_bin = F.floor((F.col("cum") - 1) / CONTEXT_TOKENS).cast("long")
+    return d.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.col("start_off").cast("long").alias("start_off"),
+        bin_id.alias("bin_id"),
+        (end_bin > bin_id).cast("int").alias("crosses_boundary"),
+    ).orderBy("source", "doc_id")
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH {DUCK_DOCS_CTE},
+d AS (
+  SELECT source, doc_id, len(toks)::BIGINT AS n_tokens,
+         CAST(sum(len(toks)) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM sh_t
+)
+SELECT source, doc_id, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_off,
+       CAST(floor((cum - n_tokens) / {CONTEXT_TOKENS}.0) AS BIGINT) AS bin_id,
+       CAST(CASE WHEN floor((cum - 1) / {CONTEXT_TOKENS}.0)
+                    > floor((cum - n_tokens) / {CONTEXT_TOKENS}.0)
+            THEN 1 ELSE 0 END AS INT) AS crosses_boundary
+FROM d
+ORDER BY source, doc_id"""

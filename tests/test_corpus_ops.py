@@ -1,0 +1,113 @@
+"""Semantic and plan-shape checks for the corpus-preparation operators
+(vocab/repetition/packing), k-means, and the bucketed time-range join —
+the properties the oracle hash can't see: plan scalability and internal
+consistency invariants.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from tests.conftest import SF_SMOKE
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_vocab_topk_is_take_ordered_and_bounded(spark):
+    from prueba_tecnica_http_client_etl_spark.operators.corpus import VOCAB_TOPK, vocab_topk
+
+    df = vocab_topk(spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in _physical(df), _physical(df)
+    rows = df.collect()
+    assert len(rows) <= VOCAB_TOPK
+    counts = [r.n_occurrences for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r.n_docs <= r.n_occurrences for r in rows)
+
+
+def test_repetition_score_flags_follow_thresholds(spark):
+    from prueba_tecnica_http_client_etl_spark.operators.corpus import (
+        DUP_TRIGRAM_MAX,
+        TOP_BIGRAM_MAX,
+        repetition_score,
+    )
+
+    rows = repetition_score(spark, SF_SMOKE).collect()
+    assert rows, "empty result"
+    for r in rows:
+        expected = 1 if (r.top_bigram_frac > TOP_BIGRAM_MAX or r.dup_trigram_frac > DUP_TRIGRAM_MAX) else 0
+        assert r.repetitive == expected, r
+    # the thresholds sit inside the corpus distribution: both branches occur
+    flags = {r.repetitive for r in rows}
+    assert flags == {0, 1}, flags
+
+
+def test_sequence_pack_stream_is_contiguous_per_source(spark):
+    """Within each source shard the doc stream must tile: each doc starts
+    where the previous one ended, bins advance monotonically, and
+    crosses_boundary is exactly 'start bin != end bin'."""
+    from prueba_tecnica_http_client_etl_spark.operators.corpus import CONTEXT_TOKENS, sequence_pack
+
+    rows = sequence_pack(spark, SF_SMOKE).collect()
+    by_source = defaultdict(list)
+    for r in rows:
+        by_source[r.source].append(r)
+    for source, docs in by_source.items():
+        docs.sort(key=lambda r: r.doc_id)
+        expect_off = 0
+        for r in docs:
+            assert r.start_off == expect_off, (source, r)
+            assert r.bin_id == r.start_off // CONTEXT_TOKENS
+            end_bin = (r.start_off + r.n_tokens - 1) // CONTEXT_TOKENS
+            assert r.crosses_boundary == (1 if end_bin > r.bin_id else 0), r
+            expect_off += r.n_tokens
+
+
+def test_sequence_pack_window_is_per_source_not_global(spark):
+    """The only sort wide enough to matter must be partitioned by source
+    (shard-local window), never a single global window."""
+    from prueba_tecnica_http_client_etl_spark.operators.corpus import sequence_pack
+
+    plan = _physical(sequence_pack(spark, SF_SMOKE))
+    assert "hashpartitioning(source" in plan, plan
+
+
+def test_kmeans_partitions_all_vectors_over_seed_centroids(spark):
+    from prueba_tecnica_http_client_etl_spark.operators.similarity import (
+        CENTROID_STRIDE,
+        kmeans_embeddings,
+    )
+    from prueba_tecnica_http_client_etl_spark.schemas import load_table
+
+    rows = kmeans_embeddings(spark, SF_SMOKE).collect()
+    n_vec = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == n_vec
+    seeds = {r for (r,) in load_table(spark, SF_SMOKE, "embeddings")
+             .selectExpr("vec_id").collect() if r % CENTROID_STRIDE == 0}
+    assert {r.cluster_id for r in rows} <= seeds
+    assert all(r.inertia >= 0 for r in rows)
+
+
+def test_contamination_check_keeps_gram_lambda_above_shuffle(spark):
+    """Regression for the round-3 fix: with a plain explode, Catalyst
+    pushes the generator's implied size(grams)>0 filter below the
+    explicit repartition into the single-task scan, re-evaluating the
+    interpreted gram transform serially (measured ~10s vs <1s at sf0.1).
+    explode_outer leaves no size() filter anywhere in the plan."""
+    from prueba_tecnica_http_client_etl_spark.operators.curation import contamination_check
+
+    plan = _physical(contamination_check(spark, SF_SMOKE))
+    assert "Filter (size(" not in plan, plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The band join must compile to a hash/merge equi-join on
+    (user_id, bucket) — a nested-loop or cartesian plan means the range
+    predicate failed to anchor on the bucket equi-key and would be
+    O(|views| x |purchases|) at scale."""
+    from prueba_tecnica_http_client_etl_spark.operators.analytics import purchases_near_views_range
+
+    plan = _physical(purchases_near_views_range(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
