@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.portable import roundn, sql_roundn
 from .dedup import DUCK_DOCS_CTE, docs_normalized
+from .textops import BPE_TOKEN_RE
 
 # --- corpus vocabulary -------------------------------------------------------
 
@@ -61,6 +62,58 @@ FROM ex
 GROUP BY tok
 ORDER BY n_occurrences DESC, tok
 LIMIT {VOCAB_TOPK}"""
+
+
+# --- per-source length profile (corpus monitoring) ---------------------------
+
+
+def corpus_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution: doc count, total tokens
+    (whitespace and BPE-style), exact mean, and exact interpolated
+    p50/p90 of the whitespace token count — the monitoring table a
+    corpus pipeline publishes per ingestion source to catch drift.
+
+    Exact percentile is the one ObjectHashAggregate (order statistic,
+    O(group) memory); the documented 100 TB tier swaps percentile_approx
+    exactly as kpi_daily_approx_p90 does for the KPI pipeline. All other
+    aggregates are partial-aggregated; the shuffle carries |sources|
+    rows."""
+    d = docs_normalized(spark, sf_dir).select(
+        "source",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.size(F.expr(f"regexp_extract_all(norm, '{BPE_TOKEN_RE}', 0)")).cast("long").alias("n_bpe"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            roundn(F.sum("n_toks").cast("double") / F.count(F.lit(1)), 2).alias("mean_tokens"),
+            roundn(F.percentile(F.col("n_toks"), F.lit(0.5)), 2).alias("p50_tokens"),
+            roundn(F.percentile(F.col("n_toks"), F.lit(0.9)), 2).alias("p90_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_CORPUS_LENGTH_PROFILE = f"""
+WITH {DUCK_DOCS_CTE},
+d AS (
+  SELECT source, len(toks)::BIGINT AS n_toks,
+         len(regexp_extract_all(norm, '{BPE_TOKEN_RE}'))::BIGINT AS n_bpe
+  FROM sh_t
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       {sql_roundn('CAST(sum(n_toks) AS DOUBLE) / count(*)', 2)} AS mean_tokens,
+       {sql_roundn('quantile_cont(n_toks, 0.5)', 2)} AS p50_tokens,
+       {sql_roundn('quantile_cont(n_toks, 0.9)', 2)} AS p90_tokens
+FROM d
+GROUP BY source
+ORDER BY source"""
 
 
 # --- repetition scoring (Gopher-style quality signals) -----------------------

@@ -326,6 +326,60 @@ WHERE jaccard_raw >= {NGRAM_JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b"""
 
 
+# --- near-containment (one doc subsumed by another) --------------------------
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-containment pairs: doc_a whose distinct-shingle set is >= 90%
+    covered by doc_b's — the quote/excerpt/boilerplate-subsumption case
+    exact-match and symmetric-Jaccard dedup both miss (a short doc pasted
+    into a long one has LOW Jaccard but HIGH containment). This is the
+    shingle-level stand-in for suffix-array substring dedup.
+
+    Same set-similarity-join shape as dedup_ngram_jaccard: explode the
+    persisted posting table, equi-join on the shingle, count shared
+    shingles per pair — candidates are only pairs sharing >= 1 shingle,
+    never the all-pairs matrix, and the asymmetric c/na >= t filter is
+    applied post-aggregation. Direction rule: na < nb, or na = nb with
+    doc_a < doc_b (equal-set pairs emit once, smaller id as contained)."""
+    base = docs_normalized(spark, sf_dir).select("doc_id", "sh").withColumn("n", F.size("sh"))
+    ex = managed_persist(base.select("doc_id", "n", F.explode_outer("sh").alias("s")))
+    a = ex.select(F.col("s"), F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    b = ex.select(F.col("s"), F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    co = (
+        a.join(b, ["s"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cont = F.col("c").cast("double") / F.col("na")
+    return (
+        co.filter(
+            (cont >= CONTAINMENT_THRESHOLD)
+            & ((F.col("na") < F.col("nb")) | ((F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b"))))
+        )
+        .select("doc_a", "doc_b", "na", "nb", roundn(cont, 4).alias("containment"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH {DUCK_DOCS_CTE},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(a.sh)::BIGINT AS na, len(b.sh)::BIGINT AS nb,
+         len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) AS cont
+  FROM sh_t a JOIN sh_t b ON a.doc_id <> b.doc_id
+)
+SELECT doc_a, doc_b, na, nb, {sql_roundn('cont', 4)} AS containment
+FROM pairs
+WHERE cont >= {CONTAINMENT_THRESHOLD}
+  AND (na < nb OR (na = nb AND doc_a < doc_b))
+ORDER BY doc_a, doc_b"""
+
+
 # --- duplicate-cluster connected components ----------------------------------
 
 

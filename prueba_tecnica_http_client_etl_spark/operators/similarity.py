@@ -75,13 +75,47 @@ _SPARK_PAIR_DOT = "aggregate(zip_with(qa, qb, (x, y) -> x * y), cast(0 as bigint
 # --- brute-force cosine top-k (the correctness baseline) ---------------------
 
 
-def ann_cosine_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None) -> DataFrame:
-    """Exact top-10 cosine neighbors for the strided query set. The query
-    side is tiny -> broadcast; ranking is per-query row_number (heap), with
-    a bit-stable cosine and vec_id tie-break for full determinism.
-    `emb` lets composite queries (ann_ivf_recall) pass a shared persisted
-    quantized frame instead of rebuilding it."""
-    emb = emb if emb is not None else _quantized(spark, sf_dir)
+def ann_cosine_topk(
+    spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None, vectorized: bool = True
+) -> DataFrame:
+    """Exact top-10 cosine neighbors for the strided query set, with a
+    bit-stable cosine and vec_id tie-break for full determinism. `emb`
+    lets composite queries (ann_ivf_recall) pass a shared persisted
+    quantized frame instead of rebuilding it.
+
+    Two physical strategies, identical results:
+    - vectorized (default): the query matrix (|Q| x 64 — small by
+      definition: it is the probe set) is collected once and broadcast;
+      each corpus partition scores all queries against its rows with one
+      numpy matmul inside Arrow-batched mapInPandas and emits only its
+      LOCAL top-k per query (per-partition heaps), so the shuffle carries
+      <= |partitions| x |Q| x k candidate rows into the global row_number.
+      A dense 64-dim dot product per candidate pair is data-parallel
+      linear algebra with no codegen vector primitive — the case the
+      Pandas-UDF escape hatch exists for: the relational fold costs
+      O(|Q| x |corpus| x dim) interpreted lambda steps, the matmul the
+      same flops at BLAS speed. Measured at sf0.1 (2k vectors, 40
+      queries) the two are within noise (0.6-0.8s warm; overhead-bound),
+      so the win is asymptotic, not local: at 100x the corpus the
+      interpreted fold is minutes while the matmul stays seconds.
+    - relational (vectorized=False): broadcast-join + the JVM-side fold —
+      pure Column algebra, kept as the plan-shape reference and fallback;
+      tests assert both paths produce identical bytes.
+
+    (The 3.0s this query cost in earlier benches was neither path's
+    scoring: the quantized frame was rebuilt once per plan branch. It is
+    now pool-persisted in both paths.)
+
+    Bit-parity of the fast path: quantized dot products are integers
+    < 2^47, exactly representable in float64, so numpy's matmul (any
+    summation order) reproduces the fold's integer exactly; the one
+    division cosine = dot/(na*nb) happens on identical doubles in either
+    path and in the oracle."""
+    if emb is None:
+        # the vectorized path reads emb twice (query collect + corpus scan)
+        emb = managed_persist(_quantized(spark, sf_dir))
+    if vectorized:
+        return _ann_cosine_topk_vectorized(spark, emb)
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), F.col("nrm").alias("na")
     )
@@ -93,6 +127,71 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None =
         .join(corpus, F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine_raw", cos)
         .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            roundn(F.col("cosine_raw") + 1.0, 6).alias("cosine_p1"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ann_cosine_topk_vectorized(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Score/prune stage of the vectorized brute-force path (see
+    ann_cosine_topk). Collecting the query matrix is the standard
+    broadcast of the SMALL side — at 100 TB the corpus streams through
+    mapInPandas partition by partition; only |Q| x 64 ints sit on the
+    driver/executors."""
+    import numpy as np
+
+    q_rows = (
+        emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select("vec_id", "q", "nrm")
+        .collect()
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.q for r in q_rows], dtype=np.float64)  # exact: |q| < 2^20
+    q_nrm = np.array([r.nrm for r in q_rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm))
+
+    def score_batches(batches):
+        import pandas as pd
+
+        ids, mat, nrm = bc.value
+        k = TOPK
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            corpus_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            corpus_mat = np.array(list(pdf["q"]), dtype=np.float64)
+            corpus_nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            # (|part| x 64) @ (64 x |Q|) — integer-exact in float64
+            cos = (corpus_mat @ mat.T) / np.outer(corpus_nrm, nrm)
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(ids)):
+                col = cos[:, j]
+                mask = corpus_ids != ids[j]
+                cand_ids, cand_cos = corpus_ids[mask], col[mask]
+                if len(cand_ids) > k:
+                    # local top-k by the SAME total order as the global
+                    # ranking (cosine desc, neighbor_id asc) — ties cannot
+                    # be cut ambiguously
+                    order = np.lexsort((cand_ids, -cand_cos))[:k]
+                else:
+                    order = np.argsort(cand_ids)
+                out_q.extend([ids[j]] * len(order))
+                out_n.extend(cand_ids[order])
+                out_c.extend(cand_cos[order])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine_raw": out_c})
+
+    local = emb.select("vec_id", "q", "nrm").mapInPandas(
+        score_batches, "query_id long, neighbor_id long, cosine_raw double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), F.col("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
         .select(
             "query_id",

@@ -160,6 +160,8 @@ _LLM_PIPELINE = [
     ("vocab_topk", corpus.vocab_topk, corpus.SQL_VOCAB_TOPK),
     ("repetition_score", corpus.repetition_score, corpus.SQL_REPETITION_SCORE),
     ("sequence_pack", corpus.sequence_pack, corpus.SQL_SEQUENCE_PACK),
+    ("dedup_containment", dedup.dedup_containment, dedup.SQL_DEDUP_CONTAINMENT),
+    ("corpus_length_profile", corpus.corpus_length_profile, corpus.SQL_CORPUS_LENGTH_PROFILE),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:

@@ -102,6 +102,21 @@ def test_contamination_check_keeps_gram_lambda_above_shuffle(spark):
     assert "Filter (size(" not in plan, plan
 
 
+def test_ann_cosine_vectorized_matches_relational_exactly(spark):
+    """The numpy-matmul scoring path must be byte-identical to the
+    relational JVM fold: quantized dot products are integers < 2^47,
+    exact in float64 under any summation order, and the tie-break total
+    order is the same in the per-partition heap and the global window."""
+    from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain
+    from prueba_tecnica_http_client_etl_spark.operators.similarity import ann_cosine_topk
+
+    fast = sorted(map(tuple, ann_cosine_topk(spark, SF_SMOKE, vectorized=True).collect()))
+    drain()
+    slow = sorted(map(tuple, ann_cosine_topk(spark, SF_SMOKE, vectorized=False).collect()))
+    drain()
+    assert fast == slow and len(fast) > 0
+
+
 def test_range_join_is_equi_join_not_nested_loop(spark):
     """The band join must compile to a hash/merge equi-join on
     (user_id, bucket) — a nested-loop or cartesian plan means the range
