@@ -21,7 +21,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import roundn, sql_roundn
@@ -232,16 +232,14 @@ MIN_DISTINCT_RATIO = 0.35
 MAX_STOPWORD_RATIO = 0.12
 
 
-def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keep/drop decision per document with the FIRST failing reason
-    (too_short -> low_diversity -> high_stopword -> ok), i.e. the
-    composed filter pipeline a curation run applies before tokenization.
-    Thresholds sit at this corpus's p10/p25/p90 so every branch is
-    exercised. Pure map-side projection."""
+def with_quality_reason(d: DataFrame) -> DataFrame:
+    """Attach n_tokens + the first-failing quality reason
+    (too_short -> low_diversity -> high_stopword -> ok) to a
+    docs_normalized frame. Map-side only; shared by quality_gate and the
+    composed curation_pipeline."""
     sw = ", ".join(f"'{w}'" for w in STOPWORDS)
-    d = (
-        docs_normalized(spark, sf_dir)
-        .withColumn("n_tokens", F.size("toks").cast("long"))
+    return (
+        d.withColumn("n_tokens", F.size("toks").cast("long"))
         .withColumn(
             "distinct_ratio",
             F.size(F.array_distinct("toks")).cast("double") / F.col("n_tokens"),
@@ -258,6 +256,15 @@ def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("ok")),
         )
     )
+
+
+def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop decision per document with the FIRST failing reason
+    (too_short -> low_diversity -> high_stopword -> ok), i.e. the
+    composed filter pipeline a curation run applies before tokenization.
+    Thresholds sit at this corpus's p10/p25/p90 so every branch is
+    exercised. Pure map-side projection."""
+    d = with_quality_reason(docs_normalized(spark, sf_dir))
     return d.select(
         "doc_id",
         "source",
@@ -267,25 +274,31 @@ def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _sql_quality_gate() -> str:
+def sql_quality_cte() -> str:
+    """DuckDB CTE chain `s, r` attaching n_tokens + first-failing reason
+    to sh_t (twin of with_quality_reason); shared by quality_gate and
+    curation_pipeline."""
     sw = ", ".join(f"'{w}'" for w in STOPWORDS)
-    return f"""
-WITH {DUCK_DOCS_CTE},
-s AS (
-  SELECT doc_id, source, lang,
+    return f"""s AS (
+  SELECT doc_id, source, lang, norm,
          len(toks)::BIGINT AS n_tokens,
          len(list_distinct(toks))::DOUBLE / len(toks) AS distinct_ratio,
          len(list_filter(toks, t -> t IN ({sw})))::DOUBLE / len(toks) AS stopword_ratio
   FROM sh_t
 ),
 r AS (
-  SELECT doc_id, source, lang,
+  SELECT doc_id, source, lang, norm, n_tokens,
          CASE WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
               WHEN distinct_ratio < {MIN_DISTINCT_RATIO} THEN 'low_diversity'
               WHEN stopword_ratio > {MAX_STOPWORD_RATIO} THEN 'high_stopword'
               ELSE 'ok' END AS reason
   FROM s
-)
+)"""
+
+
+SQL_QUALITY_GATE = f"""
+WITH {DUCK_DOCS_CTE},
+{sql_quality_cte()}
 SELECT doc_id, source, lang,
        CASE WHEN reason = 'ok' THEN 'keep' ELSE 'drop' END AS decision,
        reason
@@ -293,4 +306,81 @@ FROM r
 ORDER BY doc_id"""
 
 
-SQL_QUALITY_GATE = _sql_quality_gate()
+# --- composed curation pipeline ----------------------------------------------
+
+PIPELINE_CONTEXT_TOKENS = 256  # matches corpus.CONTEXT_TOKENS (import would cycle)
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation workflow as ONE lazy plan: quality-filter
+    (first-failing reason) -> exact-dedup the survivors (min doc_id per
+    normalized-text digest keeps) -> account the packed token stream per
+    source shard. Emits the per-source funnel a curation run reports:
+    docs in, quality drops, duplicate drops, docs/tokens packed, and the
+    CONTEXT_TOKENS bins the packed stream fills.
+
+    Composition is the point: every stage is relational, so Catalyst
+    fuses the whole funnel — the quality reasons are map-side, the dedup
+    is one row_number window keyed on the text digest, and the rollup is
+    one partial-aggregated groupBy(source). Nothing materializes between
+    stages at any scale."""
+    d = with_quality_reason(docs_normalized(spark, sf_dir))
+    w_dup = Window.partitionBy(F.md5("norm")).orderBy("doc_id")
+    keepers = (
+        d.filter(F.col("reason") == "ok")
+        .withColumn("rn", F.row_number().over(w_dup))
+        .filter(F.col("rn") == 1)
+    )
+    packed = keepers.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_packed"),
+        F.sum("n_tokens").alias("n_tokens_packed"),
+    )
+    funnel = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_in"),
+        F.sum((F.col("reason") != "ok").cast("long")).alias("n_drop_quality"),
+    )
+    n_bins = (F.floor((F.col("n_tokens_packed") - 1) / PIPELINE_CONTEXT_TOKENS) + 1).cast("long")
+    return (
+        funnel.join(packed, "source", "left")
+        .select(
+            "source",
+            "n_docs_in",
+            "n_drop_quality",
+            (F.col("n_docs_in") - F.col("n_drop_quality") - F.coalesce(F.col("n_docs_packed"), F.lit(0)))
+            .cast("long")
+            .alias("n_drop_dup"),
+            F.coalesce(F.col("n_docs_packed"), F.lit(0)).cast("long").alias("n_docs_packed"),
+            F.coalesce(F.col("n_tokens_packed"), F.lit(0)).cast("long").alias("n_tokens_packed"),
+            F.coalesce(n_bins, F.lit(0)).alias("n_bins"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_CURATION_PIPELINE = f"""
+WITH {DUCK_DOCS_CTE},
+{sql_quality_cte()},
+keepers AS (
+  SELECT source, n_tokens
+  FROM (
+    SELECT source, n_tokens,
+           row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+    FROM r WHERE reason = 'ok'
+  ) WHERE rn = 1
+),
+packed AS (
+  SELECT source, count(*) AS n_docs_packed, CAST(sum(n_tokens) AS BIGINT) AS n_tokens_packed
+  FROM keepers GROUP BY source
+),
+funnel AS (
+  SELECT source, count(*) AS n_docs_in,
+         CAST(sum(CASE WHEN reason <> 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_quality
+  FROM r GROUP BY source
+)
+SELECT funnel.source, n_docs_in, n_drop_quality,
+       CAST(n_docs_in - n_drop_quality - COALESCE(n_docs_packed, 0) AS BIGINT) AS n_drop_dup,
+       CAST(COALESCE(n_docs_packed, 0) AS BIGINT) AS n_docs_packed,
+       CAST(COALESCE(n_tokens_packed, 0) AS BIGINT) AS n_tokens_packed,
+       CAST(COALESCE(floor((n_tokens_packed - 1) / {PIPELINE_CONTEXT_TOKENS}.0) + 1, 0) AS BIGINT) AS n_bins
+FROM funnel LEFT JOIN packed ON funnel.source = packed.source
+ORDER BY funnel.source"""

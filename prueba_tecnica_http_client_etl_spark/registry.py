@@ -162,6 +162,7 @@ _LLM_PIPELINE = [
     ("sequence_pack", corpus.sequence_pack, corpus.SQL_SEQUENCE_PACK),
     ("dedup_containment", dedup.dedup_containment, dedup.SQL_DEDUP_CONTAINMENT),
     ("corpus_length_profile", corpus.corpus_length_profile, corpus.SQL_CORPUS_LENGTH_PROFILE),
+    ("curation_pipeline", curation.curation_pipeline, curation.SQL_CURATION_PIPELINE),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
@@ -362,6 +363,30 @@ def _reorder(d: dict) -> dict:
     head = {n: d[n] for n in _PRIORITY_50 if n in d}
     head.update({n: fn for n, fn in d.items() if n not in head})
     return head
+
+
+@register("range_join_stream")
+def q_range_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (views x purchases within
+    the band) — the streaming tier of purchases_near_views_range. No
+    oracle: stream-stream join emission timing is a streaming-only
+    notion; the finite replay's row count equals the batch operator's
+    pre-aggregation pair count, which tests assert and the rows-only
+    check records."""
+    from pyspark.sql import functions as F
+
+    from .streaming import range_join_stream as RJ
+
+    tmp, tag = _stream_staging_path(sf_dir, "rjoin_stream_in", "events")
+    _ensure_staged(
+        tmp,
+        lambda p: load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", F.col("ts").cast("double").alias("ts_s"), "event_type")
+        .repartition(4)
+        .write.mode("overwrite")
+        .json(p),
+    )
+    return RJ.run_files_to_memory(spark, tmp, table_name=tag)
 
 
 def _with_drain(fn: QueryFn) -> QueryFn:

@@ -102,6 +102,23 @@ def test_contamination_check_keeps_gram_lambda_above_shuffle(spark):
     assert "Filter (size(" not in plan, plan
 
 
+def test_curation_pipeline_funnel_conserves_documents(spark):
+    """Every input document must land in exactly one funnel bucket:
+    quality-dropped, duplicate-dropped, or packed — per source and in
+    total; bins must cover the packed tokens."""
+    from prueba_tecnica_http_client_etl_spark.operators.curation import (
+        PIPELINE_CONTEXT_TOKENS,
+        curation_pipeline,
+    )
+    from prueba_tecnica_http_client_etl_spark.schemas import load_table
+
+    rows = curation_pipeline(spark, SF_SMOKE).collect()
+    assert sum(r.n_docs_in for r in rows) == load_table(spark, SF_SMOKE, "documents").count()
+    for r in rows:
+        assert r.n_docs_in == r.n_drop_quality + r.n_drop_dup + r.n_docs_packed, r
+        assert r.n_bins == (r.n_tokens_packed + PIPELINE_CONTEXT_TOKENS - 1) // PIPELINE_CONTEXT_TOKENS, r
+
+
 def test_ann_cosine_vectorized_matches_relational_exactly(spark):
     """The numpy-matmul scoring path must be byte-identical to the
     relational JVM fold: quantized dot products are integers < 2^47,
