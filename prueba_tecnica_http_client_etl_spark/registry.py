@@ -344,18 +344,18 @@ _PRIORITY_50 = [
     "ann_lsh_recall", "embedding_centroids", "kmeans_embeddings",
     "text_stats", "token_counts", "lang_id", "doc_fingerprint",
     "tfidf_top_terms", "corpus_mix", "vocab_topk", "repetition_score",
-    "sequence_pack", "multimodal_meta", "multimodal_frame_sample",
-    "pii_scrub", "contamination_check", "quality_gate",
+    "sequence_pack", "dedup_containment", "corpus_length_profile",
+    "multimodal_meta", "multimodal_frame_sample",
+    "pii_scrub", "contamination_check", "quality_gate", "curation_pipeline",
     # rows-only tiers (sketches + streaming): weaker driver check, but the
     # only external check these can get
     "kpi_daily_approx_p90", "events_distinct_users_approx",
     "customer_value_deciles_approx", "kpi_daily_stream", "sessionize_stream",
-    "dedup_stream",
+    "dedup_stream", "range_join_stream",
     # analytics: the structurally distinctive shapes
     "purchases_near_views_range", "purchase_after_view_asof",
     "sessionize_events", "supplier_running_revenue", "events_hourly_window",
-    "user_daily_gapfill", "top_supplier_per_quarter", "customer_value_deciles",
-    "event_value_by_type_salted", "stratified_event_sample",
+    "event_value_by_type_salted",
 ]
 
 
