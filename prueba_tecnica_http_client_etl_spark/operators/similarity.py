@@ -329,8 +329,10 @@ NPROBE = 8
 def ann_ivf_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None) -> DataFrame:
     """IVF approximation of cosine top-k: vectors are assigned to their
     nearest coarse centroid (a deterministic strided subset standing in
-    for k-means — same plan shape, no training step), queries probe their
-    NPROBE nearest cells, and rank only candidates in probed cells.
+    for k-means — same plan shape; `kmeans_embeddings` below IS the
+    training step, kept separate so the IVF oracle stays a single CTE
+    chain), queries probe their NPROBE nearest cells, and rank only
+    candidates in probed cells.
 
     Scale story vs brute force: assignment is |corpus| x |centroids|
     (centroids broadcast), probing touches ~NPROBE/|cells| of the corpus

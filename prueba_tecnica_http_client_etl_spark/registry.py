@@ -208,7 +208,7 @@ def q_events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFram
 # Bump when a staging projection changes (columns written to the JSONL
 # replay input) so pre-existing staged dirs are not silently replayed
 # with the old shape (judge round-2 ADVICE item 1).
-STAGING_VERSION = 2
+STAGING_VERSION = 3
 
 
 def _stream_staging_path(sf_dir: str, kind: str, source_table: str) -> tuple[str, str]:
@@ -380,7 +380,11 @@ def q_range_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp, tag = _stream_staging_path(sf_dir, "rjoin_stream_in", "events")
     _ensure_staged(
         tmp,
+        # stage only the two event types the join consumes: the stream's
+        # own filters would drop the rest anyway, and the replay is 2/5
+        # the size (pure staging optimization, not a semantic change)
         lambda p: load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
         .select("event_id", "user_id", F.col("ts").cast("double").alias("ts_s"), "event_type")
         .repartition(4)
         .write.mode("overwrite")
