@@ -64,6 +64,82 @@ ORDER BY n_occurrences DESC, tok
 LIMIT {VOCAB_TOPK}"""
 
 
+# --- tokenization against the built vocabulary -------------------------------
+
+TOKENIZE_PREVIEW = 40  # ids emitted per doc (leading positions); counts cover all
+
+
+def tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the vocab_topk dictionary to the corpus: every token maps to
+    its vocabulary id (rank by frequency, ties by token; OOV -> -1) and
+    each document emits its leading TOKENIZE_PREVIEW ids as a
+    space-joined sequence plus full-document token/OOV counts — the
+    tokenizer-application step between vocabulary building and packing.
+
+    Plan: the dictionary is orderBy+limit (TakeOrdered) then a
+    row_number over the <= VOCAB_TOPK surviving rows (a bounded, not
+    data-scaled, single-task window), broadcast into a left join against
+    the exploded corpus — the standard broadcast-dictionary application;
+    the per-doc rebuild sorts each doc's (pos, id) pairs inside a
+    partial-aggregated groupBy, so the shuffle carries one row per
+    (doc, token)."""
+    ex = docs_normalized(spark, sf_dir).select(
+        "doc_id", F.posexplode_outer("toks").alias("pos", "tok")
+    )
+    top = (
+        ex.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "tok")
+        .limit(VOCAB_TOPK)
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), "tok")  # bounded: <= VOCAB_TOPK rows
+    vocab = top.withColumn("id", (F.row_number().over(w) - 1).cast("long"))
+    joined = ex.join(F.broadcast(vocab.select("tok", "id")), "tok", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("id"), F.lit(-1)).alias("id")
+    )
+    ids_str = F.expr(
+        f"array_join(transform(slice(array_sort(collect_list(struct(pos, id))), 1, {TOKENIZE_PREVIEW}), "
+        "p -> cast(p.id as string)), ' ')"
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("id") == -1).cast("long")).alias("n_oov"),
+            ids_str.alias("ids_preview"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_TOKENIZE_IDS = f"""
+WITH {DUCK_DOCS_CTE},
+ex AS (
+  SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS tok FROM sh_t
+),
+top AS (
+  SELECT tok, count(*) AS n_occurrences
+  FROM ex GROUP BY tok
+  ORDER BY n_occurrences DESC, tok
+  LIMIT {VOCAB_TOPK}
+),
+vocab AS (
+  SELECT tok, CAST(row_number() OVER (ORDER BY n_occurrences DESC, tok) - 1 AS BIGINT) AS id
+  FROM top
+),
+joined AS (
+  SELECT ex.doc_id, ex.pos, COALESCE(vocab.id, -1) AS id
+  FROM ex LEFT JOIN vocab ON ex.tok = vocab.tok
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       string_agg(CASE WHEN pos < {TOKENIZE_PREVIEW} THEN CAST(id AS VARCHAR) END, ' ' ORDER BY pos) AS ids_preview
+FROM joined
+GROUP BY doc_id
+ORDER BY doc_id"""
+
+
 # --- per-source length profile (corpus monitoring) ---------------------------
 
 

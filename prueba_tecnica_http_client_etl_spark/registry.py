@@ -163,6 +163,7 @@ _LLM_PIPELINE = [
     ("dedup_containment", dedup.dedup_containment, dedup.SQL_DEDUP_CONTAINMENT),
     ("corpus_length_profile", corpus.corpus_length_profile, corpus.SQL_CORPUS_LENGTH_PROFILE),
     ("curation_pipeline", curation.curation_pipeline, curation.SQL_CURATION_PIPELINE),
+    ("tokenize_ids", corpus.tokenize_ids, corpus.SQL_TOKENIZE_IDS),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
