@@ -317,7 +317,11 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     The window partitions by source — the shard unit a packing job
     distributes over — so the only shuffle keys on source and per-task
     window state is one shard's running sum; there is no global sort at
-    any scale."""
+    any scale. One source still flows through one task: if a single
+    source outgrows a task at extreme scale, sub-shard the partition key
+    to (source, doc_id div N) — bins are shard-local either way, so the
+    semantics generalize unchanged; kept single-level here because the
+    oracle contract fixes the shard boundaries."""
     w = Window.partitionBy("source").orderBy("doc_id")
     d = (
         docs_normalized(spark, sf_dir)

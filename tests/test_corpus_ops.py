@@ -90,6 +90,26 @@ def test_kmeans_partitions_all_vectors_over_seed_centroids(spark):
     assert all(r.inertia >= 0 for r in rows)
 
 
+def test_tokenize_ids_broadcasts_the_dictionary(spark):
+    """The vocab application must be a broadcast join (dictionary is
+    bounded by VOCAB_TOPK) — a shuffled join here would repartition the
+    whole exploded corpus on token text."""
+    from prueba_tecnica_http_client_etl_spark.operators.corpus import tokenize_ids
+
+    plan = _physical(tokenize_ids(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_contamination_check_broadcasts_probe_set(spark):
+    """The decontamination join must broadcast the probe-gram side —
+    shuffling the corpus grams on gram text is the plan that dies at
+    100 TB."""
+    from prueba_tecnica_http_client_etl_spark.operators.curation import contamination_check
+
+    plan = _physical(contamination_check(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_contamination_check_keeps_gram_lambda_above_shuffle(spark):
     """Regression for the round-3 fix: with a plain explode, Catalyst
     pushes the generator's implied size(grams)>0 filter below the
