@@ -1138,3 +1138,80 @@ JOIN events p
  AND epoch(p.ts) <= epoch(v.ts) + {RANGE_JOIN_WINDOW_S}
 GROUP BY v.event_id, v.user_id
 ORDER BY view_id"""
+
+
+# --- snapshot merge (upsert / MERGE INTO shape) ------------------------------
+
+MERGE_INSERT_OFFSET = 1_000_000
+
+
+def snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse MERGE INTO pattern on plain DataFrames: a base
+    snapshot (documents, version 1) merged with a deterministic delta —
+    updates (every 10th doc revised to version 2) and inserts (new
+    doc_ids derived from every 25th) — keeping the highest version per
+    key. Emits each surviving row with its merge action.
+
+    Plan shape: union + one per-key window (row_number by version desc),
+    i.e. ONE shuffle on the merge key — the standard copy-on-write merge
+    job. At 100 TB the same plan runs per partition/bucket of a
+    partitioned snapshot, touching only partitions the delta hits
+    (partition pruning on the join key); table formats (Delta/Iceberg)
+    add the file-level skipping, but the dataflow is exactly this."""
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.lit(1).alias("version")
+    )
+    updates = base.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"),
+        F.lit(2).alias("version"),
+    )
+    inserts = base.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + MERGE_INSERT_OFFSET).alias("doc_id"),
+        F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias("text"),
+        F.lit(1).alias("version"),
+    )
+    merged = base.unionByName(updates).unionByName(inserts)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("version"))
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("version").cast("int").alias("version"),
+            F.length("text").cast("long").alias("n_chars"),
+            F.when(F.col("version") == 2, F.lit("updated"))
+            .when(F.col("doc_id") >= MERGE_INSERT_OFFSET, F.lit("inserted"))
+            .otherwise(F.lit("kept"))
+            .alias("action"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_SNAPSHOT_MERGE = f"""
+WITH base AS (
+  SELECT doc_id, text, 1 AS version FROM documents
+),
+updates AS (
+  SELECT doc_id, text || ' [rev2]' AS text, 2 AS version
+  FROM documents WHERE doc_id % 10 = 0
+),
+inserts AS (
+  SELECT doc_id + {MERGE_INSERT_OFFSET} AS doc_id,
+         'new doc ' || CAST(doc_id AS VARCHAR) AS text, 1 AS version
+  FROM documents WHERE doc_id % 25 = 0
+),
+merged AS (
+  SELECT * FROM base UNION ALL SELECT * FROM updates UNION ALL SELECT * FROM inserts
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+  FROM merged
+)
+SELECT doc_id, CAST(version AS INT) AS version, length(text)::BIGINT AS n_chars,
+       CASE WHEN version = 2 THEN 'updated'
+            WHEN doc_id >= {MERGE_INSERT_OFFSET} THEN 'inserted'
+            ELSE 'kept' END AS action
+FROM ranked WHERE rn = 1
+ORDER BY doc_id"""

@@ -418,8 +418,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("component_id", F.col("doc_id"))
         .persist()
     )
-    labels.count()
-    pairs.unpersist()
+    # pairs stays cached through round 1 (edges/labels materialize lazily
+    # inside the first round's count — one fewer action barrier than an
+    # eager labels.count() here); the pool releases it with the rest.
+    adopt(pairs)
     # one action per round: the changed-count materializes the persisted
     # `updated` frame, and the next round's `labels` is a lazy projection
     # over that same cache — no second count, no second persist.

@@ -122,6 +122,7 @@ _ANALYTICS = [
     ("events_hourly_window", analytics.events_hourly_window, analytics.SQL_EVENTS_HOURLY_WINDOW),
     ("event_value_by_type_salted", analytics.event_value_by_type_salted, analytics.SQL_EVENT_VALUE_BY_TYPE_SALTED),
     ("purchases_near_views_range", analytics.purchases_near_views_range, analytics.SQL_PURCHASES_NEAR_VIEWS_RANGE),
+    ("snapshot_merge", analytics.snapshot_merge, analytics.SQL_SNAPSHOT_MERGE),
 ]
 
 for _name, _fn, _sql in _ANALYTICS:
