@@ -744,6 +744,70 @@ GROUP BY cent_id
 ORDER BY cluster_id"""
 
 
+# --- per-label centering (grouped-map applyInPandas) -------------------------
+
+
+def embedding_center_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-center each label's vectors (the whitening prelude to PCA /
+    linear probing) through grouped-map applyInPandas: one pandas frame
+    per label, centered with numpy, emitting each vector's centered
+    squared norm — the third Arrow boundary shape in the engine
+    (mapInPandas = stream, applyInPandasWithState = stateful stream,
+    this = grouped map).
+
+    Bit-exactness: quantized component sums < 2^30 are exact in float64,
+    the mean is rounded to the nearest integer with the portable
+    floor(x+0.5), centered components stay < 2^21, and the squared norm
+    < 2^48 — every value an exact integer on both engines.
+
+    Scale note: groupBy(label).applyInPandas shuffles the corpus once on
+    the group key and holds ONE group per pandas frame — right when
+    groups are bounded (a label's vectors fit a task); for huge or
+    few-and-skewed groups, the map-side two-stage form (compute means
+    via partial aggregation — embedding_centroids — then broadcast-join
+    and center map-side) is the fallback, and this corpus's 10 labels
+    stand in for the bounded-group case."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _quantized(spark, sf_dir).select("label", "vec_id", "q")
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array(list(pdf["q"]), dtype=np.float64)
+        mean_int = np.floor(mat.sum(axis=0) / len(mat) + 0.5)
+        cen = mat - mean_int
+        return pd.DataFrame(
+            {
+                "label": pdf["label"],
+                "vec_id": pdf["vec_id"],
+                "centered_norm2": (cen * cen).sum(axis=1).astype(np.int64),
+            }
+        )
+
+    return (
+        emb.groupBy("label")
+        .applyInPandas(center, "label int, vec_id long, centered_norm2 long")
+        .orderBy("vec_id")
+    )
+
+
+SQL_EMBEDDING_CENTER_BY_LABEL = f"""
+WITH {DUCK_QUANT_CTE},
+comp AS (
+  SELECT label, vec_id, i AS pos, q[i + 1] AS qv
+  FROM qe, range({EMBED_DIM}) t(i)
+),
+means AS (
+  SELECT label, pos, floor(sum(qv) / count(*) + 0.5) AS m
+  FROM comp GROUP BY label, pos
+)
+SELECT comp.label, vec_id,
+       CAST(sum((qv - m) * (qv - m)) AS BIGINT) AS centered_norm2
+FROM comp JOIN means ON comp.label = means.label AND comp.pos = means.pos
+GROUP BY comp.label, vec_id
+ORDER BY vec_id"""
+
+
 # --- per-label centroids (vector aggregation) --------------------------------
 
 

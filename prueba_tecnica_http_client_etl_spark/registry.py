@@ -165,6 +165,7 @@ _LLM_PIPELINE = [
     ("corpus_length_profile", corpus.corpus_length_profile, corpus.SQL_CORPUS_LENGTH_PROFILE),
     ("curation_pipeline", curation.curation_pipeline, curation.SQL_CURATION_PIPELINE),
     ("tokenize_ids", corpus.tokenize_ids, corpus.SQL_TOKENIZE_IDS),
+    ("embedding_center_by_label", similarity.embedding_center_by_label, similarity.SQL_EMBEDDING_CENTER_BY_LABEL),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
