@@ -1215,3 +1215,53 @@ SELECT doc_id, CAST(version AS INT) AS version, length(text)::BIGINT AS n_chars,
             ELSE 'kept' END AS action
 FROM ranked WHERE rn = 1
 ORDER BY doc_id"""
+
+
+# --- cohort retention (product-analytics matrix) -----------------------------
+
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week
+    (ISO-Monday truncation, identical in both engines under UTC), counted
+    as active per week offset from their cohort — the triangular matrix
+    behind every retention dashboard.
+
+    Plan: the cohort assignment is one groupBy(user) min-aggregate
+    (partial-aggregated), broadcast back onto events (users << events
+    at scale this join broadcasts the AGGREGATED side, not the fact
+    table), and the matrix is one distinct-count groupBy. Week offsets
+    are exact integers (Monday-aligned diffs are multiples of 7)."""
+    ev = _t(spark, sf_dir, "events")
+    weeks = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("week"))
+    cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(F.broadcast(cohorts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active_users",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+SQL_USER_RETENTION_COHORTS = """
+WITH weeks AS (
+  SELECT user_id, date_trunc('week', ts) AS week FROM events
+),
+cohorts AS (
+  SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(datediff('day', cohort_week, week) / 7 AS BIGINT) AS week_offset,
+       count(DISTINCT weeks.user_id) AS n_active_users
+FROM weeks JOIN cohorts ON weeks.user_id = cohorts.user_id
+GROUP BY cohorts.cohort_week, week_offset
+ORDER BY cohort_week, week_offset"""

@@ -322,6 +322,12 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     to (source, doc_id div N) — bins are shard-local either way, so the
     semantics generalize unchanged; kept single-level here because the
     oracle contract fixes the shard boundaries."""
+    return _packed_docs(spark, sf_dir).orderBy("source", "doc_id")
+
+
+def _packed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc packing columns (see sequence_pack); feeds the per-doc
+    view and the per-bin manifest."""
     w = Window.partitionBy("source").orderBy("doc_id")
     d = (
         docs_normalized(spark, sf_dir)
@@ -338,22 +344,66 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_off").cast("long").alias("start_off"),
         bin_id.alias("bin_id"),
         (end_bin > bin_id).cast("int").alias("crosses_boundary"),
-    ).orderBy("source", "doc_id")
+    )
 
 
-SQL_SEQUENCE_PACK = f"""
-WITH {DUCK_DOCS_CTE},
-d AS (
+_SQL_PACKED_CTE = f"""d AS (
   SELECT source, doc_id, len(toks)::BIGINT AS n_tokens,
          CAST(sum(len(toks)) OVER (PARTITION BY source ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
   FROM sh_t
-)
-SELECT source, doc_id, n_tokens,
-       CAST(cum - n_tokens AS BIGINT) AS start_off,
-       CAST(floor((cum - n_tokens) / {CONTEXT_TOKENS}.0) AS BIGINT) AS bin_id,
-       CAST(CASE WHEN floor((cum - 1) / {CONTEXT_TOKENS}.0)
-                    > floor((cum - n_tokens) / {CONTEXT_TOKENS}.0)
-            THEN 1 ELSE 0 END AS INT) AS crosses_boundary
-FROM d
+),
+packed AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(cum - n_tokens AS BIGINT) AS start_off,
+         CAST(floor((cum - n_tokens) / {CONTEXT_TOKENS}.0) AS BIGINT) AS bin_id,
+         CAST(CASE WHEN floor((cum - 1) / {CONTEXT_TOKENS}.0)
+                      > floor((cum - n_tokens) / {CONTEXT_TOKENS}.0)
+              THEN 1 ELSE 0 END AS INT) AS crosses_boundary
+  FROM d
+)"""
+
+SQL_SEQUENCE_PACK = f"""
+WITH {DUCK_DOCS_CTE},
+{_SQL_PACKED_CTE}
+SELECT * FROM packed
 ORDER BY source, doc_id"""
+
+
+def sequence_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin packing manifests: for every (source, bin) the ordered
+    'doc_id@start_off' span list of documents whose first token lands in
+    the bin, plus doc/token counts — the actual work order a data-loader
+    shard executes. The manifest string is built from a per-group sorted
+    collect_list inside a partial-aggregated groupBy keyed on
+    (source, bin_id); group size is bounded by CONTEXT_TOKENS (a bin
+    holds at most CONTEXT_TOKENS single-token docs), so the aggregation
+    state is constant-bounded at any corpus size."""
+    p = _packed_docs(spark, sf_dir)
+    manifest = F.expr(
+        "array_join(transform(array_sort(collect_list(struct(doc_id, start_off))), "
+        "x -> concat(cast(x.doc_id as string), '@', cast(x.start_off as string))), ' ')"
+    )
+    return (
+        p.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens_started"),
+            F.sum("crosses_boundary").cast("long").alias("n_spanning"),
+            manifest.alias("manifest"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+SQL_SEQUENCE_PACK_MANIFEST = f"""
+WITH {DUCK_DOCS_CTE},
+{_SQL_PACKED_CTE}
+SELECT source, bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_started,
+       CAST(sum(crosses_boundary) AS BIGINT) AS n_spanning,
+       string_agg(CAST(doc_id AS VARCHAR) || '@' || CAST(start_off AS VARCHAR), ' ' ORDER BY doc_id) AS manifest
+FROM packed
+GROUP BY source, bin_id
+ORDER BY source, bin_id"""

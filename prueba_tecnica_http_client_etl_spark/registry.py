@@ -123,6 +123,7 @@ _ANALYTICS = [
     ("event_value_by_type_salted", analytics.event_value_by_type_salted, analytics.SQL_EVENT_VALUE_BY_TYPE_SALTED),
     ("purchases_near_views_range", analytics.purchases_near_views_range, analytics.SQL_PURCHASES_NEAR_VIEWS_RANGE),
     ("snapshot_merge", analytics.snapshot_merge, analytics.SQL_SNAPSHOT_MERGE),
+    ("user_retention_cohorts", analytics.user_retention_cohorts, analytics.SQL_USER_RETENTION_COHORTS),
 ]
 
 for _name, _fn, _sql in _ANALYTICS:
@@ -166,6 +167,7 @@ _LLM_PIPELINE = [
     ("curation_pipeline", curation.curation_pipeline, curation.SQL_CURATION_PIPELINE),
     ("tokenize_ids", corpus.tokenize_ids, corpus.SQL_TOKENIZE_IDS),
     ("embedding_center_by_label", similarity.embedding_center_by_label, similarity.SQL_EMBEDDING_CENTER_BY_LABEL),
+    ("sequence_pack_manifest", corpus.sequence_pack_manifest, corpus.SQL_SEQUENCE_PACK_MANIFEST),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
