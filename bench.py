@@ -42,7 +42,8 @@ def main() -> int:
     # session pays ~2.5s of worker spawn + Arrow init that would otherwise
     # be billed to whichever Arrow query happens to run first
     # (multimodal_frame_sample, alphabetically). One worker per core.
-    spark.range(32 * 100).repartition(32).mapInPandas(
+    n_workers = int(os.environ["SPARK_GRAFT_CPUS"])
+    spark.range(n_workers * 100).repartition(n_workers).mapInPandas(
         lambda batches: batches, "id long"
     ).write.format("noop").mode("overwrite").save()
     # Scan + broadcast warmup: the session's first parquet footer read and

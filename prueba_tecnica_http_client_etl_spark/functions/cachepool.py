@@ -40,13 +40,33 @@ def adopt(df: DataFrame) -> DataFrame:
     return df
 
 
+_BROADCASTS: list = []
+
+
+def managed_broadcast(sc, value):
+    """sc.broadcast(value) + register for drain — SparkContext broadcasts
+    (e.g. the vectorized ANN query matrix) are session-lifetime objects
+    the DataFrame unpersist path never touches; pooling them keeps the
+    one-working-set bound true for broadcast storage too."""
+    b = sc.broadcast(value)
+    _BROADCASTS.append(b)
+    return b
+
+
 def drain() -> None:
-    """Unpersist every pooled frame. Idempotent; double-unpersist and
-    unpersist-of-unreferenced frames are harmless no-ops in Spark."""
-    global _POOL
+    """Unpersist every pooled frame and broadcast. Idempotent;
+    double-unpersist and unpersist-of-unreferenced objects are harmless
+    no-ops in Spark."""
+    global _POOL, _BROADCASTS
     pool, _POOL = _POOL, []
     for df in pool:
         try:
             df.unpersist()
+        except Exception:
+            pass
+    bcasts, _BROADCASTS = _BROADCASTS, []
+    for b in bcasts:
+        try:
+            b.unpersist()
         except Exception:
             pass

@@ -82,9 +82,16 @@ def tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exploded corpus — the standard broadcast-dictionary application;
     the per-doc rebuild sorts each doc's (pos, id) pairs inside a
     partial-aggregated groupBy, so the shuffle carries one row per
-    (doc, token)."""
-    ex = docs_normalized(spark, sf_dir).select(
-        "doc_id", F.posexplode_outer("toks").alias("pos", "tok")
+    (doc, token). The exploded token table feeds BOTH the dictionary
+    aggregate and the application join, so it is pool-persisted —
+    without it the interpreted normalize/tokenize lambdas run once per
+    branch."""
+    from ..functions.cachepool import managed_persist
+
+    ex = managed_persist(
+        docs_normalized(spark, sf_dir).select(
+            "doc_id", F.posexplode_outer("toks").alias("pos", "tok")
+        )
     )
     top = (
         ex.groupBy("tok")
@@ -249,7 +256,13 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_gram = d.groupBy("doc_id", "n_tokens", "n_tri", "n_tri_d", "gram").agg(
         F.count(F.lit(1)).alias("c")
     )
-    top_bi_frac = F.lit(2.0) * F.col("top_bi") / F.col("n_tokens")
+    # single-token docs have no bigram (the array(norm) fallback is a
+    # placeholder, not a 2-token span): their bigram fraction is 0, not
+    # 2/n — without the guard a 1-token doc scores 2.0 and is always
+    # flagged.
+    top_bi_frac = F.when(
+        F.col("n_tokens") >= 2, F.lit(2.0) * F.col("top_bi") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
     dup_tri_frac = (F.col("n_tri") - F.col("n_tri_d")).cast("double") / F.col("n_tri")
     return (
         per_gram.groupBy("doc_id", "n_tokens", "n_tri", "n_tri_d")
@@ -291,9 +304,9 @@ scored AS (
   FROM per_gram GROUP BY doc_id, n_tokens, n_tri, n_tri_d
 )
 SELECT doc_id, n_tokens,
-       {sql_roundn('2.0 * top_bi / n_tokens', 4)} AS top_bigram_frac,
+       {sql_roundn('CASE WHEN n_tokens >= 2 THEN 2.0 * top_bi / n_tokens ELSE 0.0 END', 4)} AS top_bigram_frac,
        {sql_roundn('CAST(n_tri - n_tri_d AS DOUBLE) / n_tri', 4)} AS dup_trigram_frac,
-       CAST(CASE WHEN 2.0 * top_bi / n_tokens > {TOP_BIGRAM_MAX}
+       CAST(CASE WHEN (CASE WHEN n_tokens >= 2 THEN 2.0 * top_bi / n_tokens ELSE 0.0 END) > {TOP_BIGRAM_MAX}
                    OR CAST(n_tri - n_tri_d AS DOUBLE) / n_tri > {DUP_TRIGRAM_MAX}
             THEN 1 ELSE 0 END AS INT) AS repetitive
 FROM scored

@@ -308,7 +308,9 @@ ORDER BY doc_id"""
 
 # --- composed curation pipeline ----------------------------------------------
 
-PIPELINE_CONTEXT_TOKENS = 256  # matches corpus.CONTEXT_TOKENS (import would cycle)
+from .corpus import CONTEXT_TOKENS as PIPELINE_CONTEXT_TOKENS  # noqa: E402 — one
+# binning constant for the whole engine: the funnel's bin accounting must
+# agree with sequence_pack / sequence_pack_manifest by construction
 
 
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,9 +324,13 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composition is the point: every stage is relational, so Catalyst
     fuses the whole funnel — the quality reasons are map-side, the dedup
     is one row_number window keyed on the text digest, and the rollup is
-    one partial-aggregated groupBy(source). Nothing materializes between
-    stages at any scale."""
-    d = with_quality_reason(docs_normalized(spark, sf_dir))
+    one partial-aggregated groupBy(source). The scored frame feeds two
+    branches (keepers and the funnel totals), so it is pool-persisted:
+    lazy fusion is per-branch, and the interpreted normalization lambdas
+    would otherwise run once per branch."""
+    from ..functions.cachepool import managed_persist
+
+    d = managed_persist(with_quality_reason(docs_normalized(spark, sf_dir)))
     w_dup = Window.partitionBy(F.md5("norm")).orderBy("doc_id")
     keepers = (
         d.filter(F.col("reason") == "ok")

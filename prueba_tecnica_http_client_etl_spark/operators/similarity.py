@@ -151,10 +151,14 @@ def _ann_cosine_topk_vectorized(spark: SparkSession, emb: DataFrame) -> DataFram
         .select("vec_id", "q", "nrm")
         .collect()
     )
+    from ..functions.cachepool import managed_broadcast
+
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.q for r in q_rows], dtype=np.float64)  # exact: |q| < 2^20
     q_nrm = np.array([r.nrm for r in q_rows], dtype=np.float64)
-    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm))
+    # pool-managed: a raw sc.broadcast per invocation would accumulate
+    # for the session lifetime (cachepool only unpersists DataFrames)
+    bc = managed_broadcast(spark.sparkContext, (q_ids, q_mat, q_nrm))
 
     def score_batches(batches):
         import pandas as pd

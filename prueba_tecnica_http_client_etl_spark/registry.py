@@ -240,16 +240,38 @@ def _stream_staging_path(sf_dir: str, kind: str, source_table: str) -> tuple[str
     key = hashlib.md5(
         f"{os.path.realpath(sf_dir)}:{mtime}:v{STAGING_VERSION}".encode()
     ).hexdigest()[:12]
-    tag = f"{kind}_{key}"
+    # the sf identity is VISIBLE in the tag (not only hashed into the key)
+    # so _ensure_staged's stale-sibling cleanup is scoped per (kind, sf) —
+    # hashing it invisibly made the other scale factor's live staging
+    # indistinguishable from a stale key. Sanitized: the tag doubles as a
+    # memory-sink table name, where '.' would read as a db qualifier.
+    sfp = os.path.basename(os.path.realpath(sf_dir)).replace(".", "p")
+    tag = f"{kind}_{sfp}_{key}"
     path = os.path.join(tempfile.gettempdir(), "spark_graft_stream_staging", tag)
     return path, tag
 
 
 def _ensure_staged(path: str, write_fn) -> None:
+    """Write-once staging with sibling cleanup: when this kind's key
+    changes (dataset regenerated, STAGING_VERSION bumped), the old-key
+    dirs for the SAME kind are deleted before the new one is written —
+    otherwise every re-key orphans a full table replay on disk and the
+    bounded-disk guarantee the fixed path exists for erodes."""
     import os
+    import shutil
 
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_fn(path)
+    parent, tag = os.path.split(path)
+    kind = tag.rsplit("_", 1)[0]  # e.g. dedup_stream_in_sf0p01
+    if os.path.isdir(parent):
+        for sib in os.listdir(parent):
+            sib_kind = sib.rsplit("_", 1)[0]
+            # stale = same (kind, sf) under a superseded key, or a
+            # legacy pre-sf-tag dir (its kind is a strict prefix of ours)
+            if sib != tag and (sib_kind == kind or kind.startswith(sib_kind + "_")):
+                shutil.rmtree(os.path.join(parent, sib), ignore_errors=True)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    write_fn(path)
 
 
 @register("customer_value_deciles_approx")
