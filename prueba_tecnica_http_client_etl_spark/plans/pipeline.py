@@ -12,7 +12,14 @@ layers:
 Each stage reads the previous layer from disk, so any stage can rerun
 without upstream recomputation — the property the reference got from its
 intermediate files, here with columnar storage, schema enforcement, and
-partition pruning. `run()` returns the paths + row counts as a manifest.
+partition pruning. `run()` returns the paths + row counts + data-quality
+counters as a manifest.
+
+Manifest metrics come from `DataFrame.observe` (Spark's Observation API):
+each layer's counts and quality counters are accumulated DURING its write
+action, so the manifest costs zero extra scans — at 100 TB the previous
+count()-per-layer approach re-read every layer once just to fill the
+manifest.
 
 At 100 TB: bronze/silver append per ingestion window (partition by load
 date), gold is rebuilt per window via dynamic partition overwrite —
@@ -22,9 +29,10 @@ rewrite.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.cleaning import clean_http_log
 from ..operators.kpi import kpi_daily
@@ -40,6 +48,7 @@ class PipelineManifest:
     gold_report_path: str
     gold_global_path: str
     rows: dict[str, int]
+    quality: dict[str, int] = field(default_factory=dict)
 
 
 def run(
@@ -50,26 +59,40 @@ def run(
     p90_threshold: float = DEFAULT_P90_THRESHOLD,
 ) -> PipelineManifest:
     """raw stringly-typed log DataFrame -> bronze/silver/gold layers."""
-    bronze = L.write_layer(raw_log, root, L.BRONZE, "http_log")
+    obs = {name: Observation(name) for name in ("bronze", "silver", "gold_kpi", "gold_report", "gold_global")}
+    n = F.count(F.lit(1)).alias("rows")
 
-    silver_df = clean_http_log(L.read_layer(spark, root, L.BRONZE, "http_log"))
+    bronze = L.write_layer(raw_log.observe(obs["bronze"], n), root, L.BRONZE, "http_log")
+
+    silver_df = clean_http_log(L.read_layer(spark, root, L.BRONZE, "http_log")).observe(
+        obs["silver"],
+        n,
+        # quality counters ride the same write action: cast failures are
+        # data (flag coupling, SURVEY §4.3 #1), so count them here
+        F.sum((F.col("parse_result") != "ok").cast("long")).alias("parse_errors"),
+        F.sum((F.col("status_code") == 0).cast("long")).alias("status_cast_failures"),
+    )
     silver = L.write_layer(silver_df, root, L.SILVER, "http_log_clean")
 
     clean = L.read_layer(spark, root, L.SILVER, "http_log_clean")
-    kpi_df = kpi_daily(clean)
+    kpi_df = kpi_daily(clean).observe(obs["gold_kpi"], n)
     gold_kpi = L.write_layer(kpi_df, root, L.GOLD, "kpi_daily", partition_by=["date_utc"])
 
     kpi = L.read_layer(spark, root, L.GOLD, "kpi_daily")
     gold_report = L.write_layer(
-        report_by_endpoint(kpi, p90_threshold=p90_threshold), root, L.GOLD, "report_endpoint"
+        report_by_endpoint(kpi, p90_threshold=p90_threshold).observe(obs["gold_report"], n),
+        root,
+        L.GOLD,
+        "report_endpoint",
     )
-    gold_global = L.write_layer(global_metrics(kpi), root, L.GOLD, "global_metrics")
+    gold_global = L.write_layer(
+        global_metrics(kpi).observe(obs["gold_global"], n), root, L.GOLD, "global_metrics"
+    )
 
-    rows = {
-        "bronze": L.read_layer(spark, root, L.BRONZE, "http_log").count(),
-        "silver": L.read_layer(spark, root, L.SILVER, "http_log_clean").count(),
-        "gold_kpi": L.read_layer(spark, root, L.GOLD, "kpi_daily").count(),
-        "gold_report": L.read_layer(spark, root, L.GOLD, "report_endpoint").count(),
-        "gold_global": L.read_layer(spark, root, L.GOLD, "global_metrics").count(),
+    rows = {name: o.get["rows"] for name, o in obs.items()}
+    silver_metrics = obs["silver"].get
+    quality = {
+        "parse_errors": silver_metrics["parse_errors"] or 0,
+        "status_cast_failures": silver_metrics["status_cast_failures"] or 0,
     }
-    return PipelineManifest(bronze, silver, gold_kpi, gold_report, gold_global, rows)
+    return PipelineManifest(bronze, silver, gold_kpi, gold_report, gold_global, rows, quality)

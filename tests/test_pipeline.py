@@ -20,6 +20,15 @@ def test_pipeline_layers(spark, tmp_path: Path):
     assert m.rows["gold_kpi"] > 0
     assert m.rows["gold_global"] == 1
 
+    # observed quality counters (no extra scans): the generator injects
+    # ~5% parse errors, and they must reconcile with the gold layer's
+    # accounting
+    from prueba_tecnica_http_client_etl_spark.plans import layout as L2
+
+    kpi_rows = L2.read_layer(spark, str(tmp_path), L2.GOLD, "kpi_daily").collect()
+    assert m.quality["parse_errors"] == sum(r.parse_errors for r in kpi_rows)
+    assert m.quality["status_cast_failures"] >= 0
+
     # gold KPI is partitioned by date_utc (directory-level pruning keys)
     parts = [p.name for p in (tmp_path / "gold" / "kpi_daily").iterdir() if p.is_dir()]
     assert parts and all(p.startswith("date_utc=") for p in parts)
