@@ -380,6 +380,142 @@ WHERE cont >= {CONTAINMENT_THRESHOLD}
 ORDER BY doc_a, doc_b"""
 
 
+# --- incremental dedup (new batch vs existing index) -------------------------
+
+INCREMENTAL_STRIDE = 7  # doc_id % 7 == 0 -> the incoming batch; rest = the index
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup in the direction production pipelines actually run it: an
+    INCOMING batch (strided subset standing in for today's crawl) checked
+    against the EXISTING corpus index, never re-deduping the index
+    against itself. Verdict per incoming doc: exact_dup (digest already
+    indexed), near_dup (a banded-MinHash candidate verified at Jaccard >=
+    threshold), or novel.
+
+    Scale shape: the exact tier is a left semi-style join on the md5
+    digest (shuffle ~ |incoming| + |index digests|); the near tier joins
+    the incoming docs' band hashes against the index's band table —
+    at 100 TB that band table is the persisted LSH index a crawler
+    maintains incrementally, and per-batch cost is |incoming| x bands
+    probes, independent of corpus size. Candidates are verified with
+    exact shingle Jaccard before they can demote a doc to near_dup."""
+    docs = docs_normalized(spark, sf_dir).select(
+        "doc_id", "sh", F.md5(F.col("norm")).alias("digest")
+    )
+    incoming = managed_persist(docs.filter(F.col("doc_id") % INCREMENTAL_STRIDE == 0))
+    index = managed_persist(docs.filter(F.col("doc_id") % INCREMENTAL_STRIDE != 0))
+
+    exact_hits = (
+        incoming.join(index.select("digest").distinct(), "digest")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_exact", F.lit(1))
+    )
+
+    def bands_of(d: DataFrame) -> DataFrame:
+        mh = _minhash_signatures(d)
+        return mh.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.expr(tp.spark_band_hash(b)).alias("band_hash"),
+                        )
+                        for b in range(tp.LSH_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        ).select("doc_id", "band.band_idx", "band.band_hash")
+
+    cand = (
+        bands_of(incoming)
+        .withColumnRenamed("doc_id", "doc_in")
+        .join(
+            bands_of(index).withColumnRenamed("doc_id", "doc_ix"),
+            ["band_idx", "band_hash"],
+        )
+        .select("doc_in", "doc_ix")
+        .distinct()
+    )
+    x = incoming.select(F.col("doc_id").alias("doc_in"), F.col("sh").alias("sh_in"))
+    y = index.select(F.col("doc_id").alias("doc_ix"), F.col("sh").alias("sh_ix"))
+    jac = F.size(F.array_intersect("sh_in", "sh_ix")).cast("double") / F.size(
+        F.array_union("sh_in", "sh_ix")
+    )
+    near_hits = (
+        cand.join(x, "doc_in")
+        .join(y, "doc_ix")
+        .filter(jac >= MINHASH_JACCARD_THRESHOLD)
+        .groupBy(F.col("doc_in").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    return (
+        incoming.select("doc_id")
+        .join(exact_hits, "doc_id", "left")
+        .join(near_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact") == 1, F.lit("exact_dup"))
+            .when(F.col("n_near") > 0, F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near_candidates"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH {DUCK_DOCS_CTE},
+dset AS (
+  SELECT doc_id, sh, md5(norm) AS digest FROM sh_t
+),
+incoming AS (SELECT * FROM dset WHERE doc_id % {INCREMENTAL_STRIDE} = 0),
+idx AS (SELECT * FROM dset WHERE doc_id % {INCREMENTAL_STRIDE} <> 0),
+exact_hits AS (
+  SELECT DISTINCT i.doc_id, 1 AS is_exact
+  FROM incoming i JOIN (SELECT DISTINCT digest FROM idx) d ON i.digest = d.digest
+),
+hp_t AS (
+  SELECT doc_id, sh, {tp.duck_hash_pairs()} AS hp FROM dset
+),
+mh_t AS (
+  SELECT doc_id, sh,
+         {", ".join(f"{tp.duck_minhash(i)} AS mh{i}" for i in range(tp.NUM_MINHASHES))}
+  FROM hp_t
+),
+bands AS (
+{_sql_bands_union()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_in, b.doc_id AS doc_ix
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id % {INCREMENTAL_STRIDE} = 0 AND b.doc_id % {INCREMENTAL_STRIDE} <> 0
+),
+near_hits AS (
+  SELECT doc_in AS doc_id, count(*) AS n_near
+  FROM cand
+  JOIN incoming x ON x.doc_id = cand.doc_in
+  JOIN idx y ON y.doc_id = cand.doc_ix
+  WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+          / len(list_distinct(list_concat(x.sh, y.sh))) >= {MINHASH_JACCARD_THRESHOLD}
+  GROUP BY doc_in
+)
+SELECT i.doc_id,
+       CASE WHEN e.is_exact = 1 THEN 'exact_dup'
+            WHEN n.n_near > 0 THEN 'near_dup'
+            ELSE 'novel' END AS verdict,
+       CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near_candidates
+FROM incoming i
+LEFT JOIN exact_hits e ON i.doc_id = e.doc_id
+LEFT JOIN near_hits n ON i.doc_id = n.doc_id
+ORDER BY i.doc_id"""
+
+
 # --- duplicate-cluster connected components ----------------------------------
 
 

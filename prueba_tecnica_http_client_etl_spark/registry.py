@@ -168,6 +168,7 @@ _LLM_PIPELINE = [
     ("tokenize_ids", corpus.tokenize_ids, corpus.SQL_TOKENIZE_IDS),
     ("embedding_center_by_label", similarity.embedding_center_by_label, similarity.SQL_EMBEDDING_CENTER_BY_LABEL),
     ("sequence_pack_manifest", corpus.sequence_pack_manifest, corpus.SQL_SEQUENCE_PACK_MANIFEST),
+    ("dedup_incremental", dedup.dedup_incremental, dedup.SQL_DEDUP_INCREMENTAL),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
