@@ -420,3 +420,98 @@ SELECT source, bin_id,
 FROM packed
 GROUP BY source, bin_id
 ORDER BY source, bin_id"""
+
+
+# --- packed id content (tokenize -> pack fusion on real vocabulary ids) ------
+
+IDS_HEAD = 16  # leading ids emitted per bin; counts cover the whole bin
+
+
+def sequence_pack_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loader-ready companion of `sequence_pack_manifest`: every
+    CONTEXT_TOKENS bin's ACTUAL vocabulary-id content (tokenize -> pack
+    fusion). Each token gets its vocab_topk dictionary id (OOV -> -1, the
+    same broadcast-dictionary application as tokenize_ids) and its global
+    position in the per-source token stream; bins are the absolute
+    [256k, 256k+256) position ranges, so the emitted per-bin token/OOV
+    counts and leading IDS_HEAD ids are exactly what a training data
+    loader reads for that sequence — where the manifest's doc_id@offset
+    spans say which docs those ids came from, keyed by the same
+    (source, bin_id). Unlike the manifest (grouped by the bin a doc
+    STARTS in), this emits every bin with content, including interior
+    bins of long documents.
+
+    Plan: one persisted exploded token table feeds the dictionary count
+    and the application join (same discipline as tokenize_ids); the
+    global position is a row_number windowed per source shard — bounded
+    state per task, no global sort, the contract sequence_pack
+    establishes. The per-bin rebuild partial-aggregates with group state
+    bounded by CONTEXT_TOKENS. The id-head is selected by position
+    arithmetic (tok_pos % CONTEXT_TOKENS < IDS_HEAD), not a sort-limit,
+    because bins are exact 256-aligned ranges."""
+    from ..functions.cachepool import managed_persist
+
+    ex = managed_persist(
+        docs_normalized(spark, sf_dir).select(
+            "source", "doc_id", F.posexplode_outer("toks").alias("pos", "tok")
+        )
+    )
+    top = (
+        ex.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "tok")
+        .limit(VOCAB_TOPK)
+    )
+    w_vocab = Window.orderBy(F.desc("n_occurrences"), "tok")  # bounded: <= VOCAB_TOPK rows
+    vocab = top.withColumn("id", (F.row_number().over(w_vocab) - 1).cast("long"))
+    w_pos = Window.partitionBy("source").orderBy("doc_id", "pos")
+    j = (
+        ex.join(F.broadcast(vocab.select("tok", "id")), "tok", "left")
+        .select("source", "doc_id", "pos", F.coalesce(F.col("id"), F.lit(-1)).alias("id"))
+        .withColumn("tok_pos", (F.row_number().over(w_pos) - 1).cast("long"))
+        .withColumn("bin_id", F.floor(F.col("tok_pos") / CONTEXT_TOKENS).cast("long"))
+    )
+    head = F.expr(
+        f"array_join(transform(array_sort(collect_list("
+        f"CASE WHEN tok_pos % {CONTEXT_TOKENS} < {IDS_HEAD} THEN struct(tok_pos, id) END)), "
+        "x -> cast(x.id as string)), ' ')"
+    )
+    return (
+        j.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens_bin"),
+            F.sum((F.col("id") == -1).cast("long")).alias("n_oov_bin"),
+            head.alias("ids_head"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+SQL_SEQUENCE_PACK_IDS = f"""
+WITH {DUCK_DOCS_CTE},
+ex AS (
+  SELECT source, doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS tok FROM sh_t
+),
+top AS (
+  SELECT tok, count(*) AS n_occurrences
+  FROM ex GROUP BY tok
+  ORDER BY n_occurrences DESC, tok
+  LIMIT {VOCAB_TOPK}
+),
+vocab AS (
+  SELECT tok, CAST(row_number() OVER (ORDER BY n_occurrences DESC, tok) - 1 AS BIGINT) AS id
+  FROM top
+),
+j AS (
+  SELECT source, doc_id, pos, COALESCE(vocab.id, -1) AS id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id, pos) - 1 AS tok_pos
+  FROM ex LEFT JOIN vocab ON ex.tok = vocab.tok
+)
+SELECT source, CAST(floor(tok_pos / {CONTEXT_TOKENS}.0) AS BIGINT) AS bin_id,
+       count(*) AS n_tokens_bin,
+       CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_bin,
+       string_agg(CASE WHEN tok_pos % {CONTEXT_TOKENS} < {IDS_HEAD} THEN CAST(id AS VARCHAR) END,
+                  ' ' ORDER BY tok_pos) AS ids_head
+FROM j
+GROUP BY source, CAST(floor(tok_pos / {CONTEXT_TOKENS}.0) AS BIGINT)
+ORDER BY source, bin_id"""

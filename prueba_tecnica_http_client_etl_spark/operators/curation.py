@@ -306,6 +306,103 @@ FROM r
 ORDER BY doc_id"""
 
 
+# --- hashed linear quality classifier ----------------------------------------
+
+N_WEIGHT_BUCKETS = 64
+CLASSIFIER_LQ_PER_TOKEN = -0.5  # score-per-token below this -> classifier_lq
+# (~p12 of this corpus's distribution, measured at sf0.01: min -3.45,
+# p10 -0.72, median 0.33 — both verdict branches are exercised)
+
+
+def classifier_weights() -> list[int]:
+    """Fixed integer weights for the hashed bag-of-words linear model:
+    bucket b -> md5-derived weight in [-8, 8]. The public fastText-style
+    shape (hash token -> bucket -> weight -> sum) with a deterministic
+    stand-in for trained coefficients; integer weights keep the dot
+    product exact in both engines."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"qw:{b}".encode()).hexdigest()[:15], 16) % 17) - 8
+        for b in range(N_WEIGHT_BUCKETS)
+    ]
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier scoring: each token hashes to one of
+    N_WEIGHT_BUCKETS buckets; the document score is the sum of the
+    broadcast model's integer bucket weights — a hashed bag-of-words
+    linear classifier applied map-side, the way fastText-style quality
+    filters run inside production curation pipelines. The classifier
+    verdict extends `with_quality_reason`'s chain: heuristic reasons
+    fire first, then score-per-token < CLASSIFIER_LQ_PER_TOKEN demotes
+    an otherwise-ok doc to 'classifier_lq'.
+
+    Scale shape: the model is a 64-row broadcast (a real 2^20-bucket
+    model is a few MB — still broadcast-sized); scoring is explode ->
+    broadcast-hash-join -> partial-aggregated per-doc sum, so the
+    shuffle carries |docs| partial sums and the corpus text never
+    shuffles. Exact-integer score keeps the DuckDB oracle bit-identical.
+    """
+    from ..functions import textprep as tp
+    from ..functions.cachepool import managed_persist
+
+    d = managed_persist(with_quality_reason(docs_normalized(spark, sf_dir)))
+    weights = spark.createDataFrame(
+        list(enumerate(classifier_weights())), "bucket long, wt long"
+    )
+    ex = d.select("doc_id", F.explode_outer("toks").alias("tok")).withColumn(
+        "bucket", F.expr(tp.spark_u60_of("tok")) % N_WEIGHT_BUCKETS
+    )
+    scores = (
+        ex.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("wt").alias("score"))
+    )
+    spt = F.col("score").cast("double") / F.col("n_tokens")
+    return (
+        d.select("doc_id", "n_tokens", "reason")
+        .join(scores, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score",
+            roundn(spt, 4).alias("score_per_token"),
+            F.when(F.col("reason") != "ok", F.col("reason"))
+            .when(spt < CLASSIFIER_LQ_PER_TOKEN, F.lit("classifier_lq"))
+            .otherwise(F.lit("ok"))
+            .alias("reason"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_quality_score() -> str:
+    from ..functions import textprep as tp
+
+    vals = ", ".join(f"({b}, {w})" for b, w in enumerate(classifier_weights()))
+    return f"""
+WITH {DUCK_DOCS_CTE},
+{sql_quality_cte()},
+w(bucket, wt) AS (VALUES {vals}),
+ex AS (SELECT doc_id, unnest(toks) AS tok FROM sh_t),
+bk AS (SELECT doc_id, {tp.duck_u60_of('tok')} % {N_WEIGHT_BUCKETS} AS bucket FROM ex),
+sc AS (
+  SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score
+  FROM bk JOIN w USING (bucket) GROUP BY doc_id
+)
+SELECT r.doc_id, r.n_tokens, sc.score,
+       {sql_roundn('CAST(sc.score AS DOUBLE) / r.n_tokens', 4)} AS score_per_token,
+       CASE WHEN r.reason <> 'ok' THEN r.reason
+            WHEN CAST(sc.score AS DOUBLE) / r.n_tokens < {CLASSIFIER_LQ_PER_TOKEN} THEN 'classifier_lq'
+            ELSE 'ok' END AS reason
+FROM r JOIN sc ON r.doc_id = sc.doc_id
+ORDER BY r.doc_id"""
+
+
+SQL_QUALITY_SCORE = _sql_quality_score()
+
+
 # --- composed curation pipeline ----------------------------------------------
 
 from .corpus import CONTEXT_TOKENS as PIPELINE_CONTEXT_TOKENS  # noqa: E402 — one

@@ -380,6 +380,122 @@ WHERE cont >= {CONTAINMENT_THRESHOLD}
 ORDER BY doc_a, doc_b"""
 
 
+# --- C4-style line-level boilerplate removal ---------------------------------
+
+LINE_TOKENS = 8  # the corpus has no newline structure (single-line docs),
+# so "lines" are fixed 8-token spans of the normalized token stream — the
+# same rule in both engines, standing in for newline-split lines
+BOILERPLATE_MIN_DF = 5  # a line present in >= 5 distinct docs is boilerplate
+B1_MOD, B2_MOD = 4, 5  # planted boilerplate classes (fixture, like pii_scrub's
+# planted PII): every 4th doc is prefixed / every 5th suffixed with a known
+# boilerplate line, so the cross-doc frequency filter has real targets
+_BOILER_HEAD = "all rights reserved click here to accept cookies"
+_BOILER_TAIL = "subscribe to our newsletter for daily updates"
+
+_SPARK_LINES = (
+    "concat("
+    f"slice(array('{_BOILER_HEAD}'), 1, CASE WHEN doc_id % {B1_MOD} = 0 THEN 1 ELSE 0 END), "
+    f"transform(sequence(0, cast(ceil(size(toks) / {LINE_TOKENS}.0) as int) - 1), "
+    f"i -> concat_ws(' ', slice(toks, i * {LINE_TOKENS} + 1, {LINE_TOKENS}))), "
+    f"slice(array('{_BOILER_TAIL}'), 1, CASE WHEN doc_id % {B2_MOD} = 0 THEN 1 ELSE 0 END))"
+)
+_DUCK_LINES = (
+    "list_concat(list_concat("
+    f"CASE WHEN doc_id % {B1_MOD} = 0 THEN ['{_BOILER_HEAD}'] ELSE [] END, "
+    f"list_transform(range(CAST(ceil(len(toks) / {LINE_TOKENS}.0) AS INT)), "
+    f"i -> array_to_string(toks[(i * {LINE_TOKENS} + 1):(i * {LINE_TOKENS} + {LINE_TOKENS})], ' '))), "
+    f"CASE WHEN doc_id % {B2_MOD} = 0 THEN ['{_BOILER_TAIL}'] ELSE [] END)"
+)
+
+
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level dedup: explode each document's lines, count
+    cross-document line frequency, drop every line whose document
+    frequency reaches BOILERPLATE_MIN_DF, and reassemble the surviving
+    lines in order. This is the boilerplate-removal pass (cookie banners,
+    nav bars, footers) that whole-document dedup cannot touch — a doc is
+    mostly unique even when a third of its lines are boilerplate.
+
+    Scale shape: the frequent-line dictionary is SMALL by construction
+    (boilerplate is few distinct strings repeated widely), so the drop is
+    a broadcast LEFT ANTI join — the corpus lines never shuffle on line
+    text; only the frequency count shuffles, keyed on the line, with
+    partial aggregation collapsing repeats map-side (skewed lines are
+    precisely the ones being counted toward the dictionary — AQE's skew
+    handling covers the count; at extreme scale count on md5(line)
+    digests instead of raw strings). The rebuild is an ordered
+    collect_list inside a per-doc groupBy, the same pattern as
+    tokenize_ids; the doc spine left-join keeps fully-boilerplate docs
+    in the output with n_lines_kept = 0."""
+    d = docs_normalized(spark, sf_dir).withColumn("lines", F.expr(_SPARK_LINES))
+    ex = managed_persist(
+        d.select(
+            "doc_id",
+            F.size("lines").cast("long").alias("n_lines"),
+            F.posexplode_outer("lines").alias("pos", "line"),
+        )
+    )
+    boiler = (
+        ex.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILERPLATE_MIN_DF)
+        .select("line")
+    )
+    kept = ex.join(F.broadcast(boiler), "line", "left_anti")
+    rebuilt = kept.groupBy("doc_id", "n_lines").agg(
+        F.count(F.lit(1)).alias("n_lines_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, line))), x -> x.line), ' ')"
+        ).alias("cleaned"),
+    )
+    spine = ex.select("doc_id", "n_lines").distinct()
+    return (
+        spine.join(rebuilt, ["doc_id", "n_lines"], "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias("n_lines_kept"),
+            (F.col("n_lines") - F.coalesce(F.col("n_lines_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_lines_removed"),
+            F.substring(F.md5(F.coalesce(F.col("cleaned"), F.lit(""))), 1, 16).alias("cleaned_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DEDUP_LINES = f"""
+WITH {DUCK_DOCS_CTE},
+lines_t AS (
+  SELECT doc_id, {_DUCK_LINES} AS lines FROM sh_t
+),
+ex AS (
+  SELECT doc_id, len(lines)::BIGINT AS n_lines,
+         unnest(range(len(lines))) AS pos, unnest(lines) AS line
+  FROM lines_t
+),
+boiler AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS df FROM ex GROUP BY line
+  ) WHERE df >= {BOILERPLATE_MIN_DF}
+),
+kept AS (
+  SELECT * FROM ex WHERE line NOT IN (SELECT line FROM boiler)
+),
+reb AS (
+  SELECT doc_id, n_lines, count(*) AS n_lines_kept,
+         string_agg(line, ' ' ORDER BY pos) AS cleaned
+  FROM kept GROUP BY doc_id, n_lines
+),
+spine AS (SELECT DISTINCT doc_id, n_lines FROM ex)
+SELECT spine.doc_id, spine.n_lines,
+       CAST(COALESCE(reb.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+       CAST(spine.n_lines - COALESCE(reb.n_lines_kept, 0) AS BIGINT) AS n_lines_removed,
+       substr(md5(COALESCE(reb.cleaned, '')), 1, 16) AS cleaned_fp
+FROM spine LEFT JOIN reb ON spine.doc_id = reb.doc_id
+ORDER BY spine.doc_id"""
+
+
 # --- incremental dedup (new batch vs existing index) -------------------------
 
 INCREMENTAL_STRIDE = 7  # doc_id % 7 == 0 -> the incoming batch; rest = the index

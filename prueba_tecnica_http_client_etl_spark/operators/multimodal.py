@@ -39,30 +39,96 @@ _FORMATS = ["png", "jpeg", "webp"]
 
 
 def _decode_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Fake decoder: metadata derived from the payload digest. Pure
-    function of the bytes -> deterministic under retry/partitioning."""
+    """Per-payload decode: real header parse for the containers a
+    pure-Python decoder can handle (PPM/PGM/BMP — `decode_image`), md5-
+    derived fake metadata for everything else (no image codecs in this
+    container). Both paths are pure functions of the bytes ->
+    deterministic under retry/partitioning. The corpus's text payloads
+    never carry an image magic number, so the oracle-checked query always
+    takes the fake path; the real path is exercised by synthetic
+    PPM/BMP payloads in tests."""
     for pdf in batches:
-        payloads = [bytes(p) for p in pdf["payload"]]
-        digests = [hashlib.md5(p).hexdigest() for p in payloads]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": [len(p) for p in payloads],
-                "checksum": digests,
-                "width": [int(d[0:8], 16) % 1920 + 1 for d in digests],
-                "height": [int(d[8:16], 16) % 1080 + 1 for d in digests],
-                "fmt": [_FORMATS[int(d[16], 16) % 3] for d in digests],
-            }
-        )
+        rows: dict[str, list] = {k: [] for k in ("doc_id", "n_bytes", "checksum", "width", "height", "fmt")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            p = bytes(payload)
+            d = hashlib.md5(p).hexdigest()
+            try:
+                meta = decode_image(p)
+                w, h, fmt = meta["width"], meta["height"], meta["fmt"]
+            except ValueError:
+                w = int(d[0:8], 16) % 1920 + 1
+                h = int(d[8:16], 16) % 1080 + 1
+                fmt = _FORMATS[int(d[16], 16) % 3]
+            rows["doc_id"].append(doc_id)
+            rows["n_bytes"].append(len(p))
+            rows["checksum"].append(d)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["fmt"].append(fmt)
+        yield pd.DataFrame(rows)
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real image decode — unavailable in this container (no PIL/opencv).
+def decode_image(payload: bytes) -> dict:
+    """Pure-Python image decode for uncompressed containers — the formats
+    whose headers need no codec library: binary PPM/PGM (P6/P5) and BMP
+    (BITMAPINFOHEADER). Returns {"width", "height", "channels", "fmt"};
+    raises ValueError for any other container (the batch decoder then
+    falls back to the md5 fake). Compressed formats (png/jpeg/webp) still
+    need real codecs — swap this body when they exist; the Arrow
+    plumbing, schema, and batch shape above stay identical."""
+    if payload[:2] in (b"P6", b"P5"):
+        # PNM header: magic, then three ASCII ints (width, height, maxval)
+        # separated by whitespace, with '#' comments running to newline.
+        vals: list[int] = []
+        i, n = 2, len(payload)
+        while len(vals) < 3 and i < n:
+            c = payload[i : i + 1]
+            if c.isspace():
+                i += 1
+            elif c == b"#":
+                while i < n and payload[i : i + 1] != b"\n":
+                    i += 1
+            elif c.isdigit():
+                j = i
+                while j < n and payload[j : j + 1].isdigit():
+                    j += 1
+                vals.append(int(payload[i:j]))
+                i = j
+            else:
+                raise ValueError("malformed PNM header")
+        if len(vals) < 3:
+            raise ValueError("truncated PNM header")
+        width, height, maxval = vals
+        if width <= 0 or height <= 0 or not (0 < maxval < 65536):
+            raise ValueError("implausible PNM dimensions")
+        channels = 3 if payload[:2] == b"P6" else 1
+        bytes_per = channels * (2 if maxval > 255 else 1)
+        if n - (i + 1) < width * height * bytes_per:
+            raise ValueError("truncated PNM pixel data")
+        return {
+            "width": width,
+            "height": height,
+            "channels": channels,
+            "fmt": "ppm" if channels == 3 else "pgm",
+        }
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        import struct
 
-    Kept as the documented extension point: swap `_decode_meta_batches`
-    for a decoder calling this per payload once codecs exist.
-    """
-    raise NotImplementedError("image codecs are not installed in this environment")
+        hdr_size = struct.unpack_from("<I", payload, 14)[0]
+        if hdr_size < 40:  # BITMAPCOREHEADER etc. — out of scope
+            raise ValueError("unsupported BMP header")
+        width, height = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if compression != 0 or bpp not in (8, 24, 32) or width <= 0 or height == 0:
+            raise ValueError("unsupported BMP variant")
+        return {
+            "width": width,
+            "height": abs(height),  # negative height = top-down row order
+            "channels": bpp // 8,
+            "fmt": "bmp",
+        }
+    raise ValueError("unsupported image container")
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

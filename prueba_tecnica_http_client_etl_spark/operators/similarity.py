@@ -748,6 +748,115 @@ GROUP BY cent_id
 ORDER BY cluster_id"""
 
 
+# --- SemDeDup-style semantic dedup (cluster, then prune within cluster) ------
+
+SEMDEDUP_COSINE_THRESHOLD = 0.4  # within-cluster prune threshold; at this
+# corpus's weak separation it prunes ~5% of vectors (measured at sf0.01:
+# 24 of 20.8k within-cluster pairs), exercising both verdict branches
+
+
+def _semantic_pairs(assigned: DataFrame) -> DataFrame:
+    """Within-cluster candidate pairs (vec_a < vec_b) with exact quantized
+    cosine. The self-join is equi-keyed on cluster_id, so cross-cluster
+    pairs cannot be GENERATED (not merely filtered out) — the property the
+    plan test asserts, and the property that makes SemDeDup sub-quadratic:
+    pair volume is sum(|cluster|^2), never |corpus|^2."""
+    a = assigned.select(
+        "cluster_id", F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("nrm").alias("na")
+    )
+    b = assigned.select(
+        "cluster_id", F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("nrm").alias("nb")
+    )
+    cos = F.expr(_SPARK_PAIR_DOT).cast("double") / (F.col("na") * F.col("nb"))
+    return a.join(b, ["cluster_id"]).filter(F.col("vec_a") < F.col("vec_b")).withColumn(
+        "cosine_raw", cos
+    )
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: one Lloyd assignment step clusters
+    the embeddings (nearest strided centroid by exact squared L2 — the
+    same deterministic seeds and argmin as `kmeans_embeddings`), then
+    near-identical vectors are pruned WITHIN each cluster by quantized
+    cosine >= SEMDEDUP_COSINE_THRESHOLD. Verdict per vector: pruned (a
+    lower-id cluster-mate sits above the threshold; dup_of = the smallest
+    such id) or kept. This composes the engine's clustering and cosine
+    primitives into the semantic tier modern pipelines run after
+    MinHash — duplicates LSH cannot see (paraphrases, re-encodings) but
+    embeddings can.
+
+    Scale shape: centroids broadcast (k rows), assignment is a map-side
+    argmin; the corpus then shuffles ONCE on cluster_id and pairs are
+    generated only inside clusters (the equi-join key), never across —
+    the cluster count is the knob that bounds pair volume, exactly as in
+    the SemDeDup paper's k ~ sqrt(N) regime. Keep-lowest-id is the same
+    greedy keeper rule as the text-dedup operators; ties and floats are
+    bit-deterministic in both engines (exact BIGINT d2 and dot products).
+    """
+    emb = managed_persist(_quantized(spark, sf_dir))
+    cents = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("qc")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cent_id")
+    assigned = managed_persist(
+        emb.join(F.broadcast(cents), F.lit(True))
+        .withColumn("d2", F.expr(_SPARK_SQDIST))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("cent_id").alias("cluster_id"), "q", "nrm")
+    )
+    pruned = (
+        _semantic_pairs(assigned)
+        .filter(F.col("cosine_raw") >= SEMDEDUP_COSINE_THRESHOLD)
+        .groupBy(F.col("vec_b").alias("vec_id"))
+        .agg(F.min("vec_a").alias("dup_of"), F.count(F.lit(1)).alias("n_close"))
+    )
+    return (
+        assigned.select("vec_id", "cluster_id")
+        .join(pruned, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.when(F.col("dup_of").isNotNull(), F.lit(1)).otherwise(F.lit(0)).cast("int").alias("pruned"),
+            "dup_of",
+            F.coalesce(F.col("n_close"), F.lit(0)).cast("long").alias("n_close_lower"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SQL_DEDUP_SEMANTIC = f"""
+WITH {DUCK_QUANT_CTE},
+cents0 AS (
+  SELECT vec_id AS cent_id, q AS qc FROM qn WHERE vec_id % {CENTROID_STRIDE} = 0
+),
+a0 AS (
+  SELECT vec_id, q, nrm, cent_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rk
+  FROM (
+    SELECT v.vec_id, v.q, v.nrm, c.cent_id, {_duck_sqdist('v.q', 'c.qc')} AS d2
+    FROM qn v CROSS JOIN cents0 c
+  )
+),
+asg AS (SELECT vec_id, q, nrm, cent_id AS cluster_id FROM a0 WHERE rk = 1),
+pairs AS (
+  SELECT a.cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(a.q, b.q) / (a.nrm * b.nrm) AS cosine_raw
+  FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+),
+pruned AS (
+  SELECT vec_b AS vec_id, min(vec_a) AS dup_of, count(*) AS n_close
+  FROM pairs WHERE cosine_raw >= {SEMDEDUP_COSINE_THRESHOLD}
+  GROUP BY vec_b
+)
+SELECT asg.vec_id, cluster_id,
+       CAST(CASE WHEN dup_of IS NOT NULL THEN 1 ELSE 0 END AS INT) AS pruned,
+       dup_of,
+       CAST(COALESCE(n_close, 0) AS BIGINT) AS n_close_lower
+FROM asg LEFT JOIN pruned ON asg.vec_id = pruned.vec_id
+ORDER BY asg.vec_id"""
+
+
 # --- per-label centering (grouped-map applyInPandas) -------------------------
 
 

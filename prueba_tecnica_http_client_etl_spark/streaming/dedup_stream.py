@@ -39,16 +39,19 @@ def run_files_to_memory(
 ) -> DataFrame:
     """Drive the file stream to completion (availableNow) into a memory
     sink; one file per micro-batch exercises cross-batch suppression."""
+    from .tuning import stream_shuffle
+
     reader = spark.readStream.schema(DOC_SCHEMA)
     if one_file_per_batch:
         reader = reader.option("maxFilesPerTrigger", 1)
     out = dedup_stream(reader.json(input_path))
-    q = (
-        out.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table_name)

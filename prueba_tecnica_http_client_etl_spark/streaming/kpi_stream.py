@@ -168,13 +168,16 @@ def run_to_memory(spark: SparkSession, input_path: str, *, table_name: str = "kp
     demo harness. Complete output mode: every trigger re-emits the full
     KPI table, so finite input yields exactly the batch answer (append
     mode would hold back windows above the watermark)."""
+    from .tuning import stream_shuffle
+
     kpis = kpi_daily_stream(clean_http_log_stream(read_log_stream(spark, input_path)))
-    q = (
-        kpis.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle(spark):
+        q = (
+            kpis.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table_name)

@@ -28,7 +28,15 @@ from pyspark.sql import functions as F
 from ..operators.analytics import RANGE_JOIN_WINDOW_S
 
 EVENT_SCHEMA = "event_id long, user_id long, ts_s double, event_type string"
-WATERMARK_DELAY = "40 days"  # > the test window's span: the finite replay drops nothing
+# SPAN CONTRACT: the replay-completeness guarantee (stream pair set ==
+# batch pair set) holds iff this delay exceeds the replayed data's event-
+# time span. The synthetic events table spans 30 days at every sf (the
+# generator draws ts inside one month; TESTDATA.md), so 40 days covers it
+# with margin. The contract is enforced LOUDLY at run time:
+# run_files_to_memory raises if the completed query reports any
+# numRowsDroppedByWatermark (tuning.assert_no_watermark_drops) — a larger
+# future dataset span fails the run instead of silently shrinking it.
+WATERMARK_DELAY = "40 days"
 
 
 def range_join_stream(events: DataFrame) -> DataFrame:
@@ -71,16 +79,23 @@ def run_files_to_memory(
     """Drive the file stream to completion (availableNow) into a memory
     sink; one file per micro-batch exercises cross-batch buffering (a
     view in batch 1 joining a purchase arriving in batch 3)."""
+    from .tuning import assert_no_watermark_drops, stream_shuffle
+
     reader = spark.readStream.schema(EVENT_SCHEMA)
     if one_file_per_batch:
         reader = reader.option("maxFilesPerTrigger", 1)
     out = range_join_stream(reader.json(input_path))
-    q = (
-        out.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # loud guard for the replay-completeness contract (WATERMARK_DELAY must
+    # exceed the staged data's span): a silent late-drop would otherwise
+    # just shrink the rows-only count.
+    assert_no_watermark_drops(q)
     return spark.table(table_name)

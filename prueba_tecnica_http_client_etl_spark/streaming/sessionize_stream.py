@@ -108,16 +108,19 @@ def run_files_to_memory(
 ) -> DataFrame:
     """Test harness: drive the file stream to completion, one file per
     micro-batch so cross-batch state transitions are actually exercised."""
+    from .tuning import stream_shuffle
+
     reader = spark.readStream.schema(EVENT_SCHEMA)
     if one_file_per_batch:
         reader = reader.option("maxFilesPerTrigger", 1)
     stream = sessionize_stream(reader.json(input_path))
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle(spark):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table_name)
