@@ -8,8 +8,10 @@ blank lines, and fail-fasts with a line number on malformed JSON
   text in `_corrupt_record` and NULL fields — corruption is *data*, the
   same philosophy as the cast-failure-as-data cleaning layer. At 100 TB
   one bad line must never kill the job; count/quarantine them instead.
-- strict: FAILFAST reproduces the reference's fail-fast contract
-  (Spark reports file+offset rather than a line number).
+- strict: FAILFAST reproduces the reference's fail-fast contract; the
+  parity wrapper (`read_log_jsonl_strict_parity`) additionally reports
+  the reference's exact `JSON mal formado en línea {N}` error via a
+  distributed line-numbering pass (`validate_jsonl_lines`).
 
 Blank-line behavior matches the reference: Spark's JSON reader drops
 whitespace-only lines in both modes.
@@ -41,6 +43,62 @@ def read_log_jsonl(spark: SparkSession, path: str, *, strict: bool = False) -> D
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
     )
+
+
+def validate_jsonl_lines(spark: SparkSession, path: str) -> None:
+    """Fail-fast with the REFERENCE's error shape: `JSON mal formado en
+    línea {N}: {python json error}` (reference src/calcular_kpi.py:74-83
+    raises exactly this from its line-by-line reader). Spark's FAILFAST
+    mode reports file+offset, not a line number — this pass closes that
+    parity gap with a DISTRIBUTED diagnostic scan, not a driver loop:
+
+    - lines are numbered by zipWithIndex over the text scan (partition
+      order == byte order within a file, so per-file numbers derived by
+      subtracting each file's minimum global index are exact for the
+      single-file contract the reference reads; blank lines count toward
+      numbering but are never flagged, matching enumerate+skip),
+    - validity is `try_parse_json` (variant): NULL iff the line is not
+      parseable JSON — the same acceptance set as json.loads,
+    - only the FIRST offending line's text comes back to the driver,
+      where json.loads reproduces the reference's exact decoder message.
+
+    One extra scan, run only in strict/parity mode; the permissive
+    quarantine path stays the 100 TB default."""
+    text = spark.read.text(path).select(F.input_file_name().alias("file"), "value")
+    indexed = (
+        text.rdd.zipWithIndex()
+        .map(lambda t: (t[0][0], t[0][1], t[1]))
+        .toDF(["file", "value", "gidx"])
+    )
+    from pyspark.sql import Window
+
+    line_num = F.col("gidx") - F.min("gidx").over(Window.partitionBy("file")) + 1
+    first_bad = (
+        indexed.withColumn("line_num", line_num)
+        .filter((F.trim("value") != "") & F.try_parse_json("value").isNull())
+        .orderBy("file", "line_num")
+        .select("value", "line_num")
+        .limit(1)
+        .collect()
+    )
+    if first_bad:
+        import json
+
+        row = first_bad[0]
+        try:
+            json.loads(row["value"])
+            detail = "invalid JSON"  # unreachable unless parsers disagree
+        except json.JSONDecodeError as e:
+            detail = str(e)
+        raise ValueError(f"JSON mal formado en línea {int(row['line_num'])}: {detail}")
+
+
+def read_log_jsonl_strict_parity(spark: SparkSession, path: str) -> DataFrame:
+    """S1 strict mode with reference-shaped errors: eagerly validate line
+    numbers (`validate_jsonl_lines`), then hand back the FAILFAST scan —
+    which at that point can only fail on schema-level surprises."""
+    validate_jsonl_lines(spark, path)
+    return read_log_jsonl(spark, path, strict=True)
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -48,3 +48,27 @@ def test_kpi_csv_round_trip(spark, tmp_path):
     got = back.collect()[0].asDict()
     assert got["requests_total"] == 2 and got["server_5xx"] == 1
     assert abs(got["avg_elapsed_ms"] - 55.0) < 1e-9
+
+
+def test_strict_parity_reports_reference_line_number(spark, tmp_path):
+    """The reference fail-fasts with `JSON mal formado en línea {N}: {e}`
+    counting ALL physical lines from 1 including blanks (calcular_kpi.py
+    enumerate(start=1) + blank skip). Line 5 below is the first malformed
+    one; the message must carry exactly that number and json's own detail."""
+    import json
+
+    lines = [GOOD, "", GOOD, "   ", BAD, GOOD, BAD]
+    (tmp_path / "log.jsonl").write_text("\n".join(lines))
+    with pytest.raises(ValueError) as exc:
+        FSRC.read_log_jsonl_strict_parity(spark, str(tmp_path / "log.jsonl"))
+    try:
+        json.loads(BAD)
+    except json.JSONDecodeError as e:
+        expected_detail = str(e)
+    assert str(exc.value) == f"JSON mal formado en línea 5: {expected_detail}"
+
+
+def test_strict_parity_passes_clean_file(spark, tmp_path):
+    (tmp_path / "log.jsonl").write_text("\n".join([GOOD, "", GOOD]))
+    df = FSRC.read_log_jsonl_strict_parity(spark, str(tmp_path / "log.jsonl"))
+    assert df.count() == 2
