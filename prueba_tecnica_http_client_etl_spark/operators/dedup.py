@@ -741,3 +741,143 @@ ORDER BY doc_id"""
 
 
 SQL_DEDUP_COMPONENTS = _sql_dedup_components()
+
+
+# --- exact-substring dedup (anchor k-grams + diagonal span extension) --------
+
+SUBSTRING_K = 8  # anchor width in tokens
+SUBSTRING_MIN_TOKENS = 20  # minimal verbatim span reported
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup: doc pairs sharing a verbatim token span of
+    >= SUBSTRING_MIN_TOKENS at ARBITRARY offsets — the tier between
+    dedup_exact (whole doc) and dedup_minhash_lsh (whole-doc Jaccard)
+    that real curation stacks run for long verbatim overlap; dedup_lines'
+    aligned fixed spans miss offset-shifted copies.
+
+    Algorithm (sorted k-gram anchor join + span extension, the
+    suffix-free formulation): every K-token window is hashed into an
+    anchor; an equi-join on the anchor hash yields matching (pos_a,
+    pos_b) anchor pairs; within a pair's DIAGONAL (pos_a - pos_b,
+    constant along a verbatim copy) maximal runs of consecutive anchors
+    are found with the gaps-and-islands trick (pos_a - row_number), and
+    a run of m anchors IS a verbatim span of exactly m + K - 1 tokens —
+    both directions, so span extraction is exact, not heuristic.
+    Output per pair: span count, the longest span's length and start
+    offsets (ties: smallest a_start, then b_start).
+
+    Scale shape: the gram table is |tokens| rows (K-fold text blowup
+    avoided — the K-token window is hashed immediately via codegen
+    lead() exprs inside a per-doc window, never materialized as text);
+    the only shuffles key on the 128-bit anchor hash and on
+    (doc_a, doc_b, diag). No all-pairs path: pair volume is bounded by
+    anchor collisions, and at 100 TB hot anchors (boilerplate k-grams)
+    are the skew knob — cap them with a document-frequency filter
+    exactly like the LSH band-bucket cap; AQE skew-join handles the
+    rest. The window sorts are per-doc (anchor build) and per
+    (pair, diag) (island grouping) — bounded partitions, no global sort.
+
+    Reference: no counterpart (the reference never joins documents —
+    SURVEY.md §2.6); extension-surface operator per the driver's
+    training-data-pipeline mandate, same family as dedup_lines
+    (operators/dedup.py:411) but offset-invariant.
+    """
+    ex = docs_normalized(spark, sf_dir).select(
+        "doc_id", F.posexplode_outer("toks").alias("pos", "tok")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, SUBSTRING_K)]
+    grams = managed_persist(
+        ex.withColumn("gram", F.concat_ws(" ", *leads))
+        .withColumn("tail_tok", F.lead("tok", SUBSTRING_K - 1).over(w))
+        .filter(F.col("tail_tok").isNotNull())
+        .select("doc_id", "pos", F.md5("gram").alias("g"))
+    )
+    a = grams.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "g")
+    b = grams.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "g")
+    anchors = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w_run = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    islands = (
+        anchors.withColumn("island", F.col("pa") - F.row_number().over(w_run))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            (F.count(F.lit(1)) + SUBSTRING_K - 1).alias("span_len"),
+            F.min("pa").alias("a_start"),
+            F.min("pb").alias("b_start"),
+        )
+        .filter(F.col("span_len") >= SUBSTRING_MIN_TOKENS)
+    )
+    islands = managed_persist(islands)
+    stats = islands.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max("span_len").cast("long").alias("max_span_tokens"),
+    )
+    w_best = Window.partitionBy("doc_a", "doc_b").orderBy(
+        F.desc("span_len"), "a_start", "b_start"
+    )
+    best = (
+        islands.withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+        .select("doc_a", "doc_b", "a_start", "b_start")
+    )
+    return (
+        stats.join(best, ["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", "n_spans", "max_span_tokens", "a_start", "b_start")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_DEDUP_SUBSTRING = f"""
+WITH {DUCK_DOCS_CTE},
+ex AS (
+  SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS tok FROM sh_t
+),
+gr AS (
+  SELECT doc_id, pos,
+         md5(concat_ws(' ', tok,
+             {", ".join(f"lead(tok, {j}) OVER (PARTITION BY doc_id ORDER BY pos)" for j in range(1, SUBSTRING_K))})) AS g,
+         lead(tok, {SUBSTRING_K - 1}) OVER (PARTITION BY doc_id ORDER BY pos) AS tail_tok
+  FROM ex
+),
+grams AS (SELECT doc_id, pos, g FROM gr WHERE tail_tok IS NOT NULL),
+anchors AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+         a.pos - b.pos AS diag
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, diag, pa, pb,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
+  FROM anchors
+),
+islands AS (
+  SELECT doc_a, doc_b, diag, island,
+         count(*) + {SUBSTRING_K} - 1 AS span_len,
+         min(pa) AS a_start, min(pb) AS b_start
+  FROM runs
+  GROUP BY doc_a, doc_b, diag, island
+  HAVING count(*) + {SUBSTRING_K} - 1 >= {SUBSTRING_MIN_TOKENS}
+),
+stats AS (
+  SELECT doc_a, doc_b, count(*) AS n_spans, CAST(max(span_len) AS BIGINT) AS max_span_tokens
+  FROM islands GROUP BY doc_a, doc_b
+),
+best AS (
+  SELECT doc_a, doc_b, a_start, b_start
+  FROM (
+    SELECT doc_a, doc_b, a_start, b_start,
+           row_number() OVER (PARTITION BY doc_a, doc_b
+                              ORDER BY span_len DESC, a_start, b_start) AS rk
+    FROM islands
+  ) WHERE rk = 1
+)
+SELECT stats.doc_a, stats.doc_b, n_spans, max_span_tokens, a_start, b_start
+FROM stats JOIN best ON stats.doc_a = best.doc_a AND stats.doc_b = best.doc_b
+ORDER BY stats.doc_a, stats.doc_b"""
