@@ -174,6 +174,8 @@ _LLM_PIPELINE = [
     ("quality_score", curation.quality_score, curation.SQL_QUALITY_SCORE),
     ("sequence_pack_ids", corpus.sequence_pack_ids, corpus.SQL_SEQUENCE_PACK_IDS),
     ("dedup_substring", dedup.dedup_substring, dedup.SQL_DEDUP_SUBSTRING),
+    ("ann_ivf_learned_topk", similarity.ann_ivf_learned_topk, similarity.SQL_ANN_IVF_LEARNED_TOPK),
+    ("ann_ivf_learned_recall", similarity.ann_ivf_learned_recall, similarity.SQL_ANN_IVF_LEARNED_RECALL),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
