@@ -93,22 +93,35 @@ TESTDATA_TABLES = [
 
 
 def load_table(spark, sf_dir: str, name: str):
-    """Parquet scan with Catalyst pushdown; schemas come from parquet footers.
+    """Parquet scan with Catalyst pushdown; schemas come from parquet footers,
+    with timestamp encodings normalized to one engine-wide convention:
+    every timestamp column is TIMESTAMP_LTZ holding the file's wall-clock
+    value interpreted as UTC — exactly how DuckDB's naive TIMESTAMP treats
+    the same bytes, so oracle comparisons (epoch(), date_format) agree.
 
-    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    by default. `get_spark` sets spark.sql.legacy.parquet.nanosAsLong at
-    session build (never here — a read must not mutate shared session conf);
-    we truncate the INT64 nanos to microseconds — the same truncation DuckDB
-    applies, so oracle timestamps agree exactly. The conf.set below is a
-    fallback for externally-built sessions and is skipped when already set.
+    Two generator encodings are handled:
+    - TIMESTAMP(NANOS) (early datasets): Spark 4 rejects it by default;
+      `get_spark` sets spark.sql.legacy.parquet.nanosAsLong at session build
+      (the conf.set below is a fallback for externally-built sessions), and
+      the INT64 nanos are truncated to micros — DuckDB's truncation.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) (current datasets): Spark
+      reads it as TIMESTAMP_NTZ, which refuses numeric casts
+      (`cast(ts as double)` is analysis-time invalid on NTZ); cast to LTZ —
+      an exact identity on wall-clock values under the UTC session timezone
+      the engine mandates (session.py).
     """
-    if name == "events":
-        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+    if name == "events" and spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    if name == "events" and dtypes.get("ts") == "bigint":
+        from pyspark.sql import functions as F
 
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        dtypes = dict(df.dtypes)
+    ntz = [c for c, t in dtypes.items() if t == "timestamp_ntz"]
+    if ntz:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    return df
