@@ -539,3 +539,148 @@ SELECT source, CAST(floor(tok_pos / {CONTEXT_TOKENS}.0) AS BIGINT) AS bin_id,
 FROM j
 GROUP BY source, CAST(floor(tok_pos / {CONTEXT_TOKENS}.0) AS BIGINT)
 ORDER BY source, bin_id"""
+
+
+# --- BPE merge-candidate counting (tokenizer training pass) ------------------
+
+BPE_PAIR_TOPK = 50
+
+# (count desc, left asc, right asc) is a TOTAL order -> deterministic cut.
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token-pair frequencies — the counting pass of one BPE /
+    WordPiece merge iteration (the most frequent pair is the next merge
+    rule). vocab_topk counts unigrams; this is the bigram-merge
+    companion, run corpus-wide every merge step during tokenizer
+    training.
+
+    Plan shape at 100 TB: the pair array is built per-doc with one
+    array transform (no self-join, no window sort — adjacency is free
+    inside the array), exploded, then partial-aggregated per pair, so
+    the shuffle carries |distinct pairs| map-side partials, not token
+    occurrences; the top-k is orderBy+limit (TakeOrderedAndProject:
+    per-partition heaps + a k-row driver merge, never a global sort).
+    explode_outer keeps the interpreted array lambda above the
+    repartition (the generator-pushdown trap, dedup_ngram_jaccard);
+    single-token docs yield an empty pair array -> one null row,
+    filtered AFTER the generator.
+
+    Reference: no counterpart (the reference tokenizes nothing,
+    /root/reference/src/calcular_kpi.py only splits URLs); extension
+    surface per the driver's training-data-pipeline mandate.
+    """
+    pair_expr = (
+        "CASE WHEN size(toks) >= 2 THEN "
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS l, toks[i+1] AS r)) "
+        "ELSE array() END"
+    )
+    ex = (
+        docs_normalized(spark, sf_dir)
+        .select("doc_id", F.explode_outer(F.expr(pair_expr)).alias("p"))
+        .filter(F.col("p").isNotNull())
+    )
+    return (
+        ex.groupBy(F.col("p.l").alias("pair_left"), F.col("p.r").alias("pair_right"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "pair_left", "pair_right")
+        .limit(BPE_PAIR_TOPK)
+    )
+
+
+SQL_BPE_PAIR_COUNTS = f"""
+WITH {DUCK_DOCS_CTE},
+pr AS (
+  SELECT doc_id,
+         unnest(list_transform(range(greatest(len(toks) - 1, 0)),
+                               i -> {{'l': toks[i + 1], 'r': toks[i + 2]}})) AS p
+  FROM sh_t
+)
+SELECT p.l AS pair_left, p.r AS pair_right,
+       count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM pr
+GROUP BY p.l, p.r
+ORDER BY n_occurrences DESC, pair_left, pair_right
+LIMIT {BPE_PAIR_TOPK}"""
+
+
+# --- domain mixture planning (temperature-weighted source sampling) ----------
+
+# Temperature alpha = 0.5: weights proportional to sqrt(share). sqrt is an
+# IEEE correctly-rounded primitive (unlike pow/log), and it is applied to
+# an exact BIGINT then floored back to BIGINT, so every arithmetic step up
+# to the final division is exact integer math in both engines — the same
+# rationale as tfidf's rational idf (textops.py).
+
+
+def domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source training-mix plan: temperature-weighted sampling
+    weights over source token counts — the pass that decides how much
+    of each domain a training run draws (upweight small high-quality
+    sources, damp the web crawl), standard in large-LM data recipes.
+
+    raw_share_i   = T_i / sum(T)            (token mass share)
+    w_i           = floor(sqrt(T_i))        (alpha = 0.5 temperature, exact BIGINT)
+    temp_weight_i = w_i / sum(w)            (the sampling distribution)
+    sampling_factor_i = temp_weight_i / raw_share_i
+                  = (w_i * sum(T)) / (sum(w) * T_i)  (exact-integer numerator
+                    and denominator, ONE double division -> bit-identical
+                    across engines; >1 means the source is oversampled)
+
+    Plan shape: one partial-aggregated groupBy(source) (|sources| rows),
+    then the two grand totals join back as a broadcast one-row scalar —
+    the corpus itself is touched exactly once.
+    """
+    per_src = (
+        docs_normalized(spark, sf_dir)
+        .select("source", F.size("toks").cast("long").alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("tokens_total"),
+        )
+        .withColumn("w", F.floor(F.sqrt(F.col("tokens_total").cast("double"))).cast("long"))
+    )
+    totals = per_src.agg(
+        F.sum("tokens_total").alias("grand_tokens"), F.sum("w").alias("grand_w")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "tokens_total",
+            roundn(F.col("tokens_total").cast("double") / F.col("grand_tokens"), 6).alias("raw_share"),
+            roundn(F.col("w").cast("double") / F.col("grand_w"), 6).alias("temp_weight"),
+            roundn(
+                (F.col("w") * F.col("grand_tokens")).cast("double")
+                / (F.col("grand_w") * F.col("tokens_total")),
+                6,
+            ).alias("sampling_factor"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DOMAIN_MIXTURE_PLAN = f"""
+WITH {DUCK_DOCS_CTE},
+per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(toks)) AS BIGINT) AS tokens_total,
+         CAST(floor(sqrt(CAST(CAST(sum(len(toks)) AS BIGINT) AS DOUBLE))) AS BIGINT) AS w
+  FROM sh_t GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(tokens_total) AS BIGINT) AS grand_tokens,
+         CAST(sum(w) AS BIGINT) AS grand_w
+  FROM per_src
+)
+SELECT source, n_docs, tokens_total,
+       {sql_roundn('CAST(tokens_total AS DOUBLE) / grand_tokens', 6)} AS raw_share,
+       {sql_roundn('CAST(w AS DOUBLE) / grand_w', 6)} AS temp_weight,
+       {sql_roundn('CAST(w * grand_tokens AS DOUBLE) / (grand_w * tokens_total)', 6)} AS sampling_factor
+FROM per_src, tot
+ORDER BY source"""

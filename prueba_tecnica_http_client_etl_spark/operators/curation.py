@@ -328,6 +328,43 @@ def classifier_weights() -> list[int]:
     ]
 
 
+def classifier_scores(d: DataFrame) -> DataFrame:
+    """doc_id -> exact-integer classifier score for any frame carrying
+    (doc_id, toks): explode -> hash to bucket -> broadcast-join the
+    64-weight model -> partial-aggregated per-doc sum. Shared by
+    quality_score (corpus-wide scoring) and dedup_survivors
+    (scoring duplicate-cluster members only)."""
+    from ..functions import textprep as tp
+
+    weights = d.sparkSession.createDataFrame(
+        list(enumerate(classifier_weights())), "bucket long, wt long"
+    )
+    ex = d.select("doc_id", F.explode_outer("toks").alias("tok")).withColumn(
+        "bucket", F.expr(tp.spark_u60_of("tok")) % N_WEIGHT_BUCKETS
+    )
+    return (
+        ex.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("wt").alias("score"))
+    )
+
+
+def _sql_classifier_scores_ctes(member_filter: str = "") -> str:
+    """DuckDB CTE chain (w, ex, bk, sc) mirroring classifier_scores over
+    sh_t; `member_filter` optionally restricts the scored docs (SQL
+    joined after sh_t)."""
+    from ..functions import textprep as tp
+
+    vals = ", ".join(f"({b}, {w})" for b, w in enumerate(classifier_weights()))
+    return f"""w(bucket, wt) AS (VALUES {vals}),
+ex AS (SELECT doc_id, unnest(toks) AS tok FROM sh_t {member_filter}),
+bk AS (SELECT doc_id, {tp.duck_u60_of('tok')} % {N_WEIGHT_BUCKETS} AS bucket FROM ex),
+sc AS (
+  SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score
+  FROM bk JOIN w USING (bucket) GROUP BY doc_id
+)"""
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-classifier scoring: each token hashes to one of
     N_WEIGHT_BUCKETS buckets; the document score is the sum of the
@@ -344,21 +381,10 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries |docs| partial sums and the corpus text never
     shuffles. Exact-integer score keeps the DuckDB oracle bit-identical.
     """
-    from ..functions import textprep as tp
     from ..functions.cachepool import managed_persist
 
     d = managed_persist(with_quality_reason(docs_normalized(spark, sf_dir)))
-    weights = spark.createDataFrame(
-        list(enumerate(classifier_weights())), "bucket long, wt long"
-    )
-    ex = d.select("doc_id", F.explode_outer("toks").alias("tok")).withColumn(
-        "bucket", F.expr(tp.spark_u60_of("tok")) % N_WEIGHT_BUCKETS
-    )
-    scores = (
-        ex.join(F.broadcast(weights), "bucket")
-        .groupBy("doc_id")
-        .agg(F.sum("wt").alias("score"))
-    )
+    scores = classifier_scores(d)
     spt = F.col("score").cast("double") / F.col("n_tokens")
     return (
         d.select("doc_id", "n_tokens", "reason")
@@ -378,19 +404,10 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_quality_score() -> str:
-    from ..functions import textprep as tp
-
-    vals = ", ".join(f"({b}, {w})" for b, w in enumerate(classifier_weights()))
     return f"""
 WITH {DUCK_DOCS_CTE},
 {sql_quality_cte()},
-w(bucket, wt) AS (VALUES {vals}),
-ex AS (SELECT doc_id, unnest(toks) AS tok FROM sh_t),
-bk AS (SELECT doc_id, {tp.duck_u60_of('tok')} % {N_WEIGHT_BUCKETS} AS bucket FROM ex),
-sc AS (
-  SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score
-  FROM bk JOIN w USING (bucket) GROUP BY doc_id
-)
+{_sql_classifier_scores_ctes()}
 SELECT r.doc_id, r.n_tokens, sc.score,
        {sql_roundn('CAST(sc.score AS DOUBLE) / r.n_tokens', 4)} AS score_per_token,
        CASE WHEN r.reason <> 'ok' THEN r.reason
@@ -401,6 +418,76 @@ ORDER BY r.doc_id"""
 
 
 SQL_QUALITY_SCORE = _sql_quality_score()
+
+
+# --- quality-aware duplicate-cluster survivor selection ----------------------
+
+
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop decision for every member of a near-duplicate cluster:
+    the survivor is the member with the highest classifier score (ties:
+    smallest doc_id). This is the step that turns dedup_components'
+    cluster labels into the curation decision real pipelines apply —
+    'keep the best copy', not 'keep an arbitrary copy' (min-doc_id
+    keepers silently prefer whichever shard was crawled first).
+
+    Plan shape: cluster labels (dedup_components — LSH pairs + iterative
+    min-label propagation) inner-join the corpus on doc_id, so ONLY
+    cluster members are scored — the classifier explode/broadcast-join
+    runs over |cluster members| docs, not the corpus; the survivor pick
+    is a row_number window per component (partitions bounded by cluster
+    size — boilerplate families are shallow stars, never corpus-scale).
+    At 100 TB the scores would be a precomputed column (quality_score is
+    its own pipeline stage); recomputing here keeps the operator
+    self-contained.
+
+    Reference: no counterpart (the reference never joins or dedups,
+    SURVEY.md §2.6); composes the §2.8 dedup tier with the curation
+    tier."""
+    from .dedup import dedup_components
+
+    comp = dedup_components(spark, sf_dir)
+    members = docs_normalized(spark, sf_dir).select("doc_id", "toks").join(comp, "doc_id")
+    scores = classifier_scores(members)
+    w_cnt = Window.partitionBy("component_id")
+    w_rank = Window.partitionBy("component_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        members.select("doc_id", "component_id")
+        .join(scores, "doc_id")
+        .withColumn("n_members", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .select(
+            "doc_id",
+            "component_id",
+            F.col("n_members").cast("long").alias("n_members"),
+            "score",
+            F.when(F.col("rk") == 1, F.lit("keep")).otherwise(F.lit("drop")).alias("decision"),
+        )
+        .orderBy("component_id", "doc_id")
+    )
+
+
+def _sql_dedup_survivors() -> str:
+    from .dedup import SQL_DEDUP_COMPONENTS
+
+    return f"""
+WITH comp AS (SELECT * FROM ({SQL_DEDUP_COMPONENTS})),
+{DUCK_DOCS_CTE},
+{_sql_classifier_scores_ctes("JOIN comp USING (doc_id)")},
+ranked AS (
+  SELECT comp.doc_id, comp.component_id, sc.score,
+         count(*) OVER (PARTITION BY comp.component_id) AS n_members,
+         row_number() OVER (PARTITION BY comp.component_id
+                            ORDER BY sc.score DESC, comp.doc_id) AS rk
+  FROM comp JOIN sc USING (doc_id)
+)
+SELECT doc_id, component_id, CAST(n_members AS BIGINT) AS n_members, score,
+       CASE WHEN rk = 1 THEN 'keep' ELSE 'drop' END AS decision
+FROM ranked
+ORDER BY component_id, doc_id"""
+
+
+SQL_DEDUP_SURVIVORS = _sql_dedup_survivors()
 
 
 # --- composed curation pipeline ----------------------------------------------

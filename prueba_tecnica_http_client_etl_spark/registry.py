@@ -176,6 +176,9 @@ _LLM_PIPELINE = [
     ("dedup_substring", dedup.dedup_substring, dedup.SQL_DEDUP_SUBSTRING),
     ("ann_ivf_learned_topk", similarity.ann_ivf_learned_topk, similarity.SQL_ANN_IVF_LEARNED_TOPK),
     ("ann_ivf_learned_recall", similarity.ann_ivf_learned_recall, similarity.SQL_ANN_IVF_LEARNED_RECALL),
+    ("bpe_pair_counts", corpus.bpe_pair_counts, corpus.SQL_BPE_PAIR_COUNTS),
+    ("domain_mixture_plan", corpus.domain_mixture_plan, corpus.SQL_DOMAIN_MIXTURE_PLAN),
+    ("dedup_survivors", curation.dedup_survivors, curation.SQL_DEDUP_SURVIVORS),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
@@ -463,10 +466,19 @@ _PRIORITY_50 = [
     "corpus_length_profile", "multimodal_meta", "multimodal_frame_sample",
     "pii_scrub", "contamination_check", "quality_gate", "quality_score",
     "curation_pipeline",
-    # rows-only tiers (sketches + streaming): weaker driver check, but the
-    # only external check these can get
-    "kpi_daily_approx_p90", "events_distinct_users_approx",
-    "customer_value_deciles_approx", "kpi_daily_stream", "sessionize_stream",
+    # round-5 oracle-checked additions (tokenizer-training pair counts,
+    # temperature mixing plan, quality-aware cluster survivors): these
+    # DISPLACE the three approx-sketch rows-only entries from the window —
+    # a sketch's external check is rows-only either way (engine-specific
+    # outputs, no oracle possible), while these get the driver's full
+    # hash-check; the sketches' exact twins (kpi_daily, events_distinct_
+    # users, customer_value_deciles) stay oracle-certified, and the
+    # sketches themselves remain exercised by bench + pytest every run.
+    "bpe_pair_counts", "domain_mixture_plan", "dedup_survivors",
+    # rows-only streaming tier: weaker driver check, but the only external
+    # check streams can get (round 1 flagged them as unverified when they
+    # fell outside the window)
+    "kpi_daily_stream", "sessionize_stream",
     "dedup_stream", "range_join_stream", "quality_gate_stream",
     # (rounds 4-5 ceded the remaining analytics slots to the new dedup/
     # curation/corpus/streaming ops — VERDICT r3 item 8: analytics shapes
