@@ -881,3 +881,64 @@ best AS (
 SELECT stats.doc_a, stats.doc_b, n_spans, max_span_tokens, a_start, b_start
 FROM stats JOIN best ON stats.doc_a = best.doc_a AND stats.doc_b = best.doc_b
 ORDER BY stats.doc_a, stats.doc_b"""
+
+
+# --- per-source duplicate-rate audit -----------------------------------------
+
+
+def duplicate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate statistics — the dashboard row a
+    curation run reports per ingest feed ("crawl X is 40% self-dup,
+    crawl Y is clean"), deciding which feeds earn a deeper near-dup
+    pass. A doc is an exact dup iff a lower doc_id shares its normalized
+    digest (the same keeper rule as dedup_exact).
+
+    Plan shape at 100 TB: one groupBy on the 16-byte digest (never text)
+    builds the keeper map; joining it back is digest-equi (same shuffle
+    key, no extra exchange under co-partitioning); the per-source rollup
+    shuffles |sources| partials. Exact BIGINT counts up to one final
+    division.
+
+    Reference: no counterpart (/root/reference has no duplicate concept,
+    SURVEY.md §2.6); audit tier over dedup_exact's keeper rule."""
+    d = managed_persist(
+        docs_normalized(spark, sf_dir).select(
+            "doc_id", "source", F.md5(F.col("norm")).alias("digest")
+        )
+    )
+    keepers = d.groupBy("digest").agg(F.min("doc_id").alias("keep_doc_id"))
+    return (
+        d.join(keepers, "digest")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("digest").alias("n_distinct_texts"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("keep_doc_id"), 1).otherwise(0)
+            ).alias("n_exact_dups"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct_texts",
+            "n_exact_dups",
+            roundn(
+                F.col("n_exact_dups").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DUPLICATE_RATE_BY_SOURCE = f"""
+WITH {DUCK_DOCS_CTE},
+d AS (SELECT doc_id, source, md5(norm) AS digest FROM sh_t),
+keepers AS (SELECT digest, min(doc_id) AS keep_doc_id FROM d GROUP BY digest)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT digest) AS BIGINT) AS n_distinct_texts,
+       CAST(sum(CASE WHEN doc_id <> keep_doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+       {sql_roundn('CAST(sum(CASE WHEN doc_id <> keep_doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*)', 6)} AS dup_rate
+FROM d JOIN keepers USING (digest)
+GROUP BY source
+ORDER BY source"""

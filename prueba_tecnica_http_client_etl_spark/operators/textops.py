@@ -379,3 +379,152 @@ ORDER BY source"""
 
 
 SQL_CORPUS_MIX = _sql_corpus_mix()
+
+
+# --- cross-source shingle overlap (contamination-between-splits audit) -------
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shingle-set overlap between sources — the audit real
+    pipelines run before declaring train/validation splits independent
+    (a high-Jaccard source pair means one split leaks into the other;
+    the doc-level twin is contamination_check).
+
+    Plan shape at 100 TB: the corpus collapses to DISTINCT (source,
+    shingle-hash) postings first — one shuffle whose payload is an
+    8-byte u60 hash per posting, never text. The pair join is an
+    equi-join on the hash; a shingle shared by k sources emits k(k-1)/2
+    pairs, bounded by |sources|^2 per shingle (|sources| is small and
+    fixed), so the join output is O(|postings| * |sources|) worst-case,
+    not quadratic in docs. Per-source totals are |sources| rows,
+    broadcast back for the Jaccard denominator. Exact BIGINT counts up
+    to one final division.
+
+    Reference: no counterpart (/root/reference never joins two datasets,
+    SURVEY.md §2.6); extension surface per the driver's
+    training-data-pipeline mandate."""
+    from ..functions.cachepool import managed_persist
+
+    ps = managed_persist(
+        docs_normalized(spark, sf_dir)
+        .select("source", F.explode("sh").alias("s"))
+        .select("source", F.expr(tp.spark_u60_of("concat('sh:', s)")).alias("h"))
+        .distinct()
+    )
+    tot = ps.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = ps.alias("a")
+    b = ps.alias("b")
+    pairs = (
+        a.join(b, F.col("a.h") == F.col("b.h"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ta = F.broadcast(tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_a")))
+    tb = F.broadcast(tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_b")))
+    return (
+        pairs.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            roundn(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SQL_SOURCE_OVERLAP_MATRIX = f"""
+WITH {DUCK_DOCS_CTE},
+ex AS (
+  SELECT DISTINCT source, {tp.duck_u60_of("'sh:' || s")} AS h
+  FROM (SELECT source, unnest(sh) AS s FROM sh_t)
+),
+tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM ex a JOIN ex b USING (h)
+  WHERE a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, ta.n AS n_a, tb.n AS n_b, n_common,
+       {sql_roundn('CAST(n_common AS DOUBLE) / (ta.n + tb.n - n_common)', 6)} AS jaccard
+FROM pairs
+JOIN tot ta ON ta.source = source_a
+JOIN tot tb ON tb.source = source_b
+ORDER BY source_a, source_b"""
+
+
+# --- unigram-frequency commonness score (LM-perplexity proxy tier) -----------
+
+
+def doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean corpus frequency of its tokens — the exact-
+    arithmetic stand-in for the unigram-LM log-prob filter real curation
+    stacks run (CCNet-style: docs whose tokens are globally rare are
+    disproportionately OCR noise/garble; docs of only ultra-common
+    tokens are boilerplate). Downstream gates cut both tails.
+
+    Plan shape at 100 TB: token occurrences partial-aggregate to
+    (doc_id, tok, n) — shuffle keyed on a well-distributed composite —
+    then the |vocab|-row frequency table joins on tok. That join is the
+    classic skew point (stopwords live in every doc): the frequency side
+    is one row per distinct token, so AQE's skew-join split handles the
+    occurrence side, and the per-doc re-aggregation shuffles |docs|
+    partial sums. Exact BIGINT totals up to one final division.
+
+    Reference: no counterpart; quality tier alongside quality_score
+    (hashed classifier) and repetition_score (intra-doc)."""
+    from ..functions.cachepool import managed_persist
+
+    occ = managed_persist(
+        docs_normalized(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = occ.groupBy("tok").agg(F.sum("n").alias("tok_freq"))
+    return (
+        occ.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("tok_freq")).alias("freq_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "freq_sum",
+            roundn(F.col("freq_sum").cast("double") / F.col("n_tokens"), 4).alias(
+                "mean_tok_freq"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_COMMONNESS = f"""
+WITH {DUCK_DOCS_CTE},
+occ AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM sh_t)
+  GROUP BY doc_id, tok
+),
+vocab AS (SELECT tok, CAST(sum(n) AS BIGINT) AS tok_freq FROM occ GROUP BY tok)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(sum(n * tok_freq) AS BIGINT) AS freq_sum,
+       {sql_roundn('CAST(sum(n * tok_freq) AS DOUBLE) / sum(n)', 4)} AS mean_tok_freq
+FROM occ JOIN vocab USING (tok)
+GROUP BY doc_id
+ORDER BY doc_id"""

@@ -179,6 +179,9 @@ _LLM_PIPELINE = [
     ("bpe_pair_counts", corpus.bpe_pair_counts, corpus.SQL_BPE_PAIR_COUNTS),
     ("domain_mixture_plan", corpus.domain_mixture_plan, corpus.SQL_DOMAIN_MIXTURE_PLAN),
     ("dedup_survivors", curation.dedup_survivors, curation.SQL_DEDUP_SURVIVORS),
+    ("source_overlap_matrix", textops.source_overlap_matrix, textops.SQL_SOURCE_OVERLAP_MATRIX),
+    ("doc_commonness", textops.doc_commonness, textops.SQL_DOC_COMMONNESS),
+    ("duplicate_rate_by_source", dedup.duplicate_rate_by_source, dedup.SQL_DUPLICATE_RATE_BY_SOURCE),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:

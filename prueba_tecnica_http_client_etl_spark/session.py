@@ -39,7 +39,11 @@ def get_spark(app_name: str = "prueba-tecnica-etl-spark", *, shuffle_partitions:
         # build so table loads never mutate shared session conf mid-query.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Single-JVM local mode: the driver heap IS the executor heap. 16g on
+        # the 128 GiB harness box keeps 32 concurrent tasks' join/sort buffers
+        # out of GC churn — suite timings showed intermittent multi-second
+        # pauses (different victim queries each run) at 8g.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

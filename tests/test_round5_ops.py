@@ -78,3 +78,65 @@ def test_dedup_survivors_one_keeper_per_cluster_best_score(spark):
     # components output
     comp_ids = {r.doc_id for r in dedup_components(spark, SF_SMOKE).collect()}
     assert {r.doc_id for r in rows} == comp_ids
+
+
+def test_source_overlap_matrix_symmetric_bounds(spark):
+    from prueba_tecnica_http_client_etl_spark.operators.textops import (
+        source_overlap_matrix,
+    )
+
+    df = source_overlap_matrix(spark, SF_SMOKE)
+    # the per-source totals are tiny dims: both sides must broadcast
+    plan = _physical(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    rows = df.collect()
+    assert rows, "no overlapping source pairs at smoke scale"
+    for r in rows:
+        assert r.source_a < r.source_b, r
+        assert 0 < r.n_common <= min(r.n_a, r.n_b), r
+        denom = r.n_a + r.n_b - r.n_common
+        assert abs(r.jaccard - r.n_common / denom) < 1e-6, r
+    # ordered pairs are unique
+    keys = [(r.source_a, r.source_b) for r in rows]
+    assert len(keys) == len(set(keys))
+
+
+def test_doc_commonness_exact_totals(spark):
+    from prueba_tecnica_http_client_etl_spark.operators.textops import doc_commonness
+    from prueba_tecnica_http_client_etl_spark.operators.dedup import docs_normalized
+
+    rows = doc_commonness(spark, SF_SMOKE).collect()
+    docs = {
+        r.doc_id: r.toks
+        for r in docs_normalized(spark, SF_SMOKE).select("doc_id", "toks").collect()
+    }
+    assert {r.doc_id for r in rows} == set(docs)
+    # recompute the exact-integer contract in plain Python
+    from collections import Counter
+
+    vocab = Counter(t for toks in docs.values() for t in toks)
+    for r in rows:
+        toks = docs[r.doc_id]
+        assert r.n_tokens == len(toks), r
+        assert r.freq_sum == sum(vocab[t] for t in toks), r
+        assert abs(r.mean_tok_freq - r.freq_sum / r.n_tokens) < 1e-3, r
+
+
+def test_duplicate_rate_by_source_against_exact_dedup(spark):
+    from prueba_tecnica_http_client_etl_spark.operators.dedup import (
+        dedup_exact,
+        duplicate_rate_by_source,
+        docs_normalized,
+    )
+
+    rows = duplicate_rate_by_source(spark, SF_SMOKE).collect()
+    n_docs_total = docs_normalized(spark, SF_SMOKE).count()
+    exact = dedup_exact(spark, SF_SMOKE).collect()
+    # cross-operator invariant: total dups == sum over digests of (n-1)
+    total_dups_expected = sum(r.n_copies - 1 for r in exact)
+    assert sum(r.n_exact_dups for r in rows) == total_dups_expected
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    for r in rows:
+        assert 0 <= r.n_exact_dups < r.n_docs, r
+        assert r.n_distinct_texts + r.n_exact_dups >= r.n_docs, r
+        assert abs(r.dup_rate - r.n_exact_dups / r.n_docs) < 1e-6, r
