@@ -447,7 +447,23 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import dedup_components
 
     comp = dedup_components(spark, sf_dir)
-    members = docs_normalized(spark, sf_dir).select("doc_id", "toks").join(comp, "doc_id")
+    # Prune BEFORE tokenizing: join the raw corpus to cluster membership
+    # first, so the interpreted norm/toks lambdas run over |members| docs
+    # only (Catalyst won't reorder a join below a computed projection on
+    # its own). Persist the members frame — the scoring branch and the
+    # output branch both read it, and without the persist the entire
+    # iterative components pipeline upstream would execute twice.
+    from ..functions import textprep as tp
+    from ..functions.cachepool import managed_persist
+    from ..schemas import load_table
+
+    members = managed_persist(
+        load_table(spark, sf_dir, "documents")
+        .join(comp, "doc_id")
+        .withColumn("norm", F.expr(tp.SPARK_NORM))
+        .withColumn("toks", F.expr(tp.SPARK_TOKS))
+        .select("doc_id", "component_id", "toks")
+    )
     scores = classifier_scores(members)
     w_cnt = Window.partitionBy("component_id")
     w_rank = Window.partitionBy("component_id").orderBy(F.desc("score"), "doc_id")

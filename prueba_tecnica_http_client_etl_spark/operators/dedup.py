@@ -126,20 +126,14 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs via MinHash-LSH banding, verified with exact
-    shingle Jaccard >= 0.5. Output: (doc_a, doc_b, jaccard).
-
-    Both the shingle table and the signature table are persisted: the
-    shingle set feeds both sides of the verify join (and the signature
-    build), the signatures feed both sides of the band self-join —
-    without the persists Spark recomputes shingling+hashing once per
-    branch. At 100 TB both are materialized pipeline stages (tiny next
-    to the corpus: 16 longs + shingle set per doc). Both persists are
-    pool-managed: released when the next registry query runs."""
-    sh = managed_persist(docs_normalized(spark, sf_dir).select("doc_id", "sh"))
-    mh = managed_persist(_minhash_signatures(sh))
-    bands = mh.select(
+def band_table(mh: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) from a 16-column minhash signature
+    frame — the LSH probe/index key table. One generator row per band;
+    band hashes are md5 over the band's minhash values, so the table is a
+    pure function of the text (deterministic across engines, partitions,
+    and retries). Shared by the self-join pair finder, the incremental
+    prober, and the persisted-index lifecycle (plans/lsh_index.py)."""
+    return mh.select(
         "doc_id",
         F.explode(
             F.array(
@@ -153,6 +147,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH banding, verified with exact
+    shingle Jaccard >= 0.5. Output: (doc_a, doc_b, jaccard).
+
+    Both the shingle table and the signature table are persisted: the
+    shingle set feeds both sides of the verify join (and the signature
+    build), the signatures feed both sides of the band self-join —
+    without the persists Spark recomputes shingling+hashing once per
+    branch. At 100 TB both are materialized pipeline stages (tiny next
+    to the corpus: 16 longs + shingle set per doc). Both persists are
+    pool-managed: released when the next registry query runs."""
+    sh = managed_persist(docs_normalized(spark, sf_dir).select("doc_id", "sh"))
+    mh = managed_persist(_minhash_signatures(sh))
+    bands = band_table(mh)
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -542,22 +552,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     mh = _minhash_signatures(docs)
-    bands_all = managed_persist(
-        mh.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_idx"),
-                            F.expr(tp.spark_band_hash(b)).alias("band_hash"),
-                        )
-                        for b in range(tp.LSH_BANDS)
-                    ]
-                )
-            ).alias("band"),
-        ).select("doc_id", "band.band_idx", "band.band_hash")
-    )
+    bands_all = managed_persist(band_table(mh))
     bands_in = bands_all.filter(is_incoming).withColumnRenamed("doc_id", "doc_in")
     bands_ix = bands_all.filter(~is_incoming).withColumnRenamed("doc_id", "doc_ix")
 
@@ -684,9 +679,17 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside the first round's count — one fewer action barrier than an
     # eager labels.count() here); the pool releases it with the rest.
     adopt(pairs)
-    # one action per round: the changed-count materializes the persisted
-    # `updated` frame, and the next round's `labels` is a lazy projection
-    # over that same cache — no second count, no second persist.
+    # Each round ends in localCheckpoint(eager): it materializes the round
+    # (the subsequent changed-count reads the cached blocks) AND truncates
+    # the LOGICAL plan to a LogicalRDD scan. Persist alone is not enough:
+    # it caches physical data but Catalyst still carries the full nested
+    # round-over-round tree, which doubles per round — by convergence a
+    # returned frame embedded thousands of parquet-scan nodes and every
+    # downstream action paid seconds of driver-side PLANNING on a
+    # 473-row table (and any consumer referencing the result twice,
+    # e.g. dedup_survivors, doubled it again). At cluster scale this is
+    # the same pattern as GraphFrames' iteration checkpointing, with
+    # checkpoint-to-storage the durable variant.
     backing = labels
     while True:
         neigh = (
@@ -703,7 +706,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 (F.col("neigh_min") < F.col("component_id")).alias("changed"),
             )
-            .persist()
+            .localCheckpoint()
         )
         n_changed = updated.filter(F.col("changed")).count()
         labels = updated.select("doc_id", "component_id")
@@ -711,11 +714,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         backing = updated
         if n_changed == 0:
             break
-    # the final round's `updated` stays persisted (materialized by its
-    # count) and backs the returned frame; the pool releases it when the
-    # next registry query runs.
+    # NOT pooled: a checkpointed frame's blocks are its ONLY source (no
+    # lineage to recompute from), so the cachepool's unpersist-is-always-
+    # safe contract does not cover it. The label table is tiny (clustered
+    # docs only); the ContextCleaner frees the blocks when the frame is
+    # garbage-collected.
     edges.unpersist()
-    adopt(backing)
     return labels.orderBy("doc_id").select("doc_id", "component_id")
 
 

@@ -390,36 +390,43 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a high-Jaccard source pair means one split leaks into the other;
     the doc-level twin is contamination_check).
 
-    Plan shape at 100 TB: the corpus collapses to DISTINCT (source,
-    shingle-hash) postings first — one shuffle whose payload is an
-    8-byte u60 hash per posting, never text. The pair join is an
-    equi-join on the hash; a shingle shared by k sources emits k(k-1)/2
-    pairs, bounded by |sources|^2 per shingle (|sources| is small and
-    fixed), so the join output is O(|postings| * |sources|) worst-case,
-    not quadratic in docs. Per-source totals are |sources| rows,
-    broadcast back for the Jaccard denominator. Exact BIGINT counts up
-    to one final division.
+    Plan shape at 100 TB: the corpus collapses to one grouped row per
+    distinct shingle hash — the groupBy carries an 8-byte u60 key and
+    collect_set over the (small, fixed) source label set, never text.
+    Pairs are generated JVM-side from each shingle's sorted source set
+    (k sources -> k(k-1)/2 structs, bounded by |sources|^2 per row) and
+    partial-aggregate per pair, so no shingle-keyed JOIN ever
+    materializes the pair blowup through a shuffle — a postings
+    self-join on the hash was measured 10x slower at sf0.1 for exactly
+    that reason. Per-source totals come from the same grouped table;
+    the |sources|-row totals broadcast back for the Jaccard
+    denominator. Exact BIGINT counts up to one final division.
 
     Reference: no counterpart (/root/reference never joins two datasets,
     SURVEY.md §2.6); extension surface per the driver's
     training-data-pipeline mandate."""
     from ..functions.cachepool import managed_persist
 
-    ps = managed_persist(
+    grouped = managed_persist(
         docs_normalized(spark, sf_dir)
-        .select("source", F.explode("sh").alias("s"))
+        .select("source", F.explode_outer("sh").alias("s"))
         .select("source", F.expr(tp.spark_u60_of("concat('sh:', s)")).alias("h"))
-        .distinct()
+        .groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
     )
-    tot = ps.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    a = ps.alias("a")
-    b = ps.alias("b")
+    tot = (
+        grouped.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pair_expr = (
+        "flatten(transform(srcs, (x, i) -> "
+        "transform(slice(srcs, i + 2, size(srcs)), y -> struct(x AS a, y AS b))))"
+    )
     pairs = (
-        a.join(b, F.col("a.h") == F.col("b.h"))
-        .filter(F.col("a.source") < F.col("b.source"))
-        .groupBy(
-            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
-        )
+        grouped.select(F.explode_outer(F.expr(pair_expr)).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .groupBy(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     ta = F.broadcast(tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_a")))
@@ -489,7 +496,7 @@ def doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     occ = managed_persist(
         docs_normalized(spark, sf_dir)
-        .select("doc_id", F.explode("toks").alias("tok"))
+        .select("doc_id", F.explode_outer("toks").alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )

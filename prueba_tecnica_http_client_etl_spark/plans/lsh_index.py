@@ -1,0 +1,149 @@
+"""Persisted MinHash-LSH dedup index lifecycle — the production shape of
+incremental deduplication.
+
+`operators/dedup.py::dedup_incremental` demonstrates the probe DIRECTION
+(new batch vs existing corpus) but, as a self-contained registry query, it
+rebuilds the corpus-side signatures on every call. A real crawler ingest
+loop builds the index ONCE and amortizes it over every subsequent batch:
+
+    build_lsh_index(corpus_docs, prefix="corpus")     # once / on compaction
+    probe_lsh_index(spark, batch_docs, prefix="corpus")  # per batch
+
+Three catalog tables, each bucketed on its probe key so every per-batch
+join reads the index pre-partitioned (no index-side shuffle, ever):
+
+- `{prefix}_digests` (digest, doc_id)            bucketed by digest
+- `{prefix}_bands`   (doc_id, band_idx, band_hash) bucketed by band_hash
+- `{prefix}_shingles`(doc_id, sh)                bucketed by doc_id
+
+At 100 TB the index tables are tiny next to the corpus (a 16-byte digest,
+4 band rows, and one shingle-hash set per doc) and per-batch probe cost is
+|batch| x bands lookups — independent of corpus size. Bucket count should
+be sized so one bucket of `{prefix}_shingles` fits executor memory
+(plans/layout.py::write_bucketed discusses the arithmetic).
+
+Reference: no counterpart (/root/reference has no duplicate concept and no
+persistence beyond per-run CSV, SURVEY.md §2.6); this is the §2.8 dedup
+tier's index-lifecycle completion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    MINHASH_JACCARD_THRESHOLD,
+    _minhash_signatures,
+    band_table,
+)
+from .layout import write_bucketed
+
+
+def _prepped(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh, digest) from a (doc_id, norm, sh) frame."""
+    return docs.select("doc_id", "sh", F.md5(F.col("norm")).alias("digest"))
+
+
+def build_lsh_index(docs: DataFrame, *, prefix: str, n_buckets: int = 8) -> None:
+    """Materialize the three index tables for `docs` (doc_id, norm, sh).
+
+    One pass computes digests and signatures; each table is written
+    bucketed on the key its probe joins on. Rebuild-in-place is safe:
+    saveAsTable(overwrite) swaps atomically at the catalog level, and an
+    ORPHANED location (a crashed build left files but no catalog entry,
+    so overwrite has nothing to overwrite and refuses the non-empty dir)
+    is detected and cleared first."""
+    spark = docs.sparkSession
+    for suffix in ("digests", "bands", "shingles"):
+        name = f"{prefix}_{suffix}"
+        if not spark.catalog.tableExists(name):
+            # catalog-unknown table: clear any orphaned managed location
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+            shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+    d = _prepped(docs).persist()
+    try:
+        write_bucketed(
+            d.select("digest", "doc_id"),
+            f"{prefix}_digests",
+            bucket_cols=["digest"],
+            n_buckets=n_buckets,
+        )
+        write_bucketed(
+            band_table(_minhash_signatures(d)),
+            f"{prefix}_bands",
+            bucket_cols=["band_hash"],
+            n_buckets=n_buckets,
+        )
+        write_bucketed(
+            d.select("doc_id", "sh"),
+            f"{prefix}_shingles",
+            bucket_cols=["doc_id"],
+            n_buckets=n_buckets,
+        )
+    finally:
+        d.unpersist()
+
+
+def probe_lsh_index(spark: SparkSession, batch: DataFrame, *, prefix: str) -> DataFrame:
+    """Verdict per batch doc against the persisted index: `exact_dup`
+    (digest already indexed), `near_dup` (banded candidate verified at
+    exact shingle Jaccard >= threshold), else `novel`. Output matches
+    dedup_incremental: (doc_id, verdict, n_near_candidates).
+
+    Only the batch side shuffles: the digest semi-probe, the band
+    candidate join, and the shingle verify join each hit a table bucketed
+    on that exact key. Candidates are verified with exact Jaccard before
+    they can demote a doc — banding is a recall device, never the
+    decision."""
+    from ..functions.cachepool import managed_persist
+
+    inc = managed_persist(_prepped(batch))
+
+    digests = spark.table(f"{prefix}_digests")
+    exact_hits = (
+        inc.join(digests.select("digest").distinct(), "digest")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_exact", F.lit(1))
+    )
+
+    bands_in = band_table(_minhash_signatures(inc)).withColumnRenamed("doc_id", "doc_in")
+    bands_ix = spark.table(f"{prefix}_bands").withColumnRenamed("doc_id", "doc_ix")
+    cand = (
+        bands_in.join(bands_ix, ["band_idx", "band_hash"])
+        .select("doc_in", "doc_ix")
+        .distinct()
+    )
+
+    x = inc.select(F.col("doc_id").alias("doc_in"), F.col("sh").alias("sh_in"))
+    y = spark.table(f"{prefix}_shingles").select(
+        F.col("doc_id").alias("doc_ix"), F.col("sh").alias("sh_ix")
+    )
+    jac = F.size(F.array_intersect("sh_in", "sh_ix")).cast("double") / F.size(
+        F.array_union("sh_in", "sh_ix")
+    )
+    near_hits = (
+        cand.join(x, "doc_in")
+        .join(y, "doc_ix")
+        .filter(jac >= MINHASH_JACCARD_THRESHOLD)
+        .groupBy(F.col("doc_in").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    return (
+        inc.select("doc_id")
+        .join(exact_hits, "doc_id", "left")
+        .join(near_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact") == 1, F.lit("exact_dup"))
+            .when(F.col("n_near") > 0, F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near_candidates"),
+        )
+        .orderBy("doc_id")
+    )
