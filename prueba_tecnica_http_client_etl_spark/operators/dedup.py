@@ -946,3 +946,49 @@ SELECT source,
 FROM d JOIN keepers USING (digest)
 GROUP BY source
 ORDER BY source"""
+
+
+# --- duplicate-cluster size distribution -------------------------------------
+
+
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of near-duplicate cluster sizes — the audit row that
+    tells a curation run whether its duplication is pairwise noise
+    (sizes ~2) or template families (heavy tail), which decides whether
+    keep-best-copy (dedup_survivors) or drop-whole-cluster is the right
+    policy. Composes dedup_components; its label table is
+    lineage-truncated (localCheckpoint), so this is two tiny aggregates
+    over |clustered docs| rows on top of the shared LSH pipeline.
+
+    Reference: no counterpart (SURVEY.md §2.6); §2.8 dedup audit tier."""
+    sizes = (
+        dedup_components(spark, sf_dir)
+        .groupBy("component_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _sql_dedup_cluster_sizes() -> str:
+    return f"""
+WITH comp AS (SELECT * FROM ({SQL_DEDUP_COMPONENTS})),
+sizes AS (
+  SELECT component_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY component_id
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+FROM sizes
+GROUP BY cluster_size
+ORDER BY cluster_size"""
+
+
+SQL_DEDUP_CLUSTER_SIZES = _sql_dedup_cluster_sizes()

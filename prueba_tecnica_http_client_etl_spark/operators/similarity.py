@@ -584,7 +584,11 @@ def _recall_vs_exact(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
     quantized frame is built and persisted ONCE and shared by both tiers
     (pool-managed: released when the next registry query runs)."""
     emb = managed_persist(_quantized(spark, sf_dir))
-    exact = ann_cosine_topk(spark, sf_dir, emb=emb).select("query_id", "neighbor_id")
+    # the exact tier feeds BOTH the hits join and the denominator — persist
+    # its (tiny) top-k output or the brute-force matmul executes twice
+    exact = managed_persist(
+        ann_cosine_topk(spark, sf_dir, emb=emb).select("query_id", "neighbor_id")
+    )
     approx = approx_fn(spark, sf_dir, emb=emb).select("query_id", "neighbor_id")
     hits = (
         exact.join(approx, ["query_id", "neighbor_id"])

@@ -182,6 +182,7 @@ _LLM_PIPELINE = [
     ("source_overlap_matrix", textops.source_overlap_matrix, textops.SQL_SOURCE_OVERLAP_MATRIX),
     ("doc_commonness", textops.doc_commonness, textops.SQL_DOC_COMMONNESS),
     ("duplicate_rate_by_source", dedup.duplicate_rate_by_source, dedup.SQL_DUPLICATE_RATE_BY_SOURCE),
+    ("dedup_cluster_sizes", dedup.dedup_cluster_sizes, dedup.SQL_DEDUP_CLUSTER_SIZES),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:

@@ -140,3 +140,21 @@ def test_duplicate_rate_by_source_against_exact_dedup(spark):
         assert 0 <= r.n_exact_dups < r.n_docs, r
         assert r.n_distinct_texts + r.n_exact_dups >= r.n_docs, r
         assert abs(r.dup_rate - r.n_exact_dups / r.n_docs) < 1e-6, r
+
+
+def test_dedup_cluster_sizes_consistent_with_components(spark):
+    from collections import Counter
+
+    from prueba_tecnica_http_client_etl_spark.operators.dedup import (
+        dedup_cluster_sizes,
+        dedup_components,
+    )
+
+    rows = dedup_cluster_sizes(spark, SF_SMOKE).collect()
+    comp = dedup_components(spark, SF_SMOKE).collect()
+    sizes = Counter(Counter(r.component_id for r in comp).values())
+    assert {r.cluster_size: r.n_clusters for r in rows} == dict(sizes)
+    for r in rows:
+        assert r.cluster_size >= 2  # a cluster needs at least one dup pair
+        assert r.n_docs == r.cluster_size * r.n_clusters
+    assert sum(r.n_docs for r in rows) == len(comp)

@@ -1,0 +1,55 @@
+"""Training-shard writer (plans/shards.py): written shards must conserve
+the packed table's content, respect the per-file bin cap, and the manifest
+must index every shard."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from prueba_tecnica_http_client_etl_spark.operators.corpus import sequence_pack_ids
+from prueba_tecnica_http_client_etl_spark.plans import shards as SH
+from tests.conftest import SF_SMOKE
+
+
+def test_shards_round_trip_and_manifest(spark, tmp_path):
+    packed = sequence_pack_ids(spark, SF_SMOKE)
+    rows = packed.collect()
+    expected = sorted(tuple(r) for r in rows)
+    out = str(tmp_path / "shards")
+    SH.write_packed_shards(packed, out, max_bins_per_file=4)
+
+    # content conservation: re-read equals the packed table exactly
+    back = spark.read.parquet(out).select(*[c for c, _ in packed.dtypes])
+    assert sorted(tuple(r) for r in back.collect()) == expected
+
+    man = SH.shard_manifest(spark, out).collect()
+    # per-file bin cap respected, and sharding actually split the data
+    assert all(r.n_bins <= 4 for r in man), man
+    per_source_shards = defaultdict(set)
+    for r in man:
+        per_source_shards[r.source].add(r.shard)
+    bins_by_source = defaultdict(int)
+    for r in rows:
+        bins_by_source[r.source] += 1
+    for src, n_bins in bins_by_source.items():
+        if n_bins > 4:
+            assert len(per_source_shards[src]) > 1, (src, n_bins)
+
+    # manifest totals == packed totals, per source
+    tok_by_source = defaultdict(int)
+    oov_by_source = defaultdict(int)
+    for r in rows:
+        tok_by_source[r.source] += r.n_tokens_bin
+        oov_by_source[r.source] += r.n_oov_bin
+    man_tok = defaultdict(int)
+    man_oov = defaultdict(int)
+    man_bins = defaultdict(int)
+    for r in man:
+        man_tok[r.source] += r.n_tokens
+        man_oov[r.source] += r.n_oov
+        man_bins[r.source] += r.n_bins
+    assert dict(man_tok) == dict(tok_by_source)
+    assert dict(man_oov) == dict(oov_by_source)
+    assert dict(man_bins) == dict(bins_by_source)
+    # bin ranges within a file are coherent
+    assert all(r.bin_lo <= r.bin_hi for r in man)
