@@ -420,6 +420,79 @@ ORDER BY r.doc_id"""
 SQL_QUALITY_SCORE = _sql_quality_score()
 
 
+# --- per-source PII exposure audit -------------------------------------------
+
+
+def pii_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingest-feed PII exposure rates — the dashboard row compliance
+    reviews read ("feed X leaks emails at 2x the corpus rate") and the
+    trigger for feed-level re-crawls with stricter scrubbing. Same match
+    classes as pii_scrub, rolled up per source.
+
+    Plan shape at 100 TB: the regex counts are map-side projections at
+    scan speed; the rollup partial-aggregates to |sources| rows — the
+    document text never shuffles. Exact BIGINT counts up to the one
+    final rate division.
+
+    Reference: no counterpart (SURVEY.md §2.6); audit tier over
+    pii_scrub's match classes."""
+    d = docs_normalized(spark, sf_dir).withColumn("dirty", _dirty_col())
+    counts = d.select(
+        "source",
+        F.regexp_count(F.col("dirty"), F.lit(EMAIL_RE)).cast("long").alias("e"),
+        F.regexp_count(F.col("dirty"), F.lit(PHONE_RE)).cast("long").alias("p"),
+        F.regexp_count(F.col("dirty"), F.lit(IP_RE)).cast("long").alias("i"),
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("e").alias("n_emails"),
+            F.sum("p").alias("n_phones"),
+            F.sum("i").alias("n_ips"),
+            F.sum(((F.col("e") + F.col("p") + F.col("i")) > 0).cast("long")).alias(
+                "n_docs_with_pii"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_emails",
+            "n_phones",
+            "n_ips",
+            "n_docs_with_pii",
+            roundn(
+                F.col("n_docs_with_pii").cast("double") / F.col("n_docs"), 6
+            ).alias("pii_doc_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_PII_STATS_BY_SOURCE = f"""
+WITH {DUCK_DOCS_CTE},
+dirty_t AS (
+  SELECT doc_id, source, {_sql_dirty()} AS dirty FROM sh_t
+),
+c AS (
+  SELECT source,
+         len(regexp_extract_all(dirty, '{EMAIL_RE}'))::BIGINT AS e,
+         len(regexp_extract_all(dirty, '{PHONE_RE}'))::BIGINT AS p,
+         len(regexp_extract_all(dirty, '{IP_RE}'))::BIGINT AS i
+  FROM dirty_t
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(e) AS BIGINT) AS n_emails,
+       CAST(sum(p) AS BIGINT) AS n_phones,
+       CAST(sum(i) AS BIGINT) AS n_ips,
+       CAST(sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+       {sql_roundn('CAST(sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)', 6)} AS pii_doc_rate
+FROM c
+GROUP BY source
+ORDER BY source"""
+
+
 # --- quality-aware duplicate-cluster survivor selection ----------------------
 
 

@@ -535,3 +535,62 @@ SELECT doc_id,
 FROM occ JOIN vocab USING (tok)
 GROUP BY doc_id
 ORDER BY doc_id"""
+
+
+# --- language-ID confusion matrix --------------------------------------------
+
+
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled-vs-predicted language confusion matrix over lang_id's
+    marker-lexicon classifier — the evaluation a pipeline runs before
+    trusting a language filter to route documents (per-cell counts +
+    per-labeled-class rates expose which languages leak into which).
+
+    Plan shape at 100 TB: the classifier is a map-side projection
+    (lang_id); the matrix is one partial-aggregated groupBy over
+    (labeled, predicted) — |langs|^2 cells max; the per-class totals
+    come from a broadcast-joined |langs|-row rollup of the same cells.
+    Exact BIGINT counts up to one final division.
+
+    Reference: no counterpart (SURVEY.md §2.6); audit tier over
+    lang_id."""
+    from ..functions.cachepool import managed_persist
+
+    cells = managed_persist(
+        lang_id(spark, sf_dir)
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    totals = cells.groupBy("labeled_lang").agg(F.sum("n_docs").alias("n_labeled"))
+    return (
+        cells.join(F.broadcast(totals), "labeled_lang")
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n_docs",
+            roundn(F.col("n_docs").cast("double") / F.col("n_labeled"), 6).alias(
+                "rate_in_class"
+            ),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+def _sql_lang_confusion() -> str:
+    return f"""
+WITH pred AS ({SQL_LANG_ID}),
+cells AS (
+  SELECT labeled_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY labeled_lang, predicted_lang
+),
+tot AS (
+  SELECT labeled_lang, CAST(sum(n_docs) AS BIGINT) AS n_labeled
+  FROM cells GROUP BY labeled_lang
+)
+SELECT labeled_lang, predicted_lang, n_docs,
+       {sql_roundn('CAST(n_docs AS DOUBLE) / n_labeled', 6)} AS rate_in_class
+FROM cells JOIN tot USING (labeled_lang)
+ORDER BY labeled_lang, predicted_lang"""
+
+
+SQL_LANG_CONFUSION = _sql_lang_confusion()

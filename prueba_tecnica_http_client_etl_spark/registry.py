@@ -183,6 +183,8 @@ _LLM_PIPELINE = [
     ("doc_commonness", textops.doc_commonness, textops.SQL_DOC_COMMONNESS),
     ("duplicate_rate_by_source", dedup.duplicate_rate_by_source, dedup.SQL_DUPLICATE_RATE_BY_SOURCE),
     ("dedup_cluster_sizes", dedup.dedup_cluster_sizes, dedup.SQL_DEDUP_CLUSTER_SIZES),
+    ("pii_stats_by_source", curation.pii_stats_by_source, curation.SQL_PII_STATS_BY_SOURCE),
+    ("lang_confusion", textops.lang_confusion, textops.SQL_LANG_CONFUSION),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:

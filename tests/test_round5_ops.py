@@ -158,3 +158,43 @@ def test_dedup_cluster_sizes_consistent_with_components(spark):
         assert r.cluster_size >= 2  # a cluster needs at least one dup pair
         assert r.n_docs == r.cluster_size * r.n_clusters
     assert sum(r.n_docs for r in rows) == len(comp)
+
+
+def test_pii_stats_by_source_totals_match_pii_scrub(spark):
+    from prueba_tecnica_http_client_etl_spark.operators.curation import (
+        pii_scrub,
+        pii_stats_by_source,
+    )
+
+    rows = pii_stats_by_source(spark, SF_SMOKE).collect()
+    docs = pii_scrub(spark, SF_SMOKE).collect()
+    assert sum(r.n_emails for r in rows) == sum(d.n_emails for d in docs)
+    assert sum(r.n_phones for r in rows) == sum(d.n_phones for d in docs)
+    assert sum(r.n_ips for r in rows) == sum(d.n_ips for d in docs)
+    n_with = sum(1 for d in docs if d.n_emails + d.n_phones + d.n_ips > 0)
+    assert sum(r.n_docs_with_pii for r in rows) == n_with
+    for r in rows:
+        assert 0 <= r.n_docs_with_pii <= r.n_docs
+        assert abs(r.pii_doc_rate - r.n_docs_with_pii / r.n_docs) < 1e-6
+
+
+def test_lang_confusion_is_complete_partition(spark):
+    from collections import Counter
+
+    from prueba_tecnica_http_client_etl_spark.operators.textops import (
+        lang_confusion,
+        lang_id,
+    )
+
+    rows = lang_confusion(spark, SF_SMOKE).collect()
+    pred = lang_id(spark, SF_SMOKE).collect()
+    assert sum(r.n_docs for r in rows) == len(pred)
+    cells = Counter((p.labeled_lang, p.predicted_lang) for p in pred)
+    assert {(r.labeled_lang, r.predicted_lang): r.n_docs for r in rows} == dict(cells)
+    # per-labeled-class rates sum to 1
+    from collections import defaultdict
+
+    by_label = defaultdict(float)
+    for r in rows:
+        by_label[r.labeled_lang] += r.rate_in_class
+    assert all(abs(v - 1.0) < 1e-4 for v in by_label.values()), dict(by_label)
