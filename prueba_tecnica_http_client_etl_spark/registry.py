@@ -464,7 +464,12 @@ _PRIORITY_50 = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_components", "dedup_semantic", "dedup_lines", "dedup_substring",
     "dedup_embedding_cosine", "ann_cosine_topk",
-    "lsh_bucket_histogram", "ann_ivf_topk", "ann_lsh_topk", "ann_ivf_recall",
+    # dedup_incremental re-entered round 5 (it is the scale-story flagship
+    # the round-4 verdict's item 1 targeted; driver certification should
+    # track it) displacing the lsh_bucket_histogram diagnostics row — the
+    # histogram stays locally oracle-certified like every other
+    # out-of-window query.
+    "dedup_incremental", "ann_ivf_topk", "ann_lsh_topk", "ann_ivf_recall",
     "ann_lsh_recall", "embedding_centroids", "kmeans_embeddings",
     "text_stats", "token_counts", "lang_id", "doc_fingerprint",
     "tfidf_top_terms", "corpus_mix", "vocab_topk", "repetition_score",

@@ -99,3 +99,40 @@ def test_exact_percentile_parity_with_numpy(spark, vals):
     got = df.agg(F.percentile("x", F.lit(0.9)).alias("p")).first()["p"]
     want = float(np.percentile(np.array(vals, dtype="float64"), 90))
     assert got == want or abs(got - want) < 1e-9 * max(1.0, abs(want))
+
+# --- source_overlap_matrix's JVM-side pair generation -------------------------
+
+_src_lists = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=4), min_size=1, max_size=8, unique=True
+)
+
+
+@given(srcs=st.lists(_src_lists, min_size=1, max_size=12))
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_overlap_pair_expr_equals_combinations(spark, srcs):
+    """The flatten/transform/slice pair expression (textops.
+    source_overlap_matrix) must emit exactly itertools.combinations of
+    each sorted source set — the property the whole no-join rewrite
+    rests on."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    pair_expr = (
+        "flatten(transform(srcs, (x, i) -> "
+        "transform(slice(srcs, i + 2, size(srcs)), y -> struct(x AS a, y AS b))))"
+    )
+    df = spark.createDataFrame(
+        [(i, sorted(s)) for i, s in enumerate(srcs)], "row_id long, srcs array<string>"
+    )
+    got = {
+        (r.row_id, r.p.a, r.p.b)
+        for r in df.select("row_id", F.explode_outer(F.expr(pair_expr)).alias("p")).collect()
+        if r.p is not None
+    }
+    want = {
+        (i, a, b)
+        for i, s in enumerate(srcs)
+        for a, b in itertools.combinations(sorted(s), 2)
+    }
+    assert got == want
