@@ -227,3 +227,120 @@ SELECT doc_id,
          WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS fmt
 FROM meta
 ORDER BY doc_id"""
+
+
+# --- real-decoder statistics over synthesized uncompressed images ------------
+
+# Deterministic image geometry from doc_id — the DuckDB oracle recomputes
+# these arithmetically and NEVER parses bytes, so the query certifies that
+# the real header parser (decode_image) extracts exactly the dimensions the
+# payloads were built with.
+_IMG_W_MOD, _IMG_W_OFF = 29, 2
+_IMG_H_MOD, _IMG_H_OFF = 17, 2
+_TWO_BYTE_MOD = 5  # P6 payloads with doc_id % 5 == 0 use maxval 65535
+_COMMENT_MOD = 11  # PNM headers with doc_id % 11 == 0 carry a '#' comment
+_TOPDOWN_MOD = 7  # BMPs with doc_id % 7 == 0 use negative (top-down) height
+
+
+def build_image_payload(doc_id: int) -> bytes:
+    """Deterministic uncompressed image bytes for a doc_id: P6 PPM
+    (doc_id%3==0, two-byte samples every %5, header comments every %11),
+    P5 PGM (%3==1), or BMP 24bpp (%3==2, top-down rows every %7). Pixel
+    bytes are zeros — decode_image reads headers and validates lengths,
+    not pixels."""
+    import struct
+
+    w = doc_id % _IMG_W_MOD + _IMG_W_OFF
+    h = doc_id % _IMG_H_MOD + _IMG_H_OFF
+    k = doc_id % 3
+    if k in (0, 1):
+        magic, channels = (b"P6", 3) if k == 0 else (b"P5", 1)
+        maxval = 65535 if (k == 0 and doc_id % _TWO_BYTE_MOD == 0) else 255
+        comment = b"# synthetic geometry\n" if doc_id % _COMMENT_MOD == 0 else b""
+        header = magic + b"\n" + comment + f"{w} {h}\n{maxval}\n".encode()
+        n_pix = w * h * channels * (2 if maxval > 255 else 1)
+        return header + b"\x00" * n_pix
+    row = ((w * 3 + 3) // 4) * 4  # BMP rows pad to 4-byte boundaries
+    n_pix = row * h
+    height = -h if doc_id % _TOPDOWN_MOD == 0 else h
+    file_hdr = b"BM" + struct.pack("<IHHI", 54 + n_pix, 0, 0, 54)
+    info_hdr = struct.pack("<IiiHHIIiiII", 40, w, height, 1, 24, 0, n_pix, 2835, 2835, 0, 0)
+    return file_hdr + info_hdr + b"\x00" * n_pix
+
+
+def _decode_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows: dict[str, list] = {k: [] for k in ("doc_id", "fmt", "width", "height")}
+        for doc_id in pdf["doc_id"]:
+            meta = decode_image(build_image_payload(int(doc_id)))
+            rows["doc_id"].append(int(doc_id))
+            rows["fmt"].append(meta["fmt"])
+            rows["width"].append(meta["width"])
+            rows["height"].append(meta["height"])
+        yield pd.DataFrame(rows)
+
+
+_DECODE_STATS_SCHEMA = "doc_id long, fmt string, width int, height int"
+
+
+def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-format geometry statistics from the REAL pure-Python image
+    parser: every doc_id synthesizes an actual PPM/PGM/BMP binary
+    (comments, two-byte samples, top-down BMPs included), decode_image
+    parses it inside Arrow-batched mapInPandas, and the aggregate is
+    checked against an oracle that recomputes the geometry
+    arithmetically — if the parser mis-read any header field on any
+    payload, a count or pixel total would shift and the hash check
+    would fail.
+
+    Plan shape at 100 TB: payload build + decode are per-row Python over
+    Arrow batches after an explicit repartition (same discipline as
+    multimodal_meta); the aggregate partial-reduces to |formats| rows.
+    """
+    from ..functions.portable import roundn
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(default_parallelism(), F.col("doc_id"))
+    )
+    decoded = base.mapInPandas(_decode_stats_batches, _DECODE_STATS_SCHEMA)
+    return (
+        decoded.groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum(F.col("width").cast("long") * F.col("height").cast("long")).alias(
+                "total_pixels"
+            ),
+            F.sum("width").cast("long").alias("sum_width"),
+            F.max("height").cast("long").alias("max_height"),
+        )
+        .select(
+            "fmt",
+            "n_images",
+            "total_pixels",
+            roundn(F.col("sum_width").cast("double") / F.col("n_images"), 4).alias(
+                "avg_width"
+            ),
+            "max_height",
+        )
+        .orderBy("fmt")
+    )
+
+
+SQL_IMAGE_DECODE_STATS = f"""
+WITH g AS (
+  SELECT doc_id,
+         doc_id % {_IMG_W_MOD} + {_IMG_W_OFF} AS w,
+         doc_id % {_IMG_H_MOD} + {_IMG_H_OFF} AS h,
+         CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'pgm' ELSE 'bmp' END AS fmt
+  FROM documents
+)
+SELECT fmt,
+       count(*) AS n_images,
+       CAST(sum(w * h) AS BIGINT) AS total_pixels,
+       (floor((CAST(sum(w) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000) AS avg_width,
+       CAST(max(h) AS BIGINT) AS max_height
+FROM g
+GROUP BY fmt
+ORDER BY fmt"""

@@ -185,6 +185,7 @@ _LLM_PIPELINE = [
     ("dedup_cluster_sizes", dedup.dedup_cluster_sizes, dedup.SQL_DEDUP_CLUSTER_SIZES),
     ("pii_stats_by_source", curation.pii_stats_by_source, curation.SQL_PII_STATS_BY_SOURCE),
     ("lang_confusion", textops.lang_confusion, textops.SQL_LANG_CONFUSION),
+    ("image_decode_stats", multimodal.image_decode_stats, multimodal.SQL_IMAGE_DECODE_STATS),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:

@@ -198,3 +198,39 @@ def test_lang_confusion_is_complete_partition(spark):
     for r in rows:
         by_label[r.labeled_lang] += r.rate_in_class
     assert all(abs(v - 1.0) < 1e-4 for v in by_label.values()), dict(by_label)
+
+
+def test_image_decode_stats_real_parser_round_trip(spark):
+    from prueba_tecnica_http_client_etl_spark.operators.multimodal import (
+        _COMMENT_MOD,
+        _TOPDOWN_MOD,
+        _TWO_BYTE_MOD,
+        build_image_payload,
+        decode_image,
+        image_decode_stats,
+    )
+
+    # Python-level: every geometry variant round-trips through the real
+    # parser (comments, 2-byte samples, top-down BMPs, row padding)
+    for doc_id in list(range(0, 60)) + [3 * 5 * 7 * 11, 105, 210, 330]:
+        meta = decode_image(build_image_payload(doc_id))
+        assert meta["width"] == doc_id % 29 + 2, doc_id
+        assert meta["height"] == doc_id % 17 + 2, doc_id
+        k = doc_id % 3
+        assert meta["fmt"] == {0: "ppm", 1: "pgm", 2: "bmp"}[k], doc_id
+    # corrupted payloads must NOT silently parse
+    import pytest as _pytest
+
+    good = build_image_payload(0)
+    with _pytest.raises(ValueError):
+        decode_image(good[: len(good) // 2])  # truncated pixels
+    with _pytest.raises(ValueError):
+        decode_image(b"GIF89a not supported")
+
+    # Spark-level: the aggregate covers all three formats and every doc
+    rows = image_decode_stats(spark, SF_SMOKE).collect()
+    assert {r.fmt for r in rows} == {"ppm", "pgm", "bmp"}
+    from prueba_tecnica_http_client_etl_spark.schemas import load_table
+
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_images for r in rows) == n_docs
