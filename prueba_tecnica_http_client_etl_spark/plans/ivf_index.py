@@ -1,0 +1,123 @@
+"""Persisted IVF (inverted-file) ANN index lifecycle — the similarity-search
+sibling of plans/lsh_index.py.
+
+`operators/similarity.py::ann_ivf_topk` demonstrates the probe math but, as
+a self-contained registry query, re-assigns the whole corpus to cells on
+every call. A production vector store assigns ONCE at ingest and amortizes:
+
+    build_ivf_index(quantized_corpus, prefix="vecs")   # once / on re-train
+    probe_ivf_index(spark, query_vectors, prefix="vecs")  # per query batch
+
+Two catalog tables:
+
+- `{prefix}_cents` (cent_id, qc, nc)            — the coarse quantizer
+  (strided by default, or pass k-means-trained centroids); tiny, read
+  whole and broadcast at probe time.
+- `{prefix}_cells` (cell, neighbor_id, qb, nb)  — the inverted lists,
+  BUCKETED by cell: every probe joins on the cell id and reads the lists
+  pre-partitioned — no index-side shuffle per batch.
+
+At 100 TB the cells table is the corpus's quantized vectors re-keyed by
+cell (same order of size as the corpus, which is why its bucketed layout
+matters), and per-batch probe cost is |batch| x NPROBE cells — independent
+of corpus size. Probe results are bit-identical to ann_ivf_topk on the
+same corpus (tests/test_ivf_index.py asserts row equality).
+
+Reference: no counterpart (/root/reference has no vectors, SURVEY.md
+§2.6); completes the §2.8 similarity tier's index lifecycle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable import roundn
+from ..operators.similarity import (
+    CENTROID_STRIDE,
+    NPROBE,
+    TOPK,
+    _SPARK_PAIR_DOT,
+)
+from .layout import write_bucketed
+from .lsh_index import _clear_orphaned_location
+
+def _cos_to_cent() -> F.Column:
+    # built lazily: F.expr needs an active SparkContext, and this module
+    # may be imported before any session exists (e.g. pytest collection)
+    return F.expr(
+        "aggregate(zip_with(q, qc, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
+    ).cast("double")
+
+
+def build_ivf_index(
+    emb: DataFrame, *, prefix: str, n_buckets: int = 8, cents: DataFrame | None = None
+) -> None:
+    """Materialize the quantizer + inverted lists for `emb`
+    (vec_id, q, nrm). Default quantizer is the deterministic stride
+    (same as ann_ivf_topk); pass `cents` (cent_id, qc, nc) to index under
+    a trained quantizer instead (kmeans_embeddings' centroids)."""
+    spark = emb.sparkSession
+    for suffix in ("cents", "cells"):
+        _clear_orphaned_location(spark, f"{prefix}_{suffix}")
+    if cents is None:
+        cents = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("q").alias("qc"),
+            F.col("nrm").alias("nc"),
+        )
+    cents.write.mode("overwrite").format("parquet").saveAsTable(f"{prefix}_cents")
+    cents_t = emb.sparkSession.table(f"{prefix}_cents")
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cent_cos").desc(), F.col("cent_id"))
+    assigned = (
+        emb.join(F.broadcast(cents_t), F.lit(True))
+        .withColumn("cent_cos", _cos_to_cent() / (F.col("nrm") * F.col("nc")))
+        .withColumn("cent_rank", F.row_number().over(w_assign))
+        .filter(F.col("cent_rank") == 1)
+        .select(
+            F.col("cent_id").alias("cell"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("q").alias("qb"),
+            F.col("nrm").alias("nb"),
+        )
+    )
+    write_bucketed(assigned, f"{prefix}_cells", bucket_cols=["cell"], n_buckets=n_buckets)
+
+
+def probe_ivf_index(spark: SparkSession, queries: DataFrame, *, prefix: str) -> DataFrame:
+    """Top-k approximate cosine neighbors for `queries` (vec_id, q, nrm)
+    against the persisted index: each query ranks the broadcast quantizer,
+    probes its NPROBE nearest cells' inverted lists (bucketed equi-join on
+    cell — the index never shuffles), and ranks candidates by exact
+    quantized cosine. Output schema matches ann_ivf_topk."""
+    cents = spark.table(f"{prefix}_cents")
+    w_probe = Window.partitionBy("vec_id").orderBy(F.col("cent_cos").desc(), F.col("cent_id"))
+    probes = (
+        queries.join(F.broadcast(cents), F.lit(True))
+        .withColumn("cent_cos", _cos_to_cent() / (F.col("nrm") * F.col("nc")))
+        .withColumn("cent_rank", F.row_number().over(w_probe))
+        .filter(F.col("cent_rank") <= NPROBE)
+        .select(
+            F.col("cent_id").alias("cell"),
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qa"),
+            F.col("nrm").alias("na"),
+        )
+    )
+    cells = spark.table(f"{prefix}_cells")
+    cos = F.expr(_SPARK_PAIR_DOT).cast("double") / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), F.col("neighbor_id"))
+    return (
+        probes.join(cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_raw", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            roundn(F.col("cosine_raw") + 1.0, 6).alias("cosine_p1"),
+        )
+        .orderBy("query_id", "rank")
+    )

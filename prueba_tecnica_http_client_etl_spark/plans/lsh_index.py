@@ -40,6 +40,20 @@ from ..operators.dedup import (
 from .layout import write_bucketed
 
 
+def _clear_orphaned_location(spark: SparkSession, name: str) -> None:
+    """If `name` is unknown to the catalog but its managed location exists
+    on disk (a crashed build left files without metadata), remove the
+    orphaned directory — saveAsTable(overwrite) has nothing to overwrite
+    and refuses a non-empty location otherwise. Shared by every
+    build-once index writer (lsh_index, ivf_index)."""
+    if not spark.catalog.tableExists(name):
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+
+
 def _prepped(docs: DataFrame) -> DataFrame:
     """(doc_id, sh, digest) from a (doc_id, norm, sh) frame."""
     return docs.select("doc_id", "sh", F.md5(F.col("norm")).alias("digest"))
@@ -56,14 +70,7 @@ def build_lsh_index(docs: DataFrame, *, prefix: str, n_buckets: int = 8) -> None
     is detected and cleared first."""
     spark = docs.sparkSession
     for suffix in ("digests", "bands", "shingles"):
-        name = f"{prefix}_{suffix}"
-        if not spark.catalog.tableExists(name):
-            # catalog-unknown table: clear any orphaned managed location
-            import shutil
-            from urllib.parse import urlparse
-
-            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-            shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+        _clear_orphaned_location(spark, f"{prefix}_{suffix}")
     d = _prepped(docs).persist()
     try:
         write_bucketed(
