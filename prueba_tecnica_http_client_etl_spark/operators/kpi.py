@@ -73,10 +73,16 @@ def kpi_daily(clean_log: DataFrame, *, exact_percentile: bool = True) -> DataFra
     )
 
 
-def sql_kpi_daily_select(source: str = "clean_log") -> str:
-    """DuckDB twin of kpi_daily (depends on a clean_log CTE/view)."""
+def sql_kpi_daily_select(source: str = "clean_log", include_p90: bool = True) -> str:
+    """DuckDB twin of kpi_daily (depends on a clean_log CTE/view).
+
+    include_p90=False is the kpi_daily_stream oracle: the stream's p90 is
+    a percentile_approx sketch (engine-specific output, same rationale as
+    kpi_daily_approx_p90 having no oracle), so the driver-certified
+    projection is the 8 exact columns."""
     avg2 = sql_round2(sql_exact_avg("elapsed_ms", 100))
     p902 = sql_round2("quantile_cont(elapsed_ms, 0.9)")
+    p90_line = f",\n  {p902} AS p90_elapsed_ms" if include_p90 else ""
     return f"""
 SELECT
   date_utc,
@@ -86,8 +92,7 @@ SELECT
   CAST(sum(CASE WHEN status_code BETWEEN 400 AND 499 THEN 1 ELSE 0 END) AS BIGINT) AS client_4xx,
   CAST(sum(CASE WHEN status_code BETWEEN 500 AND 599 THEN 1 ELSE 0 END) AS BIGINT) AS server_5xx,
   CAST(sum(CASE WHEN parse_result <> 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS parse_errors,
-  {avg2} AS avg_elapsed_ms,
-  {p902} AS p90_elapsed_ms
+  {avg2} AS avg_elapsed_ms{p90_line}
 FROM {source}
 GROUP BY date_utc, endpoint_base
 ORDER BY date_utc, endpoint_base"""

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import TIMESTAMP_FMT, normalize_endpoint
-from ..functions.portable import exact_avg
+from ..functions.portable import exact_avg, round2
 from ..schemas import LOG_SCHEMA
 
 P90_ACCURACY = 10_000  # ~1e-4 relative rank error; memory O(accuracy) per group
@@ -85,8 +85,10 @@ def kpi_daily_stream(cleaned: DataFrame, *, watermark_delay: str = "1 day") -> D
             count_if(F.col("parse_result") != "ok").alias("parse_errors"),
             # same cents fixed-point mean as the batch kpi_daily: integer
             # partial sums are mergeable across micro-batches, so the
-            # incremental result is bit-identical to the batch one.
-            exact_avg(F.col("elapsed_ms"), 100).alias("avg_elapsed_ms"),
+            # incremental result is bit-identical to the batch one
+            # (round2 at the sink like the batch path, so the finite
+            # replay is byte-equal to kpi_daily on every exact column).
+            round2(exact_avg(F.col("elapsed_ms"), 100)).alias("avg_elapsed_ms"),
             F.percentile_approx("elapsed_ms", 0.9, P90_ACCURACY).alias("p90_elapsed_ms"),
         )
         .select(
