@@ -104,17 +104,28 @@ def tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ex.join(F.broadcast(vocab.select("tok", "id")), "tok", "left").select(
         "doc_id", "pos", F.coalesce(F.col("id"), F.lit(-1)).alias("id")
     )
-    ids_str = F.expr(
-        f"array_join(transform(slice(array_sort(collect_list(struct(pos, id))), 1, {TOKENIZE_PREVIEW}), "
-        "p -> cast(p.id as string)), ' ')"
+    # Only the leading TOKENIZE_PREVIEW positions feed the preview string,
+    # so only THOSE (pos, id) structs enter the collect_list buffer —
+    # collect_list skips the NULLs the `when` produces for pos >=
+    # TOKENIZE_PREVIEW. The counts are ordinary partial aggregates, so the
+    # per-(doc, partition) shuffle row carries (count, sum, <=40 structs)
+    # instead of every token position in the document: shuffle volume is
+    # bounded per doc regardless of document length, where the previous
+    # formulation shuffled all |tokens| structs to sort-and-slice AFTER
+    # the merge (the round-5 bench regression; 1.9 s -> 1.2 s warm at
+    # sf0.1, and at 100 TB the difference is the whole token stream).
+    preview_struct = F.when(
+        F.col("pos") < TOKENIZE_PREVIEW, F.struct("pos", "id")
     )
+    ids_str = F.expr("array_join(transform(array_sort(ids_buf), p -> cast(p.id as string)), ' ')")
     return (
         joined.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum((F.col("id") == -1).cast("long")).alias("n_oov"),
-            ids_str.alias("ids_preview"),
+            F.collect_list(preview_struct).alias("ids_buf"),
         )
+        .select("doc_id", "n_tokens", "n_oov", ids_str.alias("ids_preview"))
         .orderBy("doc_id")
     )
 
@@ -626,9 +637,17 @@ def domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_i           = floor(sqrt(T_i))        (alpha = 0.5 temperature, exact BIGINT)
     temp_weight_i = w_i / sum(w)            (the sampling distribution)
     sampling_factor_i = temp_weight_i / raw_share_i
-                  = (w_i * sum(T)) / (sum(w) * T_i)  (exact-integer numerator
-                    and denominator, ONE double division -> bit-identical
-                    across engines; >1 means the source is oversampled)
+                  = (w_i * sum(T)) / (sum(w) * T_i)  (>1 means the source
+                    is oversampled)
+
+    Each factor is cast to DOUBLE BEFORE the multiply (round-6 ADVICE):
+    at the 100 TB design point (sum(T) ~ 2.5e13, w ~ 5e6) the integer
+    product w_i * sum(T) exceeds 2^63 — BIGINT math would wrap with ANSI
+    off or throw under Spark 4's ANSI default. Double multiplication is
+    IEEE correctly-rounded identically in Spark and DuckDB, so the
+    quotient stays bit-identical across engines; below 2^53 (every
+    benchmark sf) the double products are exact, i.e. byte-identical to
+    the previous integer formulation.
 
     Plan shape: one partial-aggregated groupBy(source) (|sources| rows),
     then the two grand totals join back as a broadcast one-row scalar —
@@ -656,8 +675,8 @@ def domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             roundn(F.col("tokens_total").cast("double") / F.col("grand_tokens"), 6).alias("raw_share"),
             roundn(F.col("w").cast("double") / F.col("grand_w"), 6).alias("temp_weight"),
             roundn(
-                (F.col("w") * F.col("grand_tokens")).cast("double")
-                / (F.col("grand_w") * F.col("tokens_total")),
+                (F.col("w").cast("double") * F.col("grand_tokens").cast("double"))
+                / (F.col("grand_w").cast("double") * F.col("tokens_total").cast("double")),
                 6,
             ).alias("sampling_factor"),
         )
@@ -681,6 +700,6 @@ tot AS (
 SELECT source, n_docs, tokens_total,
        {sql_roundn('CAST(tokens_total AS DOUBLE) / grand_tokens', 6)} AS raw_share,
        {sql_roundn('CAST(w AS DOUBLE) / grand_w', 6)} AS temp_weight,
-       {sql_roundn('CAST(w * grand_tokens AS DOUBLE) / (grand_w * tokens_total)', 6)} AS sampling_factor
+       {sql_roundn('(CAST(w AS DOUBLE) * CAST(grand_tokens AS DOUBLE)) / (CAST(grand_w AS DOUBLE) * CAST(tokens_total AS DOUBLE))', 6)} AS sampling_factor
 FROM per_src, tot
 ORDER BY source"""

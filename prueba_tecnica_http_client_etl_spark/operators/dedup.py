@@ -231,6 +231,191 @@ WHERE jaccard_raw >= {MINHASH_JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b"""
 
 
+# --- hot-bucket cap (the skew valve the module docstring promises) -----------
+
+# A band bucket holding more than this many docs is declared HOT and
+# excluded from candidate generation. A bucket of size s yields s(s-1)/2
+# candidate pairs: one boilerplate bucket holding 1% of a 100 TB corpus is
+# ~1e13 pairs — more than every honest bucket combined — and the exact-
+# Jaccard verify join would spend the whole job on it. Capping is safe for
+# the same reason the bucket is hot: such collisions are boilerplate or
+# exact duplicates, which dedup_exact (identical text) and dedup_lines
+# (shared boilerplate lines) catch through their own non-quadratic paths.
+# The natural corpus never trips it (measured max bucket size: 4 at
+# sf0.01, cap 8); the adversarial case is tests/test_lsh_hot_bucket.py.
+LSH_MAX_BUCKET = 8
+
+
+def lsh_hot_buckets(bands: DataFrame, *, max_bucket_size: int = LSH_MAX_BUCKET) -> DataFrame:
+    """(band_idx, band_hash, bucket_size) of buckets OVER the cap — one
+    partial-aggregated count shuffle over the band table; tiny output
+    (broadcast side of the anti-join and the audit input)."""
+    return (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+    )
+
+
+def _capped_lsh_pairs(sh: DataFrame, *, max_bucket_size: int = LSH_MAX_BUCKET) -> DataFrame:
+    """dedup_minhash_lsh's candidate->verify chain with hot buckets
+    excluded before pair generation: bands anti-join the (broadcast) hot
+    set, so no task ever materializes a hot bucket's quadratic pair list.
+    `sh` must be persisted by the caller (it feeds signatures + both
+    verify sides)."""
+    mh = managed_persist(_minhash_signatures(sh))
+    bands = managed_persist(band_table(mh))
+    hot = lsh_hot_buckets(bands, max_bucket_size=max_bucket_size)
+    cold = bands.join(
+        F.broadcast(hot.select("band_idx", "band_hash")),
+        ["band_idx", "band_hash"],
+        "left_anti",
+    )
+    a, b = cold.alias("a"), cold.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("jaccard_raw", jac)
+        .filter(F.col("jaccard_raw") >= MINHASH_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", roundn(F.col("jaccard_raw"), 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH pair finder with the hot-bucket cap engaged (cap
+    LSH_MAX_BUCKET; rationale at the constant). Same output contract as
+    dedup_minhash_lsh; on the natural corpus no bucket exceeds the cap so
+    the two agree — the adversarial divergence case is
+    tests/test_lsh_hot_bucket.py."""
+    sh = managed_persist(docs_normalized(spark, sf_dir).select("doc_id", "sh"))
+    return _capped_lsh_pairs(sh)
+
+
+def _cap_audit(bands: DataFrame, *, max_bucket_size: int = LSH_MAX_BUCKET) -> DataFrame:
+    """One audit row for a capped run: how many buckets were dropped, how
+    many docs sat in them, and how many candidate pairs (s choose 2 per
+    bucket) the cap refused to generate. Capping must never be silent at
+    scale — this is the number an operator watches to know whether the
+    cap is trimming pathology or eating recall."""
+    hot = lsh_hot_buckets(bands, max_bucket_size=max_bucket_size)
+    affected = (
+        bands.join(
+            F.broadcast(hot.select("band_idx", "band_hash")), ["band_idx", "band_hash"]
+        )
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("n_docs_affected"))
+    )
+    totals = hot.agg(
+        F.count(F.lit(1)).alias("n_hot_buckets"),
+        # integer `div`: s(s-1) is always even, and a double detour would
+        # round above 2^53 pairs (a genuinely pathological bucket)
+        F.coalesce(
+            F.sum(F.expr("bucket_size * (bucket_size - 1) div 2")),
+            F.lit(0).cast("long"),
+        ).alias("n_pairs_dropped"),
+    )
+    return totals.crossJoin(F.broadcast(affected)).select(
+        "n_hot_buckets", "n_docs_affected", "n_pairs_dropped"
+    )
+
+
+def dedup_lsh_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry surface of the cap audit at cap LSH_MAX_BUCKET (zeros on
+    the natural corpus: max measured bucket is 4 at sf0.01 — the point is
+    that the driver certifies the audit ARITHMETIC, while the adversarial
+    corpus exercises the nonzero branch in tests)."""
+    sh = managed_persist(docs_normalized(spark, sf_dir).select("doc_id", "sh"))
+    bands = band_table(_minhash_signatures(sh))
+    return _cap_audit(bands)
+
+
+SQL_DEDUP_LSH_CAPPED = f"""
+WITH {DUCK_DOCS_CTE},
+hp_t AS (
+  SELECT doc_id, sh, {tp.duck_hash_pairs()} AS hp FROM sh_t
+),
+mh_t AS (
+  SELECT doc_id, sh,
+         {", ".join(f"{tp.duck_minhash(i)} AS mh{i}" for i in range(tp.NUM_MINHASHES))}
+  FROM hp_t
+),
+bands AS (
+{_sql_bands_union()}
+),
+hot AS (
+  SELECT band_idx, band_hash
+  FROM bands GROUP BY band_idx, band_hash
+  HAVING count(*) > {LSH_MAX_BUCKET}
+),
+cold AS (
+  SELECT b.* FROM bands b
+  ANTI JOIN hot h ON b.band_idx = h.band_idx AND b.band_hash = h.band_hash
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM cold a JOIN cold b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(x.sh, y.sh))::DOUBLE
+           / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard_raw
+  FROM cand
+  JOIN sh_t x ON x.doc_id = cand.doc_a
+  JOIN sh_t y ON y.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, {sql_roundn('jaccard_raw', 4)} AS jaccard
+FROM verified
+WHERE jaccard_raw >= {MINHASH_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b"""
+
+
+SQL_DEDUP_LSH_CAP_AUDIT = f"""
+WITH {DUCK_DOCS_CTE},
+hp_t AS (
+  SELECT doc_id, sh, {tp.duck_hash_pairs()} AS hp FROM sh_t
+),
+mh_t AS (
+  SELECT doc_id, sh,
+         {", ".join(f"{tp.duck_minhash(i)} AS mh{i}" for i in range(tp.NUM_MINHASHES))}
+  FROM hp_t
+),
+bands AS (
+{_sql_bands_union()}
+),
+hot AS (
+  SELECT band_idx, band_hash, count(*) AS bucket_size
+  FROM bands GROUP BY band_idx, band_hash
+  HAVING count(*) > {LSH_MAX_BUCKET}
+),
+affected AS (
+  SELECT CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_docs_affected
+  FROM bands b JOIN hot h
+    ON b.band_idx = h.band_idx AND b.band_hash = h.band_hash
+)
+SELECT CAST(count(h.band_idx) AS BIGINT) AS n_hot_buckets,
+       a.n_docs_affected,
+       CAST(COALESCE(sum(h.bucket_size * (h.bucket_size - 1) // 2), 0) AS BIGINT) AS n_pairs_dropped
+FROM affected a LEFT JOIN hot h ON TRUE
+GROUP BY a.n_docs_affected"""
+
+
 # --- SimHash signatures ------------------------------------------------------
 
 SIMHASH_BITS = 32

@@ -45,13 +45,33 @@ def _clear_orphaned_location(spark: SparkSession, name: str) -> None:
     on disk (a crashed build left files without metadata), remove the
     orphaned directory — saveAsTable(overwrite) has nothing to overwrite
     and refuses a non-empty location otherwise. Shared by every
-    build-once index writer (lsh_index, ivf_index)."""
-    if not spark.catalog.tableExists(name):
-        import shutil
-        from urllib.parse import urlparse
+    build-once index writer (lsh_index, ivf_index).
 
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+    Destructive-path guards (round-6 ADVICE): the `{warehouse}/{name}`
+    path is the DEFAULT-database managed location, so (a) the existence
+    check is qualified as `default`.`name` — an unqualified tableExists
+    resolves against the session's CURRENT database, which may be a
+    different table entirely — and (b) the directory is only removed if
+    every entry in it looks like Spark table-build output (parquet parts,
+    _SUCCESS/_temporary/.crc artifacts); anything else present means the
+    path is not an aborted build of ours, and the write is left to fail
+    loudly on the non-empty location instead."""
+    if spark.catalog.tableExists(f"`default`.`{name}`"):
+        return
+    import os
+    import re
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, name)
+    if not os.path.isdir(loc):
+        return
+    build_artifact = re.compile(
+        r"^(_SUCCESS|_temporary|_committed.*|_started.*|part-.*|\..*\.crc|\.part-.*)$"
+    )
+    if all(build_artifact.match(e) for e in os.listdir(loc)):
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def _prepped(docs: DataFrame) -> DataFrame:

@@ -186,6 +186,8 @@ _LLM_PIPELINE = [
     ("pii_stats_by_source", curation.pii_stats_by_source, curation.SQL_PII_STATS_BY_SOURCE),
     ("lang_confusion", textops.lang_confusion, textops.SQL_LANG_CONFUSION),
     ("image_decode_stats", multimodal.image_decode_stats, multimodal.SQL_IMAGE_DECODE_STATS),
+    ("dedup_lsh_capped", dedup.dedup_lsh_capped, dedup.SQL_DEDUP_LSH_CAPPED),
+    ("dedup_lsh_cap_audit", dedup.dedup_lsh_cap_audit, dedup.SQL_DEDUP_LSH_CAP_AUDIT),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:

@@ -123,5 +123,13 @@ def load_table(spark, sf_dir: str, name: str):
     if ntz:
         from pyspark.sql import functions as F
 
+        # The NTZ -> LTZ cast is a wall-clock identity ONLY under a UTC
+        # session timezone. get_spark sessions enforce that (session.py),
+        # but load_table also accepts externally built sessions (round-6
+        # ADVICE): pin the conf here too — mirroring the nanosAsLong
+        # fallback above — so a non-UTC caller gets correct values
+        # instead of silently shifted timestamps.
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
