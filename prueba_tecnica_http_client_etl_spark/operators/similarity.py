@@ -24,6 +24,7 @@ Scale paths:
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -843,6 +844,139 @@ SQL_ANN_IVF_LEARNED_TOPK = _sql_ivf_probe(
     nprobe=LEARNED_NPROBE,
 )
 SQL_ANN_IVF_LEARNED_RECALL = _sql_recall(SQL_ANN_IVF_LEARNED_TOPK)
+
+
+# --- principal direction via power iteration (PCA top component) -------------
+
+PCA_ITERS = 3  # FIXED iteration count, same rationale as KMEANS_ITERS:
+# a finite deterministic plan both engines replay identically.
+PCA_V_SCALE = 1000  # direction vector renormalized to max-abs = 1000 ints
+PCA_DOT_SHIFT = 16384.0  # 2^14: per-row dot rescale before the outer product
+# Overflow budget (docstring of embedding_pca_top): |c| <= 2^21 per centered
+# component, |v| <= PCA_V_SCALE, so |dot| <= 64 * 2^21 * 1000 ~ 1.3e11;
+# after the shift |d| <= 8.2e6 and each row contributes <= 2^21 * 8.2e6
+# ~ 1.7e13 to a component sum — exact BIGINT up to ~5e5 vectors. At larger
+# corpus sizes grow the shift by log2(n/5e5) (the gate scales are far below).
+
+
+def embedding_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by fixed-iteration
+    power iteration on the centered second moment — the dimensionality-
+    reduction / whitening precursor pass of an embedding pipeline (ANN
+    preconditioning, SemDeDup axis checks). Output: one row per dimension
+    (pos, v, loading) where v is the integer direction component at scale
+    PCA_V_SCALE and loading = v / PCA_V_SCALE.
+
+    Exact-arithmetic scheme (the kmeans_embeddings convention): the mean
+    is the exact floor(sum/n + 0.5) integer; centered components are
+    BIGINTs; each iteration computes per-row dots against the current
+    integer direction (exact), floor-rescales them by PCA_DOT_SHIFT
+    (double division of < 2^53 values — exact), partial-aggregates the
+    64 component sums, and renormalizes to max-abs PCA_V_SCALE with an
+    IEEE-deterministic double divide — every step is either exact integer
+    math or an identically-rounded double op, so the trained direction is
+    bit-identical in both engines (sign included: power iteration's sign
+    ambiguity is resolved by the deterministic all-ones start).
+
+    Scale shape per iteration: direction and mean travel as 64-int
+    literals (driver round-trip, the broadcast small side — same pattern
+    as the kmeans driver-sequenced rounds and ann_cosine_topk's collected
+    query matrix); the corpus contributes one partial-aggregated
+    posexplode sum, shuffle = 64 partials per partition. The corpus is
+    scanned PCA_ITERS + 1 times from the pooled persist, never shuffled."""
+    emb = managed_persist(_quantized(spark, sf_dir).select("vec_id", "q"))
+    mu_rows = (
+        emb.select(F.posexplode("q").alias("pos", "qv"))
+        .groupBy("pos")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "pos",
+            F.expr("cast(floor(cast(s as double) / cast(n as double) + 0.5) as bigint)").alias("mu"),
+        )
+        .collect()
+    )
+    mu = [r["mu"] for r in sorted(mu_rows, key=lambda r: r["pos"])]
+    mu_lit = F.array(*[F.lit(int(m)) for m in mu])
+    centered = emb.withColumn("c", F.zip_with(F.col("q"), mu_lit, lambda x, m: x - m))
+
+    v = [PCA_V_SCALE] * EMBED_DIM
+    for _ in range(PCA_ITERS):
+        v_lit = F.array(*[F.lit(int(x)) for x in v])
+        dot = F.aggregate(
+            F.zip_with(F.col("c"), v_lit, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        w_rows = (
+            centered.withColumn("dot", dot)
+            .withColumn(
+                "d", F.expr(f"cast(floor(cast(dot as double) / {PCA_DOT_SHIFT}) as bigint)")
+            )
+            .select(F.posexplode(F.transform(F.col("c"), lambda cj: cj * F.col("d"))).alias("pos", "wc"))
+            .groupBy("pos")
+            .agg(F.sum("wc").alias("w"))
+            .collect()
+        )
+        w = [r["w"] for r in sorted(w_rows, key=lambda r: r["pos"])]
+        mx = max(max(abs(x) for x in w), 1)
+        # floor of an IEEE double divide — identical in DuckDB
+        v = [int(math.floor(float(x) * PCA_V_SCALE / float(mx))) for x in w]
+
+    out_rows = [(i, v[i]) for i in range(EMBED_DIM)]
+    out = spark.createDataFrame(out_rows, "pos int, v long")
+    return out.select(
+        "pos", "v", roundn(F.col("v").cast("double") / PCA_V_SCALE, 6).alias("loading")
+    ).orderBy("pos")
+
+
+def _sql_pca_iterations() -> str:
+    """Iteration CTE chain: v0 = all ones at scale; each iteration derives
+    w sums and the renormalized v{i+1} as a 64-int list."""
+    ctes = [
+        f"""v0 AS (
+  SELECT list_transform(range({EMBED_DIM}), i -> CAST({PCA_V_SCALE} AS BIGINT)) AS v
+)"""
+    ]
+    for it in range(PCA_ITERS):
+        ctes.append(f"""d{it} AS (
+  SELECT c.vec_id, c.c,
+         CAST(floor(CAST(list_sum(list_transform(range({EMBED_DIM}), i -> c.c[i+1] * v.v[i+1])) AS DOUBLE) / {PCA_DOT_SHIFT}) AS BIGINT) AS d
+  FROM centered c, v{it} v
+)""")
+        ctes.append(f"""w{it} AS (
+  SELECT i AS pos, sum(c[i + 1] * d) AS w
+  FROM d{it}, range({EMBED_DIM}) t(i)
+  GROUP BY i
+)""")
+        ctes.append(f"""v{it + 1} AS (
+  SELECT list(CAST(floor(CAST(w AS DOUBLE) * {PCA_V_SCALE} / CAST(greatest(mx, 1) AS DOUBLE)) AS BIGINT) ORDER BY pos) AS v
+  FROM w{it}, (SELECT max(abs(w)) AS mx FROM w{it})
+)""")
+    return ",\n".join(ctes)
+
+
+SQL_EMBEDDING_PCA_TOP = f"""
+WITH {DUCK_QUANT_CTE},
+mu_t AS (
+  SELECT i AS pos,
+         CAST(floor(CAST(sum(q[i + 1]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mu
+  FROM qe, range({EMBED_DIM}) t(i)
+  GROUP BY i
+),
+mu_l AS (
+  SELECT list(mu ORDER BY pos) AS mu FROM mu_t
+),
+centered AS (
+  SELECT qe.vec_id,
+         list_transform(range({EMBED_DIM}), i -> qe.q[i+1] - m.mu[i+1]) AS c
+  FROM qe, mu_l m
+),
+{_sql_pca_iterations()}
+SELECT t.i AS pos,
+       CAST(v.v[t.i + 1] AS BIGINT) AS v,
+       {sql_roundn(f'CAST(v.v[t.i + 1] AS DOUBLE) / {PCA_V_SCALE}', 6)} AS loading
+FROM v{PCA_ITERS} v, range({EMBED_DIM}) t(i)
+ORDER BY pos"""
 
 
 # --- SemDeDup-style semantic dedup (cluster, then prune within cluster) ------

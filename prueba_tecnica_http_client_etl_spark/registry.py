@@ -188,6 +188,7 @@ _LLM_PIPELINE = [
     ("image_decode_stats", multimodal.image_decode_stats, multimodal.SQL_IMAGE_DECODE_STATS),
     ("dedup_lsh_capped", dedup.dedup_lsh_capped, dedup.SQL_DEDUP_LSH_CAPPED),
     ("dedup_lsh_cap_audit", dedup.dedup_lsh_cap_audit, dedup.SQL_DEDUP_LSH_CAP_AUDIT),
+    ("embedding_pca_top", similarity.embedding_pca_top, similarity.SQL_EMBEDDING_PCA_TOP),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
