@@ -153,13 +153,16 @@ def main() -> int:
     timings: dict[str, float] = {}
     reran: dict[str, list[float]] = {}
     for name in ordered:
-        t1 = run_once(name)
-        if t1 > RERUN_THRESHOLD_SEC:
-            t2 = run_once(name)
-            reran[name] = [t1, t2]
-            timings[name] = min(t1, t2)
-        else:
-            timings[name] = t1
+        timings[name] = run_once(name)
+    # Second shots run as a SEPARATE end pass, not back-to-back with the
+    # first: host throttling arrives in multi-minute windows, so an
+    # immediate rerun lands in the same slow window as the shot it is
+    # meant to check (observed: min-of-2 still 9-15 s for queries whose
+    # clean floor is 1-4 s). Minutes of separation decorrelate the pair.
+    for name in [n for n in ordered if timings[n] > RERUN_THRESHOLD_SEC]:
+        t2 = run_once(name)
+        reran[name] = [timings[name], t2]
+        timings[name] = min(timings[name], t2)
 
     for line in build_output_lines(timings, reran, sf, n_workers):
         print(line)

@@ -522,7 +522,16 @@ _PRIORITY_50 = [
 
 
 def _reorder(d: dict) -> dict:
-    head = {n: d[n] for n in _PRIORITY_50 if n in d}
+    # fail loudly, not by silently shrinking the certified window: every
+    # window name must be a registered query and the window must hold
+    # exactly 50 distinct names (the driver records the first 50).
+    missing = [n for n in _PRIORITY_50 if n not in d]
+    assert not missing, f"_PRIORITY_50 names not registered: {missing}"
+    assert len(_PRIORITY_50) == len(set(_PRIORITY_50)) == 50, (
+        f"_PRIORITY_50 must hold 50 distinct names, has "
+        f"{len(set(_PRIORITY_50))} distinct of {len(_PRIORITY_50)}"
+    )
+    head = {n: d[n] for n in _PRIORITY_50}
     head.update({n: fn for n, fn in d.items() if n not in head})
     return head
 

@@ -91,3 +91,27 @@ def test_semantic_pairs_is_equi_join_on_cluster_id(spark):
         if "SortMergeJoin" in line or "BroadcastHashJoin" in line
     )
     assert "cluster_id" in join_line, join_line
+
+
+def test_tokenize_ids_collects_bounded_preview_buffer(spark):
+    """tokenize_ids must aggregate a BOUNDED per-doc buffer: the
+    collect_list argument carries the pos < TOKENIZE_PREVIEW guard (NULLs
+    skipped by collect_list), and partial aggregation runs map-side. The
+    round-5 regression shuffled every token position in per-doc lists and
+    sliced after the merge — at 100 TB that is the whole token stream."""
+    from prueba_tecnica_http_client_etl_spark.operators.corpus import tokenize_ids
+
+    plan = _physical(tokenize_ids(spark, SF_SMOKE))
+    assert "partial_collect_list(CASE WHEN" in plan, plan
+
+
+def test_capped_lsh_anti_joins_hot_buckets_broadcast(spark):
+    """dedup_lsh_capped must remove hot buckets with a BROADCAST anti-join
+    (the hot set is tiny by construction) and must not introduce any
+    nested-loop join anywhere in the chain."""
+    from prueba_tecnica_http_client_etl_spark.operators.dedup import dedup_lsh_capped
+
+    plan = _physical(dedup_lsh_capped(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    anti_lines = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti_lines and any("Broadcast" in l for l in anti_lines), plan
