@@ -1189,3 +1189,312 @@ SELECT label, pos,
 FROM comp
 GROUP BY label, pos
 ORDER BY label, pos"""
+
+
+# --- product quantization (compressed-code ADC + exact re-rank) --------------
+#
+# The 100 TB vector-search tier the uncompressed paths can't reach: raw
+# 64-dim float vectors are 256 B each (2048 bits); PQ codes are PQ_M
+# sub-quantizer assignments of ceil(log2(PQ_K)) bits = 8 x 5 = 40 bits —
+# a ~51x compression, so the scored representation of a 100 TB embedding
+# corpus fits in ~2 TB of codes. Asymmetric distance computation (ADC,
+# Jegou et al., "Product Quantization for Nearest Neighbor Search",
+# TPAMI 2011) scores a full-precision query against codes through a
+# per-query lookup table, touching no full vector; the exact re-rank
+# tier then fetches full vectors ONLY for the top PQ_RERANK_CANDIDATES
+# per query — the standard two-stage retrieval layout.
+
+PQ_M = 8  # subspaces (64 dims -> 8 x 8)
+PQ_SUBDIM = EMBED_DIM // PQ_M
+PQ_K = 32  # codes per subspace; 5 bits x 8 subs = 40-bit codes
+# Deterministic sub-codebooks: the first PQ_K strided seed vectors
+# (vec_id % PQ_CB_STRIDE = 0, ordered by vec_id), sliced per subspace —
+# the same "strided subset stands in for the trained quantizer" device
+# as CENTROID_STRIDE, keeping every step SQL-expressible. 13 guarantees
+# >= 39 seeds even at the 500-vector smoke scale.
+PQ_CB_STRIDE = 13
+# ADC candidate pool fed to the exact re-rank. Measured ladder at sf0.1
+# (2k vectors, 40 queries), candidate-pool recall@10 vs brute force:
+#   50 -> 0.4675, 100 -> 0.6075, 200 -> 0.7925, 400 -> 0.8950
+# 200 (~10% of the corpus fetched as full vectors per query) is the
+# knee — the same cost-for-recall rung as LEARNED_NPROBE's 12%. On this
+# near-random corpus recall is data-limited exactly as for the LSH tier;
+# clustered real-world embeddings sit far higher at the same pool size.
+PQ_RERANK_CANDIDATES = 200
+
+_SPARK_SUB_SQDIST = (
+    "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (acc, v) -> acc + v)"
+)
+_SPARK_SUB_DOT = (
+    "aggregate(zip_with(sv, cv, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
+)
+
+
+def _pq_subspaces(df: DataFrame, id_alias: str) -> DataFrame:
+    """Explode a quantized frame into (id, sub, sv): one row per
+    PQ_SUBDIM-wide subspace slice. A pure map (posexplode of slices) —
+    no shuffle."""
+    slices = F.array(*[F.slice(F.col("q"), s * PQ_SUBDIM + 1, PQ_SUBDIM) for s in range(PQ_M)])
+    return df.select(F.col("vec_id").alias(id_alias), F.posexplode(slices).alias("sub", "sv"))
+
+
+def _pq_codebook(emb: DataFrame) -> DataFrame:
+    """(sub, code_id, cv, cself): the PQ_M x PQ_K sub-codebooks with each
+    code's exact self-dot. Built from <= ~PQ_K x 3 seed rows — the
+    broadcast small side everywhere it is used (the single-partition
+    row_number window is over that tiny seed set only, never the corpus).
+    """
+    w = Window.orderBy("vec_id")
+    seeds = (
+        emb.filter(F.col("vec_id") % PQ_CB_STRIDE == 0)
+        .select("vec_id", "q")
+        .withColumn("code_id", F.row_number().over(w))
+        .filter(F.col("code_id") <= PQ_K)
+    )
+    slices = F.array(*[F.slice(F.col("q"), s * PQ_SUBDIM + 1, PQ_SUBDIM) for s in range(PQ_M)])
+    return seeds.select(
+        "code_id", F.posexplode(slices).alias("sub", "cv")
+    ).withColumn(
+        "cself", F.expr("aggregate(cv, cast(0 as bigint), (acc, v) -> acc + v * v)")
+    )
+
+
+def _pq_scored(emb: DataFrame) -> DataFrame:
+    """ADC scores (query_id, neighbor_id, cos_hat) for every query x
+    corpus vector, computed entirely from codes:
+
+    1. encode: each (vector, subspace) slice is assigned its nearest
+       sub-code by exact BIGINT squared L2 (codebook broadcast, map-side
+       argmin over a PQ_K-row window per slice) -> the codes table, the
+       ONLY corpus-sized state downstream;
+    2. reconstructed norm: sum of assigned codes' self-dots per vector
+       (the norm ADC implicitly scores against);
+    3. LUT: every (query, sub, code) dot product — |Q| x PQ_M x PQ_K
+       rows, broadcast;
+    4. scan: codes |x| LUT on (sub, code_id) with map-side partial sums
+       into (query_id, vec_id) — the one corpus-sized pass, carrying
+       40-bit codes instead of 2048-bit vectors.
+
+    All products/sums are exact BIGINTs < 2^45 (components < 2^19), so
+    cos_hat = adc / (na * nb_hat) divides identical doubles in both
+    engines — the PQ tiers keep the engine-wide bit-determinism."""
+    cb = _pq_codebook(emb)
+    w_assign = Window.partitionBy("vec_id", "sub").orderBy("d2", "code_id")
+    codes = managed_persist(
+        _pq_subspaces(emb, "vec_id")
+        .join(F.broadcast(cb), "sub")
+        .withColumn("d2", F.expr(_SPARK_SUB_SQDIST))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "sub", "code_id", "cself")
+    )
+    nbh = codes.groupBy("vec_id").agg(
+        F.sqrt(F.sum("cself").cast("double")).alias("nbh")
+    )
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    lut = (
+        _pq_subspaces(queries, "query_id")
+        .join(F.broadcast(cb), "sub")
+        .select(
+            "query_id", "sub", "code_id",
+            F.expr(_SPARK_SUB_DOT).alias("l"),
+        )
+    )
+    qn = queries.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("na"))
+    return (
+        codes.join(F.broadcast(lut), ["sub", "code_id"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("l").alias("adc"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(nbh.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(qn), "query_id")
+        .withColumn("cos_hat", F.col("adc").cast("double") / (F.col("na") * F.col("nbh")))
+    )
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None) -> DataFrame:
+    """Pure-ADC PQ top-k: rank corpus vectors for each strided query by
+    the code-reconstructed cosine (see _pq_scored). The approximation
+    error is the quantization residual; `ann_pq_recall` measures it and
+    `ann_pq_rerank` repairs it. Output schema matches the other ANN
+    tiers so the shared recall gate composes."""
+    if emb is None:
+        emb = managed_persist(_quantized(spark, sf_dir))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_hat").desc(), F.col("neighbor_id"))
+    return (
+        _pq_scored(emb)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            roundn(F.col("cos_hat") + 1.0, 6).alias("cosine_p1"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_pq_rerank(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None) -> DataFrame:
+    """Two-stage PQ retrieval: ADC proposes PQ_RERANK_CANDIDATES
+    candidates per query from codes alone, then ONLY those |Q| x pool
+    rows join back to full vectors for an exact quantized-cosine re-rank
+    to top-10 — at 100 TB the full-vector fetch is a fixed number of
+    point lookups per query instead of a corpus scan, which is why
+    production PQ systems are built exactly this way. The exact stage
+    reuses the brute-force cosine arithmetic, so candidate scores are
+    bit-identical to ann_cosine_topk's on the overlap; a miss can only
+    mean the true neighbor fell outside the ADC pool (the measured
+    ladder at PQ_RERANK_CANDIDATES' definition)."""
+    if emb is None:
+        emb = managed_persist(_quantized(spark, sf_dir))
+    w_adc = Window.partitionBy("query_id").orderBy(F.col("cos_hat").desc(), F.col("neighbor_id"))
+    cand = (
+        _pq_scored(emb)
+        .withColumn("rank", F.row_number().over(w_adc))
+        .filter(F.col("rank") <= PQ_RERANK_CANDIDATES)
+        .select("query_id", "neighbor_id")
+    )
+    qa = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), F.col("nrm").alias("na")
+    )
+    qb = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"), F.col("nrm").alias("nb"))
+    cos = F.expr(_SPARK_PAIR_DOT).cast("double") / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), F.col("neighbor_id"))
+    return (
+        cand.join(F.broadcast(qa), "query_id")
+        .join(qb, "neighbor_id")
+        .withColumn("cosine_raw", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            roundn(F.col("cosine_raw") + 1.0, 6).alias("cosine_p1"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10 of the pure-ADC PQ tier — the quantization
+    residual made visible, per the engine's every-approximate-tier-
+    carries-its-recall rule."""
+    return _recall_vs_exact(spark, sf_dir, ann_pq_topk)
+
+
+def ann_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10 of the re-ranked PQ tier: since the exact stage
+    reproduces brute-force scores, a miss here means the true neighbor
+    fell outside the ADC candidate pool — the number that sizes
+    PQ_RERANK_CANDIDATES."""
+    return _recall_vs_exact(spark, sf_dir, ann_pq_rerank)
+
+
+def _sql_pq_ctes() -> str:
+    """Shared DuckDB CTE chain ending in `scored` (query_id, neighbor_id,
+    cos_hat) — the SQL twin of _pq_scored (d2 uses |a|^2 - 2ab + |b|^2,
+    integer-identical to the Spark side's zip_with difference form)."""
+    sd = PQ_SUBDIM
+    return f"""seeds AS (
+  SELECT q, row_number() OVER (ORDER BY vec_id) AS code_id
+  FROM qn WHERE vec_id % {PQ_CB_STRIDE} = 0
+),
+cbn AS (
+  SELECT s.i AS sub, code_id,
+         list_slice(q, s.i * {sd} + 1, s.i * {sd} + {sd}) AS cv,
+         list_dot_product(list_slice(q, s.i * {sd} + 1, s.i * {sd} + {sd}),
+                          list_slice(q, s.i * {sd} + 1, s.i * {sd} + {sd})) AS cself
+  FROM seeds, range({PQ_M}) s(i)
+  WHERE code_id <= {PQ_K}
+),
+vsub AS (
+  SELECT vec_id, s.i AS sub, list_slice(q, s.i * {sd} + 1, s.i * {sd} + {sd}) AS sv
+  FROM qn, range({PQ_M}) s(i)
+),
+asgn AS (
+  SELECT vec_id, sub, code_id, cself,
+         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code_id) AS rk
+  FROM (
+    SELECT v.vec_id, v.sub, c.code_id, c.cself,
+           list_dot_product(v.sv, v.sv) - 2 * list_dot_product(v.sv, c.cv) + c.cself AS d2
+    FROM vsub v JOIN cbn c ON v.sub = c.sub
+  )
+),
+codes AS (SELECT vec_id, sub, code_id, cself FROM asgn WHERE rk = 1),
+nbh AS (
+  SELECT vec_id AS neighbor_id, sqrt(CAST(sum(cself) AS DOUBLE)) AS nbh
+  FROM codes GROUP BY vec_id
+),
+qsub AS (
+  SELECT vec_id AS query_id, s.i AS sub,
+         list_slice(q, s.i * {sd} + 1, s.i * {sd} + {sd}) AS qsv
+  FROM qn, range({PQ_M}) s(i)
+  WHERE vec_id % {QUERY_STRIDE} = 0
+),
+lut AS (
+  SELECT q.query_id, q.sub, c.code_id, list_dot_product(q.qsv, c.cv) AS l
+  FROM qsub q JOIN cbn c ON q.sub = c.sub
+),
+adc AS (
+  SELECT l.query_id, k.vec_id AS neighbor_id, sum(l.l) AS adc
+  FROM codes k JOIN lut l ON k.sub = l.sub AND k.code_id = l.code_id
+  GROUP BY l.query_id, k.vec_id
+),
+qnn AS (
+  SELECT vec_id AS query_id, nrm AS na FROM qn WHERE vec_id % {QUERY_STRIDE} = 0
+),
+scored AS (
+  SELECT a.query_id, a.neighbor_id,
+         CAST(a.adc AS DOUBLE) / (q.na * n.nbh) AS cos_hat
+  FROM adc a
+  JOIN qnn q ON a.query_id = q.query_id
+  JOIN nbh n ON a.neighbor_id = n.neighbor_id
+  WHERE a.query_id <> a.neighbor_id
+)"""
+
+
+SQL_ANN_PQ_TOPK = f"""
+WITH {DUCK_QUANT_CTE},
+{_sql_pq_ctes()},
+ranked AS (
+  SELECT query_id, neighbor_id, cos_hat,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_hat DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       {sql_roundn('cos_hat + 1.0', 6)} AS cosine_p1
+FROM ranked WHERE rank <= {TOPK}
+ORDER BY query_id, rank"""
+
+
+SQL_ANN_PQ_RERANK = f"""
+WITH {DUCK_QUANT_CTE},
+{_sql_pq_ctes()},
+adc_ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_hat DESC, neighbor_id) AS rank
+  FROM scored
+),
+cand AS (SELECT query_id, neighbor_id FROM adc_ranked WHERE rank <= {PQ_RERANK_CANDIDATES}),
+rer AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(a.q, b.q) / (a.nrm * b.nrm) AS cosine_raw
+  FROM cand c
+  JOIN qn a ON c.query_id = a.vec_id
+  JOIN qn b ON c.neighbor_id = b.vec_id
+),
+rranked AS (
+  SELECT query_id, neighbor_id, cosine_raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, neighbor_id) AS rank
+  FROM rer
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       {sql_roundn('cosine_raw + 1.0', 6)} AS cosine_p1
+FROM rranked WHERE rank <= {TOPK}
+ORDER BY query_id, rank"""
+
+
+SQL_ANN_PQ_RECALL = _sql_recall(SQL_ANN_PQ_TOPK)
+SQL_ANN_PQ_RERANK_RECALL = _sql_recall(SQL_ANN_PQ_RERANK)

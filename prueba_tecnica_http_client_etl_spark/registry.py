@@ -189,6 +189,10 @@ _LLM_PIPELINE = [
     ("dedup_lsh_capped", dedup.dedup_lsh_capped, dedup.SQL_DEDUP_LSH_CAPPED),
     ("dedup_lsh_cap_audit", dedup.dedup_lsh_cap_audit, dedup.SQL_DEDUP_LSH_CAP_AUDIT),
     ("embedding_pca_top", similarity.embedding_pca_top, similarity.SQL_EMBEDDING_PCA_TOP),
+    ("ann_pq_topk", similarity.ann_pq_topk, similarity.SQL_ANN_PQ_TOPK),
+    ("ann_pq_rerank", similarity.ann_pq_rerank, similarity.SQL_ANN_PQ_RERANK),
+    ("ann_pq_recall", similarity.ann_pq_recall, similarity.SQL_ANN_PQ_RECALL),
+    ("ann_pq_rerank_recall", similarity.ann_pq_rerank_recall, similarity.SQL_ANN_PQ_RERANK_RECALL),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:

@@ -1,0 +1,86 @@
+"""Product-quantization tier: structural invariants the oracle-parity
+hash can't see — code-table shape, broadcast boundaries in the ADC scan,
+and the ADC-vs-rerank quality ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prueba_tecnica_http_client_etl_spark.functions.cachepool import managed_persist
+from prueba_tecnica_http_client_etl_spark.operators import similarity as S
+from tests.conftest import SF_SMOKE
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_codes_table_is_m_rows_per_vector(spark):
+    """Encoding must assign exactly one code per (vector, subspace): the
+    compressed representation is PQ_M code ids per vector, nothing more
+    (a duplicate assignment would silently double-count in ADC sums)."""
+    emb = managed_persist(S._quantized(spark, SF_SMOKE))
+    cb = S._pq_codebook(emb)
+    n_vec = emb.count()
+    # codebook: exactly PQ_M x PQ_K entries, code ids 1..PQ_K in each sub
+    cb_rows = cb.groupBy("sub").agg(
+        F.count(F.lit(1)).alias("n"), F.min("code_id").alias("lo"), F.max("code_id").alias("hi")
+    ).collect()
+    assert len(cb_rows) == S.PQ_M
+    for r in cb_rows:
+        assert (r.n, r.lo, r.hi) == (S.PQ_K, 1, S.PQ_K)
+    # one assignment per (vec, sub)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id", "sub").orderBy("d2", "code_id")
+    codes = (
+        S._pq_subspaces(emb, "vec_id")
+        .join(F.broadcast(cb), "sub")
+        .withColumn("d2", F.expr(S._SPARK_SUB_SQDIST))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    assert codes.count() == n_vec * S.PQ_M
+    assert codes.select("vec_id", "sub").distinct().count() == n_vec * S.PQ_M
+
+
+def test_adc_scan_broadcasts_small_sides(spark):
+    """The codebook and the per-query LUT are the broadcast small sides;
+    the corpus-sized codes table must never be shuffled against them via
+    a sort-merge join, and nothing may degenerate to a nested-loop scan
+    of the corpus."""
+    plan = _physical(S.ann_pq_topk(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rerank_recall_dominates_adc_recall(spark):
+    """The exact re-rank can only repair ADC mistakes, never introduce
+    them: per query, rerank recall >= pure-ADC recall (both against the
+    same brute-force baseline)."""
+    adc = {
+        r.query_id: r.recall_at_10 for r in S.ann_pq_recall(spark, SF_SMOKE).collect()
+    }
+    rer = {
+        r.query_id: r.recall_at_10 for r in S.ann_pq_rerank_recall(spark, SF_SMOKE).collect()
+    }
+    assert set(adc) == set(rer) and adc
+    for qid in adc:
+        assert rer[qid] >= adc[qid], (qid, adc[qid], rer[qid])
+
+
+def test_rerank_scores_match_brute_force_on_overlap(spark):
+    """Candidates the rerank and the brute-force baseline both emit must
+    carry bit-identical cosines — the exact stage IS the brute-force
+    arithmetic restricted to the candidate pool."""
+    emb = managed_persist(S._quantized(spark, SF_SMOKE))
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine_p1
+        for r in S.ann_cosine_topk(spark, SF_SMOKE, emb=emb).collect()
+    }
+    rer = S.ann_pq_rerank(spark, SF_SMOKE, emb=emb).collect()
+    overlap = [r for r in rer if (r.query_id, r.neighbor_id) in exact]
+    assert overlap, "no overlap between rerank and brute force top-10"
+    for r in overlap:
+        assert r.cosine_p1 == exact[(r.query_id, r.neighbor_id)]
