@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.portable import roundn, sql_roundn
+from ..functions.portable import roundn, sql_roundn, sql_salted
 from .dedup import DUCK_DOCS_CTE, docs_normalized
 from .textops import BPE_TOKEN_RE
 
@@ -703,3 +703,119 @@ SELECT source, n_docs, tokens_total,
        {sql_roundn('(CAST(w AS DOUBLE) * CAST(grand_tokens AS DOUBLE)) / (CAST(grand_w AS DOUBLE) * CAST(tokens_total AS DOUBLE))', 6)} AS sampling_factor
 FROM per_src, tot
 ORDER BY source"""
+
+
+
+# --- leakage-safe train/val/test split ---------------------------------------
+
+SPLIT_TRAIN_PCT = 90  # u < 90       -> train
+SPLIT_VAL_PCT = 95  # 90 <= u < 95 -> val; u >= 95 -> test
+
+
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-document train/val/test manifest. The split key
+    is md5 of the NORMALIZED text — dedup_exact's digest — NOT doc_id:
+    every exact copy of a document hashes to the same assignment, so
+    byte-identical duplicates can never straddle train and test (the
+    classic eval-contamination leak a row-id-keyed split silently
+    allows). The assignment is a pure map (portable.salted of the
+    digest, mod 100) — identical under any partitioning, task retry, or
+    engine, and at 100 TB it costs zero shuffles: the manifest is a
+    projection of the corpus scan."""
+    from ..functions.portable import salted
+
+    u = salted("split", F.md5(F.col("norm"))) % 100
+    return (
+        docs_normalized(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.when(u < SPLIT_TRAIN_PCT, F.lit("train"))
+            .when(u < SPLIT_VAL_PCT, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_CORPUS_SPLIT = f"""
+WITH {DUCK_DOCS_CTE},
+asg AS (
+  SELECT doc_id, source, lang, len(toks) AS n_tokens,
+         {sql_salted('split', 'md5(norm)')} % 100 AS u
+  FROM sh_t
+)
+SELECT doc_id, source, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CASE WHEN u < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN u < {SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM asg
+ORDER BY doc_id"""
+
+
+def corpus_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance audit of corpus_split: per split, document / distinct-text
+    / token totals and each split's token share. The shares are what a
+    pipeline asserts against the configured 90/5/5 before training; the
+    distinct-text count equaling n_docs per split is the observable
+    no-leakage invariant (a digest in two splits would need two rows in
+    different splits with equal digests — impossible by construction,
+    and tests/test_corpus_split.py asserts it directly)."""
+    from ..functions.portable import salted
+
+    u = salted("split", F.col("digest")) % 100
+    d = docs_normalized(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("norm")).alias("digest"), F.size("toks").cast("long").alias("n_tokens")
+    )
+    per = (
+        d.withColumn(
+            "split",
+            F.when(u < SPLIT_TRAIN_PCT, F.lit("train"))
+            .when(u < SPLIT_VAL_PCT, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("digest").alias("n_texts"),
+            F.sum("n_tokens").alias("tokens_total"),
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        per.withColumn("grand", F.sum("tokens_total").over(w))
+        .select(
+            "split",
+            "n_docs",
+            "n_texts",
+            "tokens_total",
+            roundn(F.col("tokens_total").cast("double") / F.col("grand"), 6).alias("token_share"),
+        )
+        .orderBy("split")
+    )
+
+
+SQL_CORPUS_SPLIT_STATS = f"""
+WITH {DUCK_DOCS_CTE},
+asg AS (
+  SELECT doc_id, md5(norm) AS digest, len(toks) AS n_tokens,
+         {sql_salted('split', 'md5(norm)')} % 100 AS u
+  FROM sh_t
+),
+per AS (
+  SELECT CASE WHEN u < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN u < {SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         count(*) AS n_docs,
+         count(DISTINCT digest) AS n_texts,
+         CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+  FROM asg
+  GROUP BY 1
+)
+SELECT split, n_docs, n_texts, tokens_total,
+       {sql_roundn('CAST(tokens_total AS DOUBLE) / sum(tokens_total) OVER ()', 6)} AS token_share
+FROM per
+ORDER BY split"""
