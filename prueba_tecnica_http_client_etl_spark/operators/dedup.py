@@ -416,6 +416,135 @@ FROM affected a LEFT JOIN hot h ON TRUE
 GROUP BY a.n_docs_affected"""
 
 
+
+# --- MinHash estimator calibration -------------------------------------------
+
+CALIB_SCALE = 1_000_000  # per-pair fixed-point quantization for exact means
+
+
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy audit of the MinHash estimator over the LSH candidate
+    pairs: per exact-Jaccard decile, how far the 16-permutation signature
+    agreement (the estimator LSH banding implicitly thresholds on) sits
+    from the true shingle Jaccard. This is the number that justifies the
+    banding parameters: a drifting estimator means the band/row layout no
+    longer targets MINHASH_JACCARD_THRESHOLD, and at 100 TB nobody can
+    eyeball pairs — the calibration query IS the monitoring.
+
+    est = |{i : mh_i(a) = mh_i(b)}| / 16 (unbiased, E[est] = J);
+    pairs come from the same band self-join as dedup_minhash_lsh with NO
+    Jaccard filter, so the audit sees the estimator's errors, not only
+    its successes.
+
+    Determinism: est is a ratio of small ints; the exact Jaccard and the
+    absolute error are quantized per pair to CALIB_SCALE fixed-point
+    BEFORE summing (portable.exact_sum rationale — double sums are
+    order-dependent in the last ulp, integer sums are not), so the per-
+    decile means are bit-identical in both engines. Scale shape: the
+    candidate generation is the flagship's banded self-join (never
+    all-pairs); signatures and shingle sets join candidate-side only;
+    the decile rollup is a <=11-row aggregate."""
+    sh = managed_persist(docs_normalized(spark, sf_dir).select("doc_id", "sh"))
+    mh = managed_persist(_minhash_signatures(sh))
+    bands = band_table(mh)
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ma = mh.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(tp.NUM_MINHASHES)])
+    mb = mh.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(tp.NUM_MINHASHES)])
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+
+    k_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(tp.NUM_MINHASHES)
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    est = F.col("k").cast("double") / tp.NUM_MINHASHES
+    q = lambda c: F.floor(c * CALIB_SCALE + F.lit(0.5)).cast("long")  # noqa: E731
+    pairs = (
+        cand.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .withColumn("k", k_agree.cast("long"))
+        .join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("jac", jac)
+        .select(
+            F.least(F.floor(F.col("jac") * 10), F.lit(9)).cast("int").alias("jac_bin"),
+            F.col("k"),
+            q(F.col("jac")).alias("jq"),
+            q(F.abs(est - F.col("jac"))).alias("eq"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return (
+        pairs.groupBy("jac_bin")
+        .agg(
+            n.alias("n_pairs"),
+            roundn(F.sum("k").cast("double") / tp.NUM_MINHASHES / n, 6).alias("mean_est"),
+            roundn(F.sum("jq").cast("double") / CALIB_SCALE / n, 6).alias("mean_exact"),
+            roundn(F.sum("eq").cast("double") / CALIB_SCALE / n, 6).alias("mean_abs_err"),
+        )
+        .orderBy("jac_bin")
+    )
+
+
+SQL_MINHASH_CALIBRATION = f"""
+WITH {DUCK_DOCS_CTE},
+hp_t AS (
+  SELECT doc_id, sh, {tp.duck_hash_pairs()} AS hp FROM sh_t
+),
+mh_t AS (
+  SELECT doc_id, sh,
+         {", ".join(f"{tp.duck_minhash(i)} AS mh{i}" for i in range(tp.NUM_MINHASHES))}
+  FROM hp_t
+),
+bands AS (
+{_sql_bands_union()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT cand.doc_a, cand.doc_b,
+         ({" + ".join(f"CASE WHEN ma.mh{i} = mb.mh{i} THEN 1 ELSE 0 END" for i in range(tp.NUM_MINHASHES))}) AS k,
+         len(list_intersect(x.sh, y.sh))::DOUBLE
+           / len(list_distinct(list_concat(x.sh, y.sh))) AS jac
+  FROM cand
+  JOIN mh_t ma ON ma.doc_id = cand.doc_a
+  JOIN mh_t mb ON mb.doc_id = cand.doc_b
+  JOIN sh_t x ON x.doc_id = cand.doc_a
+  JOIN sh_t y ON y.doc_id = cand.doc_b
+),
+quant AS (
+  SELECT CAST(least(floor(jac * 10), 9) AS INT) AS jac_bin,
+         CAST(k AS BIGINT) AS k,
+         CAST(floor(jac * {CALIB_SCALE} + 0.5) AS BIGINT) AS jq,
+         CAST(floor(abs(CAST(k AS DOUBLE) / {tp.NUM_MINHASHES} - jac) * {CALIB_SCALE} + 0.5) AS BIGINT) AS eq
+  FROM scored
+)
+SELECT jac_bin,
+       count(*) AS n_pairs,
+       {sql_roundn(f'CAST(sum(k) AS DOUBLE) / {tp.NUM_MINHASHES} / count(*)', 6)} AS mean_est,
+       {sql_roundn(f'CAST(sum(jq) AS DOUBLE) / {CALIB_SCALE} / count(*)', 6)} AS mean_exact,
+       {sql_roundn(f'CAST(sum(eq) AS DOUBLE) / {CALIB_SCALE} / count(*)', 6)} AS mean_abs_err
+FROM quant
+GROUP BY jac_bin
+ORDER BY jac_bin"""
+
+
 # --- SimHash signatures ------------------------------------------------------
 
 SIMHASH_BITS = 32
