@@ -105,24 +105,27 @@ ORDER BY keep_doc_id"""
 
 
 def _minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id -> 16 minhash columns (Broder double hashing: two md5
-    streams per shingle, i-th permutation = h1 + i*h2).
+    """doc_id -> 16 minhash columns over the pairwise-independent linear
+    family (A_i*x + B_i) mod 2^31-1 — see textprep.py's family note for
+    why the earlier correlated double-hashing was replaced (the
+    minhash_calibration audit caught both its ~50:1 false-positive
+    candidate bias and its correlated misses of true J >= 0.9 pairs).
 
-    Computed by exploding to one row per (doc, shingle) and taking 16
-    partial-aggregated mins: every expression (md5, conv, modulo, the
-    min aggregates) stays inside whole-stage codegen, and the shuffle
-    carries |docs| x 16 longs of map-side partials. The previous form —
-    16 higher-order array lambdas per document — was interpreted
-    row-at-a-time outside codegen and ~2x slower cold. Values are
-    bit-identical (same multiset min per permutation); explode_outer
-    keeps the generator from pushing an is-not-empty filter into the
-    scan (shingle arrays are never empty by the whole-norm fallback)."""
+    Computed by exploding to one row per (doc, shingle), hashing ONCE to
+    the 31-bit base point, and taking 16 partial-aggregated mins of the
+    linear permutations: every expression (md5, conv, modulo, the min
+    aggregates) stays inside whole-stage codegen, and the shuffle
+    carries |docs| x 16 longs of map-side partials. explode_outer keeps
+    the generator from pushing an is-not-empty filter into the scan
+    (shingle arrays are never empty by the whole-norm fallback)."""
     ex = docs.select("doc_id", F.explode_outer("sh").alias("s"))
-    h1 = F.expr(tp.spark_u60_of("concat('mha:', s)"))
-    h2 = F.expr(tp.spark_u60_of("concat('mhb:', s)")) % tp.H2_MOD
-    hashed = ex.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    x = F.expr(tp.spark_u60_of("concat('mh:', s)")) % tp.MH_P
+    hashed = ex.select("doc_id", x.alias("x"))
     return hashed.groupBy("doc_id").agg(
-        *[F.min(F.col("h1") + i * F.col("h2")).alias(f"mh{i}") for i in range(tp.NUM_MINHASHES)]
+        *[
+            F.min((F.lit(tp.MH_A[i]) * F.col("x") + F.lit(tp.MH_B[i])) % tp.MH_P).alias(f"mh{i}")
+            for i in range(tp.NUM_MINHASHES)
+        ]
     )
 
 
@@ -202,7 +205,7 @@ def _sql_bands_union() -> str:
 SQL_DEDUP_MINHASH_LSH = f"""
 WITH {DUCK_DOCS_CTE},
 hp_t AS (
-  SELECT doc_id, sh, {tp.duck_hash_pairs()} AS hp FROM sh_t
+  SELECT doc_id, sh, {tp.duck_shingle_hashes()} AS hp FROM sh_t
 ),
 mh_t AS (
   SELECT doc_id, sh,
@@ -348,7 +351,7 @@ def dedup_lsh_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_LSH_CAPPED = f"""
 WITH {DUCK_DOCS_CTE},
 hp_t AS (
-  SELECT doc_id, sh, {tp.duck_hash_pairs()} AS hp FROM sh_t
+  SELECT doc_id, sh, {tp.duck_shingle_hashes()} AS hp FROM sh_t
 ),
 mh_t AS (
   SELECT doc_id, sh,
@@ -389,7 +392,7 @@ ORDER BY doc_a, doc_b"""
 SQL_DEDUP_LSH_CAP_AUDIT = f"""
 WITH {DUCK_DOCS_CTE},
 hp_t AS (
-  SELECT doc_id, sh, {tp.duck_hash_pairs()} AS hp FROM sh_t
+  SELECT doc_id, sh, {tp.duck_shingle_hashes()} AS hp FROM sh_t
 ),
 mh_t AS (
   SELECT doc_id, sh,
@@ -502,7 +505,7 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MINHASH_CALIBRATION = f"""
 WITH {DUCK_DOCS_CTE},
 hp_t AS (
-  SELECT doc_id, sh, {tp.duck_hash_pairs()} AS hp FROM sh_t
+  SELECT doc_id, sh, {tp.duck_shingle_hashes()} AS hp FROM sh_t
 ),
 mh_t AS (
   SELECT doc_id, sh,
@@ -915,7 +918,7 @@ exact_hits AS (
   FROM incoming i JOIN (SELECT DISTINCT digest FROM idx) d ON i.digest = d.digest
 ),
 hp_t AS (
-  SELECT doc_id, sh, {tp.duck_hash_pairs()} AS hp FROM dset
+  SELECT doc_id, sh, {tp.duck_shingle_hashes()} AS hp FROM dset
 ),
 mh_t AS (
   SELECT doc_id, sh,
