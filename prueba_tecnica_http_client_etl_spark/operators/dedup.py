@@ -548,6 +548,98 @@ GROUP BY jac_bin
 ORDER BY jac_bin"""
 
 
+
+# --- LSH recall gate (sampled exact ground truth) ----------------------------
+
+LSH_AUDIT_STRIDE = 10  # every 10th doc_id probes the exact ground truth
+
+
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the MinHash-LSH flagship against EXACT ground
+    truth on a deterministic 1-in-LSH_AUDIT_STRIDE document sample: of
+    the true J >= MINHASH_JACCARD_THRESHOLD pairs touching the sample,
+    how many did banding surface? This is the audit that caught the
+    correlated permutation family (recall 0.92/0.992 before the fix,
+    1.0 after — see textprep.py); it stays registered so any future
+    signature/banding change re-measures instead of re-guessing.
+
+    Ground truth is computed the set-similarity-join way (explode the
+    sample's shingles, equi-join to the full posting table, count shared
+    shingles per pair, Jaccard = c/(na+nb-c)) — exact without ever
+    materializing all pairs; restricting one join side to the sample is
+    precisely how the audit stays affordable at 100 TB (probe cost
+    ~1/stride of the full inverted-index join, run per ingest batch)."""
+    base = managed_persist(
+        docs_normalized(spark, sf_dir).select("doc_id", "sh").withColumn("n", F.size("sh"))
+    )
+    ex = managed_persist(base.select("doc_id", "n", F.explode_outer("sh").alias("s")))
+    a = ex.filter(F.col("doc_id") % LSH_AUDIT_STRIDE == 0).select(
+        F.col("s"), F.col("doc_id").alias("pa"), F.col("n").alias("na")
+    )
+    b = ex.select(F.col("s"), F.col("doc_id").alias("pb"), F.col("n").alias("nb"))
+    co = (
+        a.join(b, "s")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    truth = (
+        co.filter(jac >= MINHASH_JACCARD_THRESHOLD)
+        .select(F.least("pa", "pb").alias("lo"), F.greatest("pa", "pb").alias("hi"))
+        .distinct()
+    )
+    found = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi"))
+        .filter((F.col("lo") % LSH_AUDIT_STRIDE == 0) | (F.col("hi") % LSH_AUDIT_STRIDE == 0))
+    )
+    t = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    f = found.agg(F.count(F.lit(1)).alias("n_found"))
+    h = truth.join(found, ["lo", "hi"]).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        t.crossJoin(f)
+        .crossJoin(h)
+        .select(
+            "n_true",
+            "n_found",
+            "n_hits",
+            F.when(F.col("n_true") == 0, F.lit(1.0))
+            .otherwise(
+                roundn(F.col("n_hits").cast("double") / F.col("n_true"), 4)
+            )
+            .alias("recall"),
+        )
+    )
+
+
+SQL_DEDUP_LSH_RECALL = f"""
+WITH {DUCK_DOCS_CTE},
+nsz AS (SELECT doc_id, sh, len(sh) AS n FROM sh_t),
+post AS (SELECT doc_id, n, unnest(sh) AS s FROM nsz),
+co AS (
+  SELECT a.doc_id AS pa, b.doc_id AS pb, a.n AS na, b.n AS nb, count(*) AS c
+  FROM (SELECT * FROM post WHERE doc_id % {LSH_AUDIT_STRIDE} = 0) a
+  JOIN post b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+truth AS (
+  SELECT DISTINCT least(pa, pb) AS lo, greatest(pa, pb) AS hi
+  FROM co WHERE CAST(c AS DOUBLE) / (na + nb - c) >= {MINHASH_JACCARD_THRESHOLD}
+),
+found AS (
+  SELECT doc_a AS lo, doc_b AS hi FROM ({SQL_DEDUP_MINHASH_LSH})
+  WHERE doc_a % {LSH_AUDIT_STRIDE} = 0 OR doc_b % {LSH_AUDIT_STRIDE} = 0
+),
+t AS (SELECT count(*) AS n_true FROM truth),
+f AS (SELECT count(*) AS n_found FROM found),
+h AS (SELECT count(*) AS n_hits FROM truth JOIN found USING (lo, hi))
+SELECT t.n_true, f.n_found, h.n_hits,
+       CASE WHEN t.n_true = 0 THEN 1.0
+            ELSE {sql_roundn('CAST(h.n_hits AS DOUBLE) / t.n_true', 4)} END AS recall
+FROM t, f, h"""
+
+
 # --- SimHash signatures ------------------------------------------------------
 
 SIMHASH_BITS = 32
