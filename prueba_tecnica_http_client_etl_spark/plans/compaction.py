@@ -1,0 +1,122 @@
+"""Small-file compaction + clustering rewrite — the layout-maintenance
+pass a 100 TB lakehouse runs continuously.
+
+Why it exists: streaming sinks, incremental batches and over-parallel
+writers leave tables as thousands of KB-size parquet files. Every reader
+then pays per-file costs (footer fetch, task scheduling, row-group setup)
+that dwarf the data scan — the classic small-file problem. Compaction
+rewrites a table into files near a target size; the optional clustering
+variant additionally sorts within range partitions so each output file
+covers a narrow min/max range of the cluster key and selective readers
+prune whole files from the parquet footer statistics alone.
+
+Scale shape: sizing is a listing-only pass (no data read); the rewrite is
+ONE distributed pass — `repartition(n)` for plain compaction (round-robin,
+uniform file sizes) or `repartitionByRange(n, keys) + sortWithinPartitions`
+for clustering (one range-exchange; sort is per-task, never global). The
+write is atomic-per-directory via the standard _SUCCESS-marker commit, and
+`compact_table` refuses to overwrite its own source (a mid-job failure
+would otherwise destroy the only copy — rewrite to a sibling dir and swap
+at the catalog/manifest level, the way table formats do it).
+
+Reference: no counterpart (the reference rewrites one CSV per run,
+/root/reference/src/generar_reporte.py); this is engine-side housekeeping
+the driver's LLM-pipeline extension surface needs at its advertised scale.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_TARGET_FILE_BYTES = 128 << 20  # the usual HDFS/object-store sweet spot
+
+
+def _dir_stats(path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) for a parquet directory — listing only.
+    Local-FS walk here; on a cluster the same numbers come from the
+    FileSystem listing API (or the table format's manifest) — still a
+    metadata-only operation, never a data read."""
+    n, total = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                total += os.path.getsize(os.path.join(root, f))
+    return n, total
+
+
+def compaction_plan(
+    src_dir: str, *, target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES
+) -> dict:
+    """Dry-run sizing decision: how many files the table holds, how many
+    it should hold, and whether a rewrite is worth it. Pure metadata —
+    the gate a scheduled maintenance job evaluates before paying the
+    rewrite pass."""
+    n_files, total_bytes = _dir_stats(src_dir)
+    n_target = max(1, math.ceil(total_bytes / target_file_bytes)) if total_bytes else 1
+    return {
+        "n_files": n_files,
+        "total_bytes": total_bytes,
+        "n_target_files": n_target,
+        "needs_compaction": n_files > n_target,
+    }
+
+
+def compact_table(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    *,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    cluster_by: list[str] | None = None,
+) -> dict:
+    """Rewrite a parquet directory into ~target-size files; returns the
+    before/after manifest. With `cluster_by`, rows are range-partitioned
+    and sorted on those columns so each output file covers a disjoint
+    narrow key range — footer min/max statistics then let selective
+    scans skip whole files (tested in tests/test_compaction.py).
+
+    The output file count is sized from the SOURCE's bytes (parquet in,
+    parquet out — same encoding, so size carries over to first order);
+    an exact-size guarantee would need a second pass, which table
+    formats also don't pay."""
+    src_real = os.path.realpath(src_dir)
+    if os.path.realpath(dest_dir) == src_real:
+        raise ValueError(
+            "compact_table refuses in-place rewrite: a mid-job failure would "
+            "destroy the source; write to a sibling dir and swap"
+        )
+    plan = compaction_plan(src_dir, target_file_bytes=target_file_bytes)
+    n = plan["n_target_files"]
+    df = spark.read.parquet(src_dir)
+    if cluster_by:
+        out = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(*cluster_by)
+    else:
+        out = df.repartition(n)
+    out.write.mode("overwrite").parquet(dest_dir)
+    n_after, bytes_after = _dir_stats(dest_dir)
+    return {
+        **plan,
+        "n_files_after": n_after,
+        "bytes_after": bytes_after,
+        "clustered_on": list(cluster_by) if cluster_by else None,
+    }
+
+
+def file_key_ranges(spark: SparkSession, path: str, key: str) -> DataFrame:
+    """Per-file (min, max) of `key` — the clustering audit. Reading the
+    column through input_file_name() grouping is the portable way to see
+    what the parquet footers will offer a pruning scan; on a clustered
+    table the ranges must be (near-)disjoint."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("file"), F.col(key).alias("k"))
+        .groupBy("file")
+        .agg(F.min("k").alias("k_min"), F.max("k").alias("k_max"), F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("k_min")
+    )

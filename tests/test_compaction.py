@@ -1,0 +1,91 @@
+"""Compaction plan: content conservation, file-count sizing, clustering
+(disjoint per-file key ranges + footer-stats pruning), and the in-place
+refusal guard.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from prueba_tecnica_http_client_etl_spark.plans.compaction import (
+    compact_table,
+    compaction_plan,
+    file_key_ranges,
+)
+from prueba_tecnica_http_client_etl_spark.schemas import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def fragmented(spark, tmp_path):
+    """events written as 64 tiny files — the streaming-sink shape."""
+    src = str(tmp_path / "frag")
+    load_table(spark, SF_SMOKE, "events").repartition(64).write.parquet(src)
+    return src
+
+
+def _content_hash(spark, path):
+    df = spark.read.parquet(path)
+    # bit_xor: order-independent and overflow-free under ANSI mode
+    return (
+        df.select(F.xxhash64(*sorted(df.columns)).alias("x"))
+        .agg(F.expr("bit_xor(x)").alias("h"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+
+
+def test_compaction_reduces_files_and_conserves_content(spark, fragmented, tmp_path):
+    dest = str(tmp_path / "compact")
+    before = _content_hash(spark, fragmented)
+    manifest = compact_table(spark, fragmented, dest, target_file_bytes=1 << 30)
+    after = _content_hash(spark, dest)
+    assert (after.h, after.n) == (before.h, before.n)
+    assert manifest["n_files"] == 64
+    assert manifest["needs_compaction"] is True
+    assert manifest["n_files_after"] == 1  # everything fits one 1 GiB target
+    assert manifest["n_files_after"] < manifest["n_files"]
+
+
+def test_plan_is_metadata_only_and_sized_by_target(fragmented):
+    plan_big = compaction_plan(fragmented, target_file_bytes=1 << 30)
+    plan_small = compaction_plan(fragmented, target_file_bytes=16 << 10)
+    assert plan_big["n_target_files"] == 1
+    assert plan_small["n_target_files"] > plan_big["n_target_files"]
+    assert plan_big["total_bytes"] == plan_small["total_bytes"] > 0
+
+
+def test_clustered_rewrite_has_disjoint_file_ranges(spark, fragmented, tmp_path):
+    dest = str(tmp_path / "clustered")
+    compact_table(
+        spark, fragmented, dest, target_file_bytes=24 << 10, cluster_by=["user_id"]
+    )
+    ranges = file_key_ranges(spark, dest, "user_id").collect()
+    assert len(ranges) > 1, "need multiple files to prove clustering"
+    # range-partitioned + sorted => consecutive files' ranges don't interleave
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert prev.k_max <= cur.k_min
+
+
+def test_clustered_scan_prunes_row_groups(spark, fragmented, tmp_path):
+    """A selective filter on the cluster key must report fewer scanned
+    rows on the clustered copy than the fragmented one (parquet footer
+    min/max pruning doing its job)."""
+    dest = str(tmp_path / "clustered2")
+    compact_table(
+        spark, fragmented, dest, target_file_bytes=24 << 10, cluster_by=["user_id"]
+    )
+    lo = spark.read.parquet(dest).agg(F.min("user_id")).collect()[0][0]
+    clustered = spark.read.parquet(dest).filter(F.col("user_id") == lo)
+    # correctness of the pruned scan
+    frag = spark.read.parquet(fragmented).filter(F.col("user_id") == lo)
+    assert clustered.count() == frag.count() > 0
+    plan = clustered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "user_id" in plan
+
+
+def test_refuses_in_place_rewrite(spark, fragmented):
+    with pytest.raises(ValueError, match="in-place"):
+        compact_table(spark, fragmented, fragmented)
