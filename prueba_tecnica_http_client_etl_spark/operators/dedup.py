@@ -28,7 +28,7 @@ partitioning / task retry and reproducible bit-for-bit by the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import textprep as tp
@@ -741,6 +741,109 @@ pairs AS (
 )
 SELECT lang, doc_a, doc_b, {sql_roundn('jaccard_raw', 4)} AS jaccard
 FROM pairs
+WHERE jaccard_raw >= {NGRAM_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b"""
+
+
+
+# --- prefix-filtered set-similarity join (PPJoin tier) -----------------------
+
+
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_ngram_jaccard's output through a PPJoin-style PREFIX FILTER
+    (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    Detection", WWW 2008): instead of posting every shingle, each doc
+    posts only its |sh| - ceil(t*|sh|) + 1 smallest shingles under a
+    global hash order. Two sets with J >= t MUST share a prefix element
+    (if they disagreed on every prefix slot, the overlap could not reach
+    the t-implied floor), so the filter is LOSSLESS for the threshold —
+    tests assert byte-equality with the unfiltered operator — while the
+    posting table shrinks by ~t and, more importantly at 100 TB,
+    candidate pairs fall roughly quadratically per hot shingle (a
+    boilerplate shingle generates pairs only between docs that BOTH rank
+    it inside their prefix — rare under a uniform hash — rather than
+    between all docs containing it). Verification joins the full shingle
+    arrays back for the exact count, same as the LSH verify stage.
+
+    The length filter rides along for free: J(A,B) >= t forces
+    |A| >= t*|B|, so candidates with incompatible sizes are dropped
+    before the verify join touches arrays."""
+    t = NGRAM_JACCARD_THRESHOLD
+    base = managed_persist(
+        docs_normalized(spark, sf_dir)
+        .select("lang", "doc_id", "sh")
+        .withColumn("n", F.size("sh"))
+    )
+    # global order: the portable 60-bit hash of the shingle; prefix =
+    # the first (n - ceil(t*n) + 1) shingles under that order
+    ex = base.select(
+        "lang", "doc_id", "n", F.explode_outer("sh").alias("s")
+    ).withColumn("hs", F.expr(tp.spark_u60_of("concat('pf:', s)")))
+    w = Window.partitionBy("doc_id").orderBy("hs", "s")
+    prefix = (
+        ex.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        .select("lang", "s", "doc_id", "n")
+    )
+    a = prefix.select("lang", "s", F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    b = prefix.select("lang", "s", F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cand = (
+        a.join(b, ["lang", "s"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: J >= t forces the smaller set to hold at
+            # least t x the larger
+            & (F.least("na", "nb").cast("double") >= F.lit(t) * F.greatest("na", "nb"))
+        )
+        .select("lang", "doc_a", "doc_b")
+        .distinct()
+    )
+    x = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("jaccard_raw", jac)
+        .filter(F.col("jaccard_raw") >= NGRAM_JACCARD_THRESHOLD)
+        .select("lang", "doc_a", "doc_b", roundn(F.col("jaccard_raw"), 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_DEDUP_JACCARD_PREFIX = f"""
+WITH {DUCK_DOCS_CTE},
+nsz AS (SELECT lang, doc_id, sh, len(sh) AS n FROM sh_t),
+post AS (
+  SELECT lang, doc_id, n, s,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY {tp.duck_u60_of("'pf:' || s")}, s
+         ) AS rk
+  FROM (SELECT lang, doc_id, n, unnest(sh) AS s FROM nsz)
+),
+prefix AS (
+  SELECT lang, s, doc_id, n FROM post
+  WHERE rk <= n - ceil({NGRAM_JACCARD_THRESHOLD} * n) + 1
+),
+cand AS (
+  SELECT DISTINCT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.lang = b.lang AND a.s = b.s
+  WHERE a.doc_id < b.doc_id
+    AND CAST(least(a.n, b.n) AS DOUBLE) >= {NGRAM_JACCARD_THRESHOLD} * greatest(a.n, b.n)
+),
+verified AS (
+  SELECT cand.lang, doc_a, doc_b,
+         len(list_intersect(x.sh, y.sh))::DOUBLE
+           / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard_raw
+  FROM cand
+  JOIN sh_t x ON x.doc_id = cand.doc_a
+  JOIN sh_t y ON y.doc_id = cand.doc_b
+)
+SELECT lang, doc_a, doc_b, {sql_roundn('jaccard_raw', 4)} AS jaccard
+FROM verified
 WHERE jaccard_raw >= {NGRAM_JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b"""
 

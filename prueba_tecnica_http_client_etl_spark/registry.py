@@ -195,6 +195,7 @@ _LLM_PIPELINE = [
     ("ann_pq_rerank_recall", similarity.ann_pq_rerank_recall, similarity.SQL_ANN_PQ_RERANK_RECALL),
     ("minhash_calibration", dedup.minhash_calibration, dedup.SQL_MINHASH_CALIBRATION),
     ("dedup_lsh_recall", dedup.dedup_lsh_recall, dedup.SQL_DEDUP_LSH_RECALL),
+    ("dedup_jaccard_prefix", dedup.dedup_jaccard_prefix, dedup.SQL_DEDUP_JACCARD_PREFIX),
     ("corpus_split", corpus.corpus_split, corpus.SQL_CORPUS_SPLIT),
     ("corpus_split_stats", corpus.corpus_split_stats, corpus.SQL_CORPUS_SPLIT_STATS),
 ]

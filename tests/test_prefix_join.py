@@ -1,0 +1,50 @@
+"""Prefix-filtered set-similarity join: losslessness (byte-equality with
+the unfiltered operator) and the posting-volume reduction the filter
+exists for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from prueba_tecnica_http_client_etl_spark.functions import textprep as tp
+from prueba_tecnica_http_client_etl_spark.operators.dedup import (
+    NGRAM_JACCARD_THRESHOLD,
+    dedup_jaccard_prefix,
+    dedup_ngram_jaccard,
+    docs_normalized,
+)
+
+
+def test_prefix_filter_is_lossless(spark):
+    """The PPJoin prefix + length filters may only prune candidates that
+    cannot reach the threshold: verified output must be byte-identical
+    to the unfiltered set-similarity join. Run at sf0.1 so real
+    near-dup pairs exercise the equality."""
+    sf = "/root/testdata/sf0.1"
+    full = dedup_ngram_jaccard(spark, sf).collect()
+    pref = dedup_jaccard_prefix(spark, sf).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, pref))
+    assert len(full) > 0
+
+
+def test_prefix_posting_table_is_smaller(spark):
+    """The point of the filter: fewer posting rows enter the pair join.
+    At t=0.2 the prefix keeps ~(1 - t) of each doc's shingles."""
+    sf = "/root/testdata/sf0.01"
+    t = NGRAM_JACCARD_THRESHOLD
+    base = docs_normalized(spark, sf).select("doc_id", "sh").withColumn("n", F.size("sh"))
+    full_postings = base.select(F.explode_outer("sh")).count()
+    ex = base.select("doc_id", "n", F.explode_outer("sh").alias("s")).withColumn(
+        "hs", F.expr(tp.spark_u60_of("concat('pf:', s)"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("hs", "s")
+    prefix_postings = (
+        ex.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        .count()
+    )
+    assert prefix_postings < full_postings
+    # ~80% retained at t=0.2 (+1 slack per doc for the ceil)
+    assert prefix_postings / full_postings < 0.9
