@@ -1279,14 +1279,18 @@ def _pq_scored(emb: DataFrame) -> DataFrame:
     cos_hat = adc / (na * nb_hat) divides identical doubles in both
     engines — the PQ tiers keep the engine-wide bit-determinism."""
     cb = _pq_codebook(emb)
-    w_assign = Window.partitionBy("vec_id", "sub").orderBy("d2", "code_id")
+    # argmin via min(struct(d2, code_id, ...)): lexicographic struct-min IS
+    # the (d2, code_id) tie-break, and unlike a row_number window it is a
+    # partial aggregation — each task combines its PQ_K candidate rows per
+    # (vec, sub) map-side, so the shuffle carries |corpus| x PQ_M argmin
+    # structs instead of |corpus| x PQ_M x PQ_K pre-argmin rows.
     codes = managed_persist(
         _pq_subspaces(emb, "vec_id")
         .join(F.broadcast(cb), "sub")
         .withColumn("d2", F.expr(_SPARK_SUB_SQDIST))
-        .withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "sub", "code_id", "cself")
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("d2", "code_id", "cself")).alias("m"))
+        .select("vec_id", "sub", F.col("m.code_id").alias("code_id"), F.col("m.cself").alias("cself"))
     )
     nbh = codes.groupBy("vec_id").agg(
         F.sqrt(F.sum("cself").cast("double")).alias("nbh")
