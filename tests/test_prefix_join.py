@@ -48,3 +48,40 @@ def test_prefix_posting_table_is_smaller(spark):
     assert prefix_postings < full_postings
     # ~80% retained at t=0.2 (+1 slack per doc for the ceil)
     assert prefix_postings / full_postings < 0.9
+
+
+# --- pure-model property: the prefix-filter lemma itself ---------------------
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from prueba_tecnica_http_client_etl_spark.operators.dedup import NGRAM_JACCARD_THRESHOLD as T
+
+_set = st.sets(st.integers(min_value=0, max_value=60), min_size=1, max_size=40)
+
+
+def _prefix(s, order):
+    ordered = sorted(s, key=lambda e: (order(e), e))
+    keep = len(s) - math.ceil(T * len(s)) + 1
+    return set(ordered[:keep])
+
+
+@given(a=_set, b=_set, seed=st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=400, deadline=None)
+def test_prefix_lemma_model(a, b, seed):
+    """Model check of the losslessness argument on random sets and a
+    random-but-consistent global order: whenever J(A,B) >= t, the two
+    prefixes share an element AND the length filter passes — so the
+    Spark/SQL candidate generation cannot drop a qualifying pair."""
+    import hashlib
+
+    def order(e):
+        return hashlib.md5(f"{seed}:{e}".encode()).hexdigest()
+
+    inter = len(a & b)
+    union = len(a | b)
+    if inter / union >= T:
+        assert _prefix(a, order) & _prefix(b, order), (sorted(a), sorted(b))
+        assert min(len(a), len(b)) >= T * max(len(a), len(b))
