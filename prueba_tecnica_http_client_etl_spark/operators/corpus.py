@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import roundn, sql_roundn, sql_salted
+from ..schemas import load_table
 from .dedup import DUCK_DOCS_CTE, docs_normalized
 from .textops import BPE_TOKEN_RE
 
@@ -819,3 +820,48 @@ SELECT split, n_docs, n_texts, tokens_total,
        {sql_roundn('CAST(tokens_total AS DOUBLE) / sum(tokens_total) OVER ()', 6)} AS token_share
 FROM per
 ORDER BY split"""
+
+
+# --- deterministic fixed-size per-source sample ------------------------------
+
+SAMPLE_PER_SOURCE = 20  # docs kept per source
+
+
+def corpus_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly min(SAMPLE_PER_SOURCE, |source|) documents per source,
+    chosen as the smallest salted content hashes — the deterministic
+    equivalent of a per-group reservoir sample (eval slices, inspection
+    batches, labeling queues). A reservoir needs coordinated mutable
+    state and is partition-order-dependent; ranking by a pure row hash
+    is identical under any partitioning, task retry, or engine, and at
+    100 TB it is one window over data already grouped by source (or a
+    TakeOrdered per group) — no sampling state anywhere.
+
+    Hashing doc_id (not text) keeps the sample stable under text-level
+    re-cleaning; salting isolates this stream from every other md5 use."""
+    from ..functions.portable import salted
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang", "n_chars")
+    w = Window.partitionBy("source").orderBy(F.col("hk"), F.col("doc_id"))
+    return (
+        d.withColumn("hk", salted("smpsrc", F.col("doc_id")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_PER_SOURCE)
+        .select("source", F.col("rk").cast("int").alias("rk"), "doc_id", "lang", "n_chars")
+        .orderBy("source", "rk")
+    )
+
+
+SQL_CORPUS_SAMPLE_PER_SOURCE = f"""
+WITH ranked AS (
+  SELECT source, doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {sql_salted('smpsrc', 'doc_id')}, doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT source, CAST(rk AS INT) AS rk, doc_id, lang, n_chars
+FROM ranked
+WHERE rk <= {SAMPLE_PER_SOURCE}
+ORDER BY source, rk"""

@@ -1502,3 +1502,65 @@ ORDER BY query_id, rank"""
 
 SQL_ANN_PQ_RECALL = _sql_recall(SQL_ANN_PQ_TOPK)
 SQL_ANN_PQ_RERANK_RECALL = _sql_recall(SQL_ANN_PQ_RERANK)
+
+
+# --- PQ quantization-error audit ---------------------------------------------
+
+
+def pq_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace reconstruction error of the PQ codebooks: vector
+    count, exact BIGINT total squared L2 distance to the assigned code,
+    and the mean per-component error in ORIGINAL embedding units
+    (sqrt(mse)/QUANT_SCALE). This is PQ's calibration twin of
+    minhash_calibration: recall regressions trace to the subspace whose
+    codes stopped fitting (drifting data, stale codebook), and at 100 TB
+    this one |corpus| x PQ_M aggregate — the same partial-agg shape as
+    the encode pass — is the monitoring query that says when to retrain
+    rather than re-guess. Exact arithmetic end to end: d2 values are the
+    encode pass's own BIGINTs, so the audit is bit-identical across
+    engines."""
+    emb = managed_persist(_quantized(spark, sf_dir))
+    cb = _pq_codebook(emb)
+    # the assigned code's d2 is simply min(d2) — the code_id tie-break
+    # cannot change the minimal distance value itself
+    d2s = (
+        _pq_subspaces(emb, "vec_id")
+        .join(F.broadcast(cb), "sub")
+        .withColumn("d2", F.expr(_SPARK_SUB_SQDIST))
+        .groupBy("vec_id", "sub")
+        .agg(F.min("d2").alias("d2"))
+        .select("sub", "d2")
+    )
+    mse = F.col("total_d2").cast("double") / F.col("n_vectors") / PQ_SUBDIM
+    return (
+        d2s.groupBy("sub")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.sum("d2").alias("total_d2"))
+        .select(
+            "sub",
+            "n_vectors",
+            "total_d2",
+            roundn(F.sqrt(mse) / QUANT_SCALE, 8).alias("rms_component_err"),
+        )
+        .orderBy("sub")
+    )
+
+
+SQL_PQ_QUANTIZATION_ERROR = f"""
+WITH {DUCK_QUANT_CTE},
+{_sql_pq_ctes()},
+d2s AS (
+  SELECT sub, min(d2) AS d2
+  FROM (
+    SELECT v.vec_id, v.sub,
+           list_dot_product(v.sv, v.sv) - 2 * list_dot_product(v.sv, c.cv) + c.cself AS d2
+    FROM vsub v JOIN cbn c ON v.sub = c.sub
+  )
+  GROUP BY vec_id, sub
+)
+SELECT sub,
+       count(*) AS n_vectors,
+       CAST(sum(CAST(d2 AS BIGINT)) AS BIGINT) AS total_d2,
+       {sql_roundn(f'sqrt(CAST(sum(CAST(d2 AS BIGINT)) AS DOUBLE) / count(*) / {PQ_SUBDIM}) / {QUANT_SCALE}', 8)} AS rms_component_err
+FROM d2s
+GROUP BY sub
+ORDER BY sub"""

@@ -196,6 +196,8 @@ _LLM_PIPELINE = [
     ("minhash_calibration", dedup.minhash_calibration, dedup.SQL_MINHASH_CALIBRATION),
     ("dedup_lsh_recall", dedup.dedup_lsh_recall, dedup.SQL_DEDUP_LSH_RECALL),
     ("dedup_jaccard_prefix", dedup.dedup_jaccard_prefix, dedup.SQL_DEDUP_JACCARD_PREFIX),
+    ("corpus_sample_per_source", corpus.corpus_sample_per_source, corpus.SQL_CORPUS_SAMPLE_PER_SOURCE),
+    ("pq_quantization_error", similarity.pq_quantization_error, similarity.SQL_PQ_QUANTIZATION_ERROR),
     ("corpus_split", corpus.corpus_split, corpus.SQL_CORPUS_SPLIT),
     ("corpus_split_stats", corpus.corpus_split_stats, corpus.SQL_CORPUS_SPLIT_STATS),
 ]
