@@ -39,6 +39,14 @@ from ..session import default_parallelism
 
 MINHASH_JACCARD_THRESHOLD = 0.5
 NGRAM_JACCARD_THRESHOLD = 0.2
+# exact rational form of the threshold (1/5) for the prefix filter's
+# INTEGER boundary arithmetic: a float ceil(t*n) can overstate the exact
+# rational ceiling by one ulp at exact multiples (e.g. t=9/14, n=42:
+# product floats to 27.000000000000004, ceil 28 vs exact 27), keeping ONE
+# FEWER prefix element than the losslessness lemma requires. t=1/5 is
+# luckily round-safe at realistic n, but losslessness must not depend on
+# per-threshold rounding luck (tests/test_prefix_join.py pins this)
+NGRAM_T_NUM, NGRAM_T_DEN = 1, 5
 
 
 def docs_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -775,14 +783,18 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.size("sh"))
     )
     # global order: the portable 60-bit hash of the shingle; prefix =
-    # the first (n - ceil(t*n) + 1) shingles under that order
+    # the first (n - ceil(t*n) + 1) shingles under that order, with the
+    # ceiling computed in EXACT integer arithmetic ((n*num + den - 1)
+    # div den) — float ceil overstates it at exact multiples (see
+    # NGRAM_T_NUM's definition) and would under-keep the prefix
     ex = base.select(
         "lang", "doc_id", "n", F.explode_outer("sh").alias("s")
     ).withColumn("hs", F.expr(tp.spark_u60_of("concat('pf:', s)")))
     w = Window.partitionBy("doc_id").orderBy("hs", "s")
+    ceil_tn = F.expr(f"(n * {NGRAM_T_NUM} + {NGRAM_T_DEN - 1}) div {NGRAM_T_DEN}")
     prefix = (
         ex.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        .filter(F.col("rk") <= F.col("n") - ceil_tn + 1)
         .select("lang", "s", "doc_id", "n")
     )
     a = prefix.select("lang", "s", F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
@@ -792,8 +804,9 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             # length filter: J >= t forces the smaller set to hold at
-            # least t x the larger
-            & (F.least("na", "nb").cast("double") >= F.lit(t) * F.greatest("na", "nb"))
+            # least t x the larger — integer cross-multiplication, no
+            # float boundary (least*den >= num*greatest)
+            & (F.least("na", "nb") * NGRAM_T_DEN >= F.greatest("na", "nb") * NGRAM_T_NUM)
         )
         .select("lang", "doc_a", "doc_b")
         .distinct()
@@ -826,13 +839,13 @@ post AS (
 ),
 prefix AS (
   SELECT lang, s, doc_id, n FROM post
-  WHERE rk <= n - ceil({NGRAM_JACCARD_THRESHOLD} * n) + 1
+  WHERE rk <= n - ((n * {NGRAM_T_NUM} + {NGRAM_T_DEN - 1}) // {NGRAM_T_DEN}) + 1
 ),
 cand AS (
   SELECT DISTINCT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM prefix a JOIN prefix b ON a.lang = b.lang AND a.s = b.s
   WHERE a.doc_id < b.doc_id
-    AND CAST(least(a.n, b.n) AS DOUBLE) >= {NGRAM_JACCARD_THRESHOLD} * greatest(a.n, b.n)
+    AND least(a.n, b.n) * {NGRAM_T_DEN} >= greatest(a.n, b.n) * {NGRAM_T_NUM}
 ),
 verified AS (
   SELECT cand.lang, doc_a, doc_b,

@@ -52,19 +52,24 @@ def test_prefix_posting_table_is_smaller(spark):
 
 # --- pure-model property: the prefix-filter lemma itself ---------------------
 
-import math
+from fractions import Fraction
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from prueba_tecnica_http_client_etl_spark.operators.dedup import NGRAM_JACCARD_THRESHOLD as T
+from prueba_tecnica_http_client_etl_spark.operators.dedup import NGRAM_T_DEN, NGRAM_T_NUM
 
 _set = st.sets(st.integers(min_value=0, max_value=60), min_size=1, max_size=40)
+_T = Fraction(NGRAM_T_NUM, NGRAM_T_DEN)
 
 
 def _prefix(s, order):
+    """EXACT integer prefix length — the formula the operator uses
+    (integer arithmetic, immune to the float-ceil boundary artifact
+    test_prefix_length_boundary_is_exact demonstrates)."""
     ordered = sorted(s, key=lambda e: (order(e), e))
-    keep = len(s) - math.ceil(T * len(s)) + 1
+    n = len(s)
+    keep = n - (n * NGRAM_T_NUM + NGRAM_T_DEN - 1) // NGRAM_T_DEN + 1
     return set(ordered[:keep])
 
 
@@ -72,16 +77,32 @@ def _prefix(s, order):
 @settings(max_examples=400, deadline=None)
 def test_prefix_lemma_model(a, b, seed):
     """Model check of the losslessness argument on random sets and a
-    random-but-consistent global order: whenever J(A,B) >= t, the two
-    prefixes share an element AND the length filter passes — so the
-    Spark/SQL candidate generation cannot drop a qualifying pair."""
+    random-but-consistent global order: whenever J(A,B) >= t (exact
+    rational comparison), the two prefixes share an element AND the
+    integer cross-multiplied length filter passes — so the Spark/SQL
+    candidate generation cannot drop a qualifying pair."""
     import hashlib
 
     def order(e):
         return hashlib.md5(f"{seed}:{e}".encode()).hexdigest()
 
-    inter = len(a & b)
-    union = len(a | b)
-    if inter / union >= T:
+    if Fraction(len(a & b), len(a | b)) >= _T:
         assert _prefix(a, order) & _prefix(b, order), (sorted(a), sorted(b))
-        assert min(len(a), len(b)) >= T * max(len(a), len(b))
+        assert min(len(a), len(b)) * NGRAM_T_DEN >= max(len(a), len(b)) * NGRAM_T_NUM
+
+
+def test_prefix_length_boundary_is_exact():
+    """The integer prefix-length formula must equal the exact rational
+    ceiling for every set size. A float ceil(t*n) is one ulp away from
+    under-keeping the prefix at exact multiples of the threshold —
+    t=1/5 happens to round safely at every realistic n, but e.g. t=9/14
+    at n=42 does not (the product floats to 27.000000000000004, ceil 28,
+    exact 27), so the operator must not owe its losslessness to
+    per-threshold rounding luck."""
+    import math
+
+    for n in range(1, 5000):
+        exact_ceil = -(-n * NGRAM_T_NUM // NGRAM_T_DEN)
+        assert (n * NGRAM_T_NUM + NGRAM_T_DEN - 1) // NGRAM_T_DEN == exact_ceil
+    # the float failure mode this formula avoids, at a nearby threshold:
+    assert math.ceil((9 / 14) * 42) == 28 and -(-42 * 9 // 14) == 27
