@@ -84,10 +84,19 @@ def compact_table(
     an exact-size guarantee would need a second pass, which table
     formats also don't pay."""
     src_real = os.path.realpath(src_dir)
-    if os.path.realpath(dest_dir) == src_real:
+    dest_real = os.path.realpath(dest_dir)
+    # equality AND nesting both refused: a dest inside src would overlap
+    # the lazy read with the overwrite (corrupting the scan mid-write)
+    # and also double-count in the source's own listing; src inside dest
+    # would be deleted by the overwrite's directory cleanup
+    if (
+        dest_real == src_real
+        or dest_real.startswith(src_real + os.sep)
+        or src_real.startswith(dest_real + os.sep)
+    ):
         raise ValueError(
-            "compact_table refuses in-place rewrite: a mid-job failure would "
-            "destroy the source; write to a sibling dir and swap"
+            "compact_table refuses in-place/overlapping rewrite: a mid-job "
+            "failure would destroy the source; write to a sibling dir and swap"
         )
     plan = compaction_plan(src_dir, target_file_bytes=target_file_bytes)
     n = plan["n_target_files"]

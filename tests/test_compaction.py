@@ -89,3 +89,12 @@ def test_clustered_scan_prunes_row_groups(spark, fragmented, tmp_path):
 def test_refuses_in_place_rewrite(spark, fragmented):
     with pytest.raises(ValueError, match="in-place"):
         compact_table(spark, fragmented, fragmented)
+
+
+def test_refuses_nested_rewrite(spark, fragmented, tmp_path):
+    """dest inside src overlaps the lazy read with the overwrite; src
+    inside dest would be deleted by the overwrite cleanup. Both refused."""
+    with pytest.raises(ValueError, match="overlapping"):
+        compact_table(spark, fragmented, os.path.join(fragmented, "sub"))
+    with pytest.raises(ValueError, match="overlapping"):
+        compact_table(spark, fragmented, os.path.dirname(fragmented))
