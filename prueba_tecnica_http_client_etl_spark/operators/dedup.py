@@ -757,6 +757,35 @@ ORDER BY doc_a, doc_b"""
 # --- prefix-filtered set-similarity join (PPJoin tier) -----------------------
 
 
+def _prefix_postings(base: DataFrame) -> DataFrame:
+    """(lang, s, doc_id, n) prefix posting table: each doc's
+    (n - ceil(t*n) + 1) smallest shingles under the global 'pf:' hash
+    order. The selection is PER-ROW array arithmetic — hash the shingle
+    list, array_sort it, read the keep-th value as the doc's threshold,
+    keep shingles hashing at or below it — so ranking costs no shuffle
+    at all (the first formulation ranked through a row_number window,
+    shuffling and sorting the whole posting table before the join). The
+    ceiling uses EXACT integer arithmetic ((n*num + den - 1) div den):
+    a float ceil(t*n) can overstate the rational ceiling by one ulp and
+    under-keep the prefix (see NGRAM_T_NUM). Hash ties (negligible at
+    60 bits) can only ENLARGE the kept set — lossless either way."""
+    u60 = tp.spark_u60_of("concat('pf:', s)")
+    hx = F.expr(f"transform(sh, s -> {u60})")
+    keep = F.expr(
+        f"size(sh) - ((size(sh) * {NGRAM_T_NUM} + {NGRAM_T_DEN - 1}) div {NGRAM_T_DEN}) + 1"
+    )
+    return (
+        base.withColumn("hx", hx)
+        .withColumn("thresh", F.element_at(F.array_sort("hx"), keep.cast("int")))
+        .select(
+            "lang", "doc_id", "n", "thresh",
+            F.explode_outer(F.arrays_zip("sh", "hx")).alias("z"),
+        )
+        .filter(F.col("z.hx") <= F.col("thresh"))
+        .select("lang", F.col("z.sh").alias("s"), "doc_id", "n")
+    )
+
+
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_ngram_jaccard's output through a PPJoin-style PREFIX FILTER
     (Xiao et al., "Efficient Similarity Joins for Near Duplicate
@@ -782,21 +811,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "sh")
         .withColumn("n", F.size("sh"))
     )
-    # global order: the portable 60-bit hash of the shingle; prefix =
-    # the first (n - ceil(t*n) + 1) shingles under that order, with the
-    # ceiling computed in EXACT integer arithmetic ((n*num + den - 1)
-    # div den) — float ceil overstates it at exact multiples (see
-    # NGRAM_T_NUM's definition) and would under-keep the prefix
-    ex = base.select(
-        "lang", "doc_id", "n", F.explode_outer("sh").alias("s")
-    ).withColumn("hs", F.expr(tp.spark_u60_of("concat('pf:', s)")))
-    w = Window.partitionBy("doc_id").orderBy("hs", "s")
-    ceil_tn = F.expr(f"(n * {NGRAM_T_NUM} + {NGRAM_T_DEN - 1}) div {NGRAM_T_DEN}")
-    prefix = (
-        ex.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= F.col("n") - ceil_tn + 1)
-        .select("lang", "s", "doc_id", "n")
-    )
+    prefix = _prefix_postings(base)
     a = prefix.select("lang", "s", F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     b = prefix.select("lang", "s", F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     cand = (
@@ -829,17 +844,20 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_JACCARD_PREFIX = f"""
 WITH {DUCK_DOCS_CTE},
 nsz AS (SELECT lang, doc_id, sh, len(sh) AS n FROM sh_t),
-post AS (
-  SELECT lang, doc_id, n, s,
-         row_number() OVER (
-           PARTITION BY doc_id
-           ORDER BY {tp.duck_u60_of("'pf:' || s")}, s
-         ) AS rk
-  FROM (SELECT lang, doc_id, n, unnest(sh) AS s FROM nsz)
+hx_t AS (
+  SELECT lang, doc_id, n, sh,
+         list_transform(sh, s -> {tp.duck_u60_of("'pf:' || s")}) AS hx
+  FROM nsz
+),
+th AS (
+  SELECT lang, doc_id, n, sh, hx,
+         list_sort(hx)[n - ((n * {NGRAM_T_NUM} + {NGRAM_T_DEN - 1}) // {NGRAM_T_DEN}) + 1] AS thresh
+  FROM hx_t
 ),
 prefix AS (
-  SELECT lang, s, doc_id, n FROM post
-  WHERE rk <= n - ((n * {NGRAM_T_NUM} + {NGRAM_T_DEN - 1}) // {NGRAM_T_DEN}) + 1
+  SELECT lang, s, doc_id, n FROM (
+    SELECT lang, doc_id, n, thresh, unnest(sh) AS s, unnest(hx) AS h FROM th
+  ) WHERE h <= thresh
 ),
 cand AS (
   SELECT DISTINCT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b

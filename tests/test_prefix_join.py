@@ -5,12 +5,10 @@ exists for.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from prueba_tecnica_http_client_etl_spark.functions import textprep as tp
 from prueba_tecnica_http_client_etl_spark.operators.dedup import (
-    NGRAM_JACCARD_THRESHOLD,
+    _prefix_postings,
     dedup_jaccard_prefix,
     dedup_ngram_jaccard,
     docs_normalized,
@@ -29,25 +27,23 @@ def test_prefix_filter_is_lossless(spark):
     assert len(full) > 0
 
 
-def test_prefix_posting_table_is_smaller(spark):
+def test_prefix_posting_table_is_smaller_without_ranking_shuffle(spark):
     """The point of the filter: fewer posting rows enter the pair join.
-    At t=0.2 the prefix keeps ~(1 - t) of each doc's shingles."""
+    At t=0.2 the prefix keeps ~(1 - t) of each doc's shingles. The
+    ranking itself must be per-row array arithmetic — no Window (i.e.
+    no posting shuffle+sort) anywhere in the prefix selection plan."""
     sf = "/root/testdata/sf0.01"
-    t = NGRAM_JACCARD_THRESHOLD
-    base = docs_normalized(spark, sf).select("doc_id", "sh").withColumn("n", F.size("sh"))
+    base = docs_normalized(spark, sf).select("lang", "doc_id", "sh").withColumn(
+        "n", F.size("sh")
+    )
     full_postings = base.select(F.explode_outer("sh")).count()
-    ex = base.select("doc_id", "n", F.explode_outer("sh").alias("s")).withColumn(
-        "hs", F.expr(tp.spark_u60_of("concat('pf:', s)"))
-    )
-    w = Window.partitionBy("doc_id").orderBy("hs", "s")
-    prefix_postings = (
-        ex.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
-        .count()
-    )
+    prefix = _prefix_postings(base)
+    prefix_postings = prefix.count()
     assert prefix_postings < full_postings
     # ~80% retained at t=0.2 (+1 slack per doc for the ceil)
     assert prefix_postings / full_postings < 0.9
+    plan = prefix._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
 
 
 # --- pure-model property: the prefix-filter lemma itself ---------------------
