@@ -476,6 +476,56 @@ def q_quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_index_probe_stream", dedup.SQL_DEDUP_INCREMENTAL)
+def q_dedup_index_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming probe of the PERSISTED LSH dedup index — the production
+    crawler-ingest loop (streaming/index_probe_stream.py): the index side
+    of dedup_incremental's corpus is built once into bucketed catalog
+    tables (keyed by the same mtime/version key as the stream staging, so
+    a regenerated dataset rebuilds instead of silently probing stale
+    state), and the incoming side replays as a file stream whose every
+    micro-batch is probed via plans/lsh_index.probe_lsh_index.
+
+    Oracle: verdicts reference only the index, never other in-flight
+    docs, so the union over micro-batches equals probing the whole
+    incoming set at once — which is exactly dedup_incremental. Its
+    batch oracle SQL therefore certifies the stream's full output
+    (rows+schema+hash), the strongest check a stream can carry."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import INCREMENTAL_STRIDE, docs_normalized
+    from .plans.lsh_index import build_lsh_index
+    from .streaming import index_probe_stream as IPS
+
+    tmp, tag = _stream_staging_path(sf_dir, "index_probe_in", "documents")
+    _ensure_staged(
+        tmp,
+        lambda p: load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % INCREMENTAL_STRIDE == 0)
+        .select("doc_id", "text")
+        .repartition(4)
+        .write.mode("overwrite")
+        .json(p),
+    )
+    ix_prefix = f"probeix_{tag}"
+    if not spark.catalog.tableExists(f"`default`.`{ix_prefix}_digests`"):
+        build_lsh_index(
+            docs_normalized(spark, sf_dir).filter(F.col("doc_id") % INCREMENTAL_STRIDE != 0),
+            prefix=ix_prefix,
+        )
+    out_root = tempfile.mkdtemp(prefix="index_probe_out_")
+    checkpoint = tempfile.mkdtemp(prefix="index_probe_ckpt_")
+    return (
+        IPS.run_index_probe(
+            spark, tmp, out_root, index_prefix=ix_prefix, checkpoint=checkpoint
+        )
+        .select("doc_id", "verdict", "n_near_candidates")
+        .orderBy("doc_id")
+    )
+
+
 # --- registration order ------------------------------------------------------
 #
 # The external driver records correctness entries for the FIRST 50
