@@ -795,11 +795,17 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (if they disagreed on every prefix slot, the overlap could not reach
     the t-implied floor), so the filter is LOSSLESS for the threshold —
     tests assert byte-equality with the unfiltered operator — while the
-    posting table shrinks by ~t and, more importantly at 100 TB,
-    candidate pairs fall roughly quadratically per hot shingle (a
-    boilerplate shingle generates pairs only between docs that BOTH rank
-    it inside their prefix — rare under a uniform hash — rather than
-    between all docs containing it). Verification joins the full shingle
+    posting table shrinks by ~t, and hot-shingle relief works by
+    GLOBAL RANK: a boilerplate shingle whose hash ranks above the
+    (1-t) keep-quantile is dropped from EVERY doc's prefix, deleting its
+    quadratic pair list outright (tests/test_prefix_join.py measures
+    780 -> 0 pairs on an adversarial corpus); one ranking low is kept
+    everywhere and relieves nothing — in expectation over shingles the
+    hot-pair volume scales by (1-t)^2, stronger at the 0.5-0.8
+    thresholds production near-dup joins run. Systematically hot
+    boilerplate therefore still wants the complementary defenses
+    (dedup_lines' dictionary, the LSH bucket cap); prefix filtering is
+    the lossless tier among them. Verification joins the full shingle
     arrays back for the exact count, same as the LSH verify stage.
 
     The length filter rides along for free: J(A,B) >= t forces

@@ -102,3 +102,62 @@ def test_prefix_length_boundary_is_exact():
         assert (n * NGRAM_T_NUM + NGRAM_T_DEN - 1) // NGRAM_T_DEN == exact_ceil
     # the float failure mode this formula avoids, at a nearby threshold:
     assert math.ceil((9 / 14) * 42) == 28 and -(-42 * 9 // 14) == 27
+
+
+def test_hot_shingle_pair_volume_reduction(spark):
+    """Adversarial hot-shingle corpus: 40 otherwise-disjoint docs share
+    one boilerplate shingle ('all rights reserved', whose global 'pf:'
+    hash sits at the 0.96 quantile — above every doc's (1-t)=0.8 keep
+    quantile, so the prefix drops it from EVERY doc). The unfiltered
+    posting join generates all 40*39/2 pairs through it; the prefix
+    join must generate (near) none. This pins the rank mechanism the
+    operator docstring describes: relief is total for high-ranking hot
+    shingles, absent for low-ranking ones, (1-t)^2 in expectation.
+    (Verified outputs agree trivially — no pair reaches the threshold —
+    so the candidate volume IS the measurable difference.)"""
+    from prueba_tecnica_http_client_etl_spark.functions import textprep as tp
+    from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain, managed_persist
+
+    n_docs = 40
+    boiler = "all rights reserved"  # u60('pf:...') at the 0.96 quantile
+    rows = [
+        (i, " ".join(f"u{i}w{j}" for j in range(20)) + " " + boiler)
+        for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = managed_persist(
+        docs.withColumn("norm", F.expr(tp.SPARK_NORM))
+        .withColumn("toks", F.expr(tp.SPARK_TOKS))
+        .withColumn("sh", F.expr(tp.SPARK_SHINGLES))
+        .withColumn("lang", F.lit("en"))
+        .select("lang", "doc_id", "sh")
+        .withColumn("n", F.size("sh"))
+    )
+    try:
+        full_pairs = (
+            base.select("lang", "doc_id", F.explode_outer("sh").alias("s"))
+            .alias("a")
+            .join(
+                base.select("lang", "doc_id", F.explode_outer("sh").alias("s")).alias("b"),
+                ["lang", "s"],
+            )
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id"), F.col("b.doc_id"))
+            .distinct()
+            .count()
+        )
+        prefix = _prefix_postings(base)
+        pref_pairs = (
+            prefix.alias("a")
+            .join(prefix.alias("b"), ["lang", "s"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id"), F.col("b.doc_id"))
+            .distinct()
+            .count()
+        )
+        assert full_pairs == n_docs * (n_docs - 1) // 2
+        # the 0.96-quantile shingle is out of every 0.8-quantile prefix;
+        # filler shingles are doc-unique, so (near) zero pairs remain
+        assert pref_pairs < 0.2 * full_pairs, (pref_pairs, full_pairs)
+    finally:
+        drain()
