@@ -206,3 +206,79 @@ SELECT
 FROM {source}
 GROUP BY GROUPING SETS ((date_utc, endpoint_base), (endpoint_base), ())
 ORDER BY grp, date_utc, endpoint_base"""
+
+
+# --- robust anomaly detection over the KPI series ----------------------------
+
+MAD_K = 3.0  # flag days whose |p90 - median| exceeds K x MAD
+MAD_FLOOR_MS = 1.0  # threshold floor: a near-constant series has MAD ~ 0,
+# where any rounding jitter would otherwise flag every day
+
+
+def kpi_anomaly_days(kpi: DataFrame) -> DataFrame:
+    """Median/MAD outlier flags over each endpoint's daily p90 series —
+    the robust extension of the reference's fixed-threshold alert
+    (src/generar_reporte.py umbral_p90): a static threshold misses the
+    endpoint whose normal p90 is 20 ms suddenly running at 80 ms, and
+    false-alarms the endpoint that always runs hot. Median and MAD are
+    insensitive to the outliers being hunted (the mean/stddev version
+    masks its own anomalies), which is why production SLO monitoers use
+    exactly this shape.
+
+    Per endpoint: med = median(daily p90), mad = median(|p90 - med|),
+    anomaly iff |p90 - med| > max(K x mad, MAD_FLOOR_MS). Exactness:
+    daily p90s are the KPI table's 2-dp values; F.percentile ==
+    quantile_cont bit-for-bit on them (corpus_length_profile precedent),
+    the absolute deviations are per-row double arithmetic, and the flag
+    comparison runs on identical doubles in both engines.
+
+    Plan shape: two partial-aggregated percentile passes over the KPI
+    table (|days x endpoints| rows — tiny next to the raw log at any
+    scale) with broadcast joins back; the raw log is never rescanned."""
+    med = kpi.groupBy("endpoint_base").agg(
+        F.percentile("p90_elapsed_ms", F.lit(0.5)).alias("med_p90")
+    )
+    dev = kpi.join(F.broadcast(med), "endpoint_base").withColumn(
+        "abs_dev", F.abs(F.col("p90_elapsed_ms") - F.col("med_p90"))
+    )
+    mad = dev.groupBy("endpoint_base").agg(
+        F.percentile("abs_dev", F.lit(0.5)).alias("mad_p90")
+    )
+    thresh = F.greatest(F.lit(MAD_K) * F.col("mad_p90"), F.lit(MAD_FLOOR_MS))
+    return (
+        dev.join(F.broadcast(mad), "endpoint_base")
+        .select(
+            "date_utc",
+            "endpoint_base",
+            "p90_elapsed_ms",
+            round2(F.col("med_p90")).alias("med_p90"),
+            round2(F.col("mad_p90")).alias("mad_p90"),
+            round2(F.col("abs_dev")).alias("abs_dev"),
+            F.when(F.col("abs_dev") > thresh, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("is_anomaly"),
+        )
+        .orderBy("date_utc", "endpoint_base")
+    )
+
+
+def sql_kpi_anomaly_select(source: str = "kpi") -> str:
+    return f"""
+, med_t AS (
+  SELECT endpoint_base, quantile_cont(p90_elapsed_ms, 0.5) AS med_p90
+  FROM {source} GROUP BY endpoint_base
+),
+dev_t AS (
+  SELECT k.date_utc, k.endpoint_base, k.p90_elapsed_ms, m.med_p90,
+         abs(k.p90_elapsed_ms - m.med_p90) AS abs_dev
+  FROM {source} k JOIN med_t m ON k.endpoint_base = m.endpoint_base
+),
+mad_t AS (
+  SELECT endpoint_base, quantile_cont(abs_dev, 0.5) AS mad_p90
+  FROM dev_t GROUP BY endpoint_base
+)
+SELECT d.date_utc, d.endpoint_base, d.p90_elapsed_ms,
+       {sql_round2('d.med_p90')} AS med_p90,
+       {sql_round2('t.mad_p90')} AS mad_p90,
+       {sql_round2('d.abs_dev')} AS abs_dev,
+       CAST(CASE WHEN d.abs_dev > greatest({MAD_K} * t.mad_p90, {MAD_FLOOR_MS}) THEN 1 ELSE 0 END AS INT) AS is_anomaly
+FROM dev_t d JOIN mad_t t ON d.endpoint_base = t.endpoint_base
+ORDER BY d.date_utc, d.endpoint_base"""

@@ -87,6 +87,13 @@ def q_kpi_global_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report_ops.global_metrics_exact(_events_clean_log(spark, sf_dir))
 
 
+@register("kpi_anomaly_days", _KPI_CTE + report_ops.sql_kpi_anomaly_select())
+def q_kpi_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier flags per endpoint-day — the adaptive
+    extension of the reference's fixed umbral_p90 alert."""
+    return report_ops.kpi_anomaly_days(kpi_ops.kpi_daily(_events_clean_log(spark, sf_dir)))
+
+
 @register("kpi_rollup", _LOG_CTES + report_ops.sql_kpi_rollup_select())
 def q_kpi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS fusion of daily/endpoint/global levels in one pass."""
