@@ -131,6 +131,7 @@ _ANALYTICS = [
     ("purchases_near_views_range", analytics.purchases_near_views_range, analytics.SQL_PURCHASES_NEAR_VIEWS_RANGE),
     ("snapshot_merge", analytics.snapshot_merge, analytics.SQL_SNAPSHOT_MERGE),
     ("user_retention_cohorts", analytics.user_retention_cohorts, analytics.SQL_USER_RETENTION_COHORTS),
+    ("event_funnel", analytics.event_funnel, analytics.SQL_EVENT_FUNNEL),
 ]
 
 for _name, _fn, _sql in _ANALYTICS:
