@@ -344,3 +344,154 @@ SELECT fmt,
 FROM g
 GROUP BY fmt
 ORDER BY fmt"""
+
+
+# --- real-decoder statistics over synthesized WAV audio ----------------------
+
+# Deterministic audio parameters from doc_id — the oracle recomputes these
+# arithmetically and never parses bytes (the image_decode_stats contract):
+# the query certifies that the real RIFF/WAVE chunk walker extracts exactly
+# the parameters the payloads were built with.
+_SAMPLE_RATES = (8000, 16000, 22050, 44100)
+_WAV_FRAMES_MOD, _WAV_FRAMES_OFF = 977, 100
+_WAV_BITS8_MOD = 3  # doc_id % 3 == 0 -> 8-bit samples, else 16-bit
+_WAV_LIST_MOD = 11  # doc_id % 11 == 0 -> a LIST/INFO chunk precedes data
+
+
+def build_audio_payload(doc_id: int) -> bytes:
+    """Deterministic PCM WAV bytes for a doc_id: RIFF/WAVE with a 16-byte
+    fmt chunk, an optional LIST chunk the parser must skip, and a data
+    chunk of zero samples (the parser reads chunk structure, never
+    sample values). Odd-sized data chunks carry the RIFF pad byte."""
+    import struct
+
+    sr = _SAMPLE_RATES[doc_id % len(_SAMPLE_RATES)]
+    channels = 1 + doc_id % 2
+    bits = 8 if doc_id % _WAV_BITS8_MOD == 0 else 16
+    frames = doc_id % _WAV_FRAMES_MOD + _WAV_FRAMES_OFF
+    block = channels * bits // 8
+    data_size = frames * block
+    fmt = struct.pack("<HHIIHH", 1, channels, sr, sr * block, block, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if doc_id % _WAV_LIST_MOD == 0:
+        info = b"INFOISFT" + struct.pack("<I", 6) + b"synth\x00"
+        chunks += b"LIST" + struct.pack("<I", len(info)) + info
+    chunks += b"data" + struct.pack("<I", data_size) + b"\x00" * data_size
+    if data_size % 2:
+        chunks += b"\x00"  # RIFF chunks are word-aligned via a pad byte
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a PCM WAV header for real: validate RIFF/WAVE magics, walk
+    the chunk list (honoring the odd-size pad byte), read the fmt
+    fields, and size the data chunk. Raises ValueError on malformed
+    structure — decoding failures must surface as data, never silently
+    zero (the decode_image contract)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    riff_size = struct.unpack("<I", payload[4:8])[0]
+    if riff_size + 8 != len(payload):
+        raise ValueError("RIFF size mismatch")
+    pos, fmt_fields, data_size = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            audio_format, channels, sr, _rate, block, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_format != 1:
+                raise ValueError(f"not PCM: format {audio_format}")
+            if block != channels * bits // 8:
+                raise ValueError("inconsistent block align")
+            fmt_fields = (channels, sr, bits, block)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size % 2)  # pad byte on odd chunks
+    if fmt_fields is None or data_size is None:
+        raise ValueError("missing fmt or data chunk")
+    channels, sr, bits, block = fmt_fields
+    if data_size % block:
+        raise ValueError("data size not a whole number of frames")
+    frames = data_size // block
+    return {
+        "sample_rate": sr,
+        "channels": channels,
+        "bits": bits,
+        "n_frames": frames,
+        # integer floor-ms: exact in both engines (frames*1000 < 2^40)
+        "duration_ms": frames * 1000 // sr,
+    }
+
+
+def _audio_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows: dict[str, list] = {
+            k: [] for k in ("doc_id", "sample_rate", "channels", "bits", "n_frames", "duration_ms")
+        }
+        for doc_id in pdf["doc_id"]:
+            meta = decode_wav(build_audio_payload(int(doc_id)))
+            rows["doc_id"].append(int(doc_id))
+            for k in ("sample_rate", "channels", "bits", "n_frames", "duration_ms"):
+                rows[k].append(meta[k])
+        yield pd.DataFrame(rows)
+
+
+_AUDIO_STATS_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, bits int, n_frames long, duration_ms long"
+)
+
+
+def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(sample_rate, channels) audio statistics from the REAL WAV
+    parser: every doc_id synthesizes an actual RIFF/WAVE binary (LIST
+    chunks to skip, pad bytes, 8/16-bit frames), decode_wav walks the
+    chunks inside Arrow-batched mapInPandas, and the aggregate is
+    checked against an oracle that recomputes the parameters
+    arithmetically — any mis-read header field on any payload shifts a
+    total and fails the hash. This is the audio leg of the multimodal
+    tier next to image_decode_stats' PPM/PGM/BMP leg."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(default_parallelism(), F.col("doc_id"))
+    )
+    decoded = base.mapInPandas(_audio_stats_batches, _AUDIO_STATS_SCHEMA)
+    return (
+        decoded.groupBy("sample_rate", "channels")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_frames").alias("total_frames"),
+            F.sum("duration_ms").alias("total_ms"),
+            F.max("n_frames").alias("max_frames"),
+            F.sum(F.when(F.col("bits") == 8, 1).otherwise(0)).cast("long").alias("n_8bit"),
+        )
+        .orderBy("sample_rate", "channels")
+    )
+
+
+SQL_AUDIO_DECODE_STATS = f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+         1 + doc_id % 2 AS channels,
+         CASE WHEN doc_id % {_WAV_BITS8_MOD} = 0 THEN 8 ELSE 16 END AS bits,
+         doc_id % {_WAV_FRAMES_MOD} + {_WAV_FRAMES_OFF} AS frames
+  FROM documents
+)
+SELECT CAST(sample_rate AS INT) AS sample_rate,
+       CAST(channels AS INT) AS channels,
+       count(*) AS n_clips,
+       CAST(sum(frames) AS BIGINT) AS total_frames,
+       CAST(sum((frames * 1000) // sample_rate) AS BIGINT) AS total_ms,
+       CAST(max(frames) AS BIGINT) AS max_frames,
+       CAST(sum(CASE WHEN bits = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_8bit
+FROM g
+GROUP BY sample_rate, channels
+ORDER BY sample_rate, channels"""

@@ -134,6 +134,11 @@ _ANALYTICS = [
     ("event_funnel", analytics.event_funnel, analytics.SQL_EVENT_FUNNEL),
 ]
 
+_LLM_EXTRA = [
+    ("audio_decode_stats", multimodal.audio_decode_stats, multimodal.SQL_AUDIO_DECODE_STATS),
+]
+_ANALYTICS.extend(_LLM_EXTRA)
+
 for _name, _fn, _sql in _ANALYTICS:
     QUERIES[_name] = _fn
     ORACLES[_name] = _sql
