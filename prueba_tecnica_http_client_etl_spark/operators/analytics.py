@@ -1267,6 +1267,87 @@ GROUP BY cohorts.cohort_week, week_offset
 ORDER BY cohort_week, week_offset"""
 
 
+# --- sole-blocking suppliers (TPC-H Q21 shape) -------------------------------
+
+LATE_SHIP_DAYS = 60  # a lineitem shipping later than this after the order
+# date is "late" (the dataset has no commit/receipt dates; ship lag is the
+# available lateness signal)
+BLOCKERS_TOPK = 20
+
+
+def suppliers_blocking_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's double-correlated shape on the available columns:
+    suppliers whose late (order, supplier) pairs sit in MULTI-supplier
+    orders where NO other supplier was late — the sole blocker. One
+    correlated EXISTS (another supplier participated) and one correlated
+    NOT EXISTS (none of them was late), expressed as a left-semi and a
+    left-anti join on (orderkey, supplier <> supplier) — the decorrelated
+    plan shape the optimizer should reach on its own from the EXISTS
+    form; writing it directly keeps the physical strategy explicit.
+
+    Scale shape: the orders join supplies o_orderdate (orderkey-equi);
+    late pairs deduplicate to (order, supplier) BEFORE the semi/anti
+    probes, so probe volume is bounded by distinct pairs, not lineitems;
+    the final top-k is TakeOrdered. Ties break on s_name for a total
+    order."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(_t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), LATE_SHIP_DAYS)).alias("late"),
+        )
+    )
+    from ..functions.cachepool import managed_persist
+
+    li = managed_persist(li)
+    late = li.filter(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+    others = li.select("l_orderkey", F.col("l_suppkey").alias("supp2"))
+    others_late = late.select("l_orderkey", F.col("l_suppkey").alias("supp3"))
+    blockers = (
+        late.join(
+            others,
+            (late["l_orderkey"] == others["l_orderkey"]) & (F.col("supp2") != late["l_suppkey"]),
+            "left_semi",
+        )
+        .join(
+            others_late,
+            (late["l_orderkey"] == others_late["l_orderkey"])
+            & (F.col("supp3") != late["l_suppkey"]),
+            "left_anti",
+        )
+    )
+    return (
+        blockers.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(_t(spark, sf_dir, "supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(BLOCKERS_TOPK)
+    )
+
+
+SQL_SUPPLIERS_BLOCKING_ORDERS = f"""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late)
+SELECT s.s_name, count(*) AS numwait
+FROM late l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM li l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT {BLOCKERS_TOPK}"""
+
+
 # --- ordered funnel analysis -------------------------------------------------
 
 FUNNEL_STEPS = ("signup", "view", "click", "purchase")

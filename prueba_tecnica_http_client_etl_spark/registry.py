@@ -132,6 +132,7 @@ _ANALYTICS = [
     ("snapshot_merge", analytics.snapshot_merge, analytics.SQL_SNAPSHOT_MERGE),
     ("user_retention_cohorts", analytics.user_retention_cohorts, analytics.SQL_USER_RETENTION_COHORTS),
     ("event_funnel", analytics.event_funnel, analytics.SQL_EVENT_FUNNEL),
+    ("suppliers_blocking_orders", analytics.suppliers_blocking_orders, analytics.SQL_SUPPLIERS_BLOCKING_ORDERS),
 ]
 
 _LLM_EXTRA = [
