@@ -1267,6 +1267,75 @@ GROUP BY cohorts.cohort_week, week_offset
 ORDER BY cohort_week, week_offset"""
 
 
+# --- rolling active users (sliding-window distinct) --------------------------
+
+ROLLING_WINDOW_DAYS = 7
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per calendar day: distinct daily actives (DAU), distinct actives
+    over the trailing ROLLING_WINDOW_DAYS (WAU), and the DAU/WAU
+    stickiness ratio. COUNT(DISTINCT) cannot ride a sliding window
+    frame, so each event is EXPLODED into the <= 7 window-end days it
+    contributes to (a bounded map-side factor — sequence + explode, no
+    self-join of the fact against a calendar), then one partial-
+    aggregated distinct per (day). Days with no trailing-window
+    predecessor still report their true trailing distinct (the window
+    simply starts at the data's first day).
+
+    Scale: the x7 row factor is the price of exact sliding distincts —
+    the approx tier would swap in mergeable HLL sketches per day and
+    union them across the window (events_distinct_users_approx's
+    rationale); the exact form IS the oracle-checkable one."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    dau = ev.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = ev.select(
+        F.explode(
+            F.expr(f"sequence(d, date_add(d, {ROLLING_WINDOW_DAYS - 1}))")
+        ).alias("win_end"),
+        "user_id",
+    )
+    # only report days that actually occur in the data
+    days = ev.select("d").distinct()
+    wau = (
+        contrib.join(days, contrib["win_end"] == days["d"], "left_semi")
+        .groupBy("win_end")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau["d"] == wau["win_end"])
+        .select(
+            F.col("d").cast("string").alias("date_utc"),
+            "dau",
+            "wau",
+            roundn(F.col("dau").cast("double") / F.col("wau"), 4).alias("stickiness"),
+        )
+        .orderBy("date_utc")
+    )
+
+
+SQL_ROLLING_ACTIVE_USERS = f"""
+WITH ev AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+dau AS (SELECT d, count(DISTINCT user_id) AS dau FROM ev GROUP BY d),
+contrib AS (
+  SELECT unnest(generate_series(d, d + INTERVAL {ROLLING_WINDOW_DAYS - 1} DAY, INTERVAL 1 DAY))::DATE AS win_end,
+         user_id
+  FROM ev
+),
+days AS (SELECT DISTINCT d FROM ev),
+wau AS (
+  SELECT win_end, count(DISTINCT user_id) AS wau
+  FROM contrib JOIN days ON contrib.win_end = days.d
+  GROUP BY win_end
+)
+SELECT CAST(dau.d AS VARCHAR) AS date_utc, dau.dau, wau.wau,
+       {sql_roundn('CAST(dau.dau AS DOUBLE) / wau.wau', 4)} AS stickiness
+FROM dau JOIN wau ON dau.d = wau.win_end
+ORDER BY date_utc"""
+
+
 # --- sole-blocking suppliers (TPC-H Q21 shape) -------------------------------
 
 LATE_SHIP_DAYS = 60  # a lineitem shipping later than this after the order

@@ -133,6 +133,7 @@ _ANALYTICS = [
     ("user_retention_cohorts", analytics.user_retention_cohorts, analytics.SQL_USER_RETENTION_COHORTS),
     ("event_funnel", analytics.event_funnel, analytics.SQL_EVENT_FUNNEL),
     ("suppliers_blocking_orders", analytics.suppliers_blocking_orders, analytics.SQL_SUPPLIERS_BLOCKING_ORDERS),
+    ("rolling_active_users", analytics.rolling_active_users, analytics.SQL_ROLLING_ACTIVE_USERS),
 ]
 
 _LLM_EXTRA = [
