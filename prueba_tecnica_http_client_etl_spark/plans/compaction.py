@@ -129,3 +129,92 @@ def file_key_ranges(spark: SparkSession, path: str, key: str) -> DataFrame:
         .agg(F.min("k").alias("k_min"), F.max("k").alias("k_max"), F.count(F.lit(1)).alias("n_rows"))
         .orderBy("k_min")
     )
+
+
+# --- multi-dimensional clustering (Z-order / Morton interleave) --------------
+
+ZORDER_BITS = 16  # per-dimension resolution of the interleaved key
+
+
+def _morton_key(df: DataFrame, cols: list[str], *, bits: int = ZORDER_BITS):
+    """Interleaved-bit (Morton / Z-order) key over two numeric columns,
+    each min-max normalized to [0, 2^bits): bit b of either dimension
+    lands at position 2b / 2b+1, so range-partitioning on the key keeps
+    files local in BOTH dimensions at once — single-column clustering
+    gives one dimension file-level min/max locality and leaves the other
+    spanning the whole domain. Normalization bounds come from one tiny
+    two-scalar aggregate; the key itself is a pure column expression
+    (shift/mask arithmetic inside codegen). Layout-only: the key never
+    reaches query results, so double rounding in the normalization needs
+    no cross-engine contract."""
+    from pyspark.sql import functions as F
+
+    assert len(cols) == 2, "Morton interleave implemented for 2 dimensions"
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn{i}") for i, c in enumerate(cols)],
+        *[F.max(c).cast("double").alias(f"mx{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    quant = []
+    for i, c in enumerate(cols):
+        mn, mx = stats[f"mn{i}"], stats[f"mx{i}"]
+        span = (mx - mn) or 1.0
+        quant.append(
+            F.least(
+                F.lit(top),
+                F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top).cast("long"),
+            )
+        )
+    x, y = quant
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        key = (
+            key
+            + F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
+            + F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    return key
+
+
+def zorder_table(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    *,
+    zorder_by: list[str],
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> dict:
+    """Compacting rewrite clustered on the Morton interleave of two
+    columns: files end up covering small rectangles of the 2-D key
+    space, so footer min/max statistics prune selective scans on EITHER
+    column — the capability DW/lakehouse engines expose as Z-ORDER /
+    OPTIMIZE ZORDER BY. Same safety guards and sizing as compact_table."""
+    src_real = os.path.realpath(src_dir)
+    dest_real = os.path.realpath(dest_dir)
+    if (
+        dest_real == src_real
+        or dest_real.startswith(src_real + os.sep)
+        or src_real.startswith(dest_real + os.sep)
+    ):
+        raise ValueError(
+            "zorder_table refuses in-place/overlapping rewrite: a mid-job "
+            "failure would destroy the source; write to a sibling dir and swap"
+        )
+    plan = compaction_plan(src_dir, target_file_bytes=target_file_bytes)
+    n = plan["n_target_files"]
+    df = spark.read.parquet(src_dir)
+    key = _morton_key(df, zorder_by)
+    out = (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(n, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )
+    out.write.mode("overwrite").parquet(dest_dir)
+    n_after, bytes_after = _dir_stats(dest_dir)
+    return {
+        **plan,
+        "n_files_after": n_after,
+        "bytes_after": bytes_after,
+        "zordered_on": list(zorder_by),
+    }

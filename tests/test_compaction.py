@@ -98,3 +98,62 @@ def test_refuses_nested_rewrite(spark, fragmented, tmp_path):
         compact_table(spark, fragmented, os.path.join(fragmented, "sub"))
     with pytest.raises(ValueError, match="overlapping"):
         compact_table(spark, fragmented, os.path.dirname(fragmented))
+
+
+def _mean_span(spark, path, col):
+    """Average per-file (max-min) span of `col`, normalized by the global
+    span — 1.0 means files carry no locality in this column."""
+    ranges = file_key_ranges(spark, path, col).collect()
+    lo = min(r.k_min for r in ranges)
+    hi = max(r.k_max for r in ranges)
+    global_span = (hi - lo) or 1
+    spans = [(r.k_max - r.k_min) / global_span for r in ranges]
+    return sum(spans) / len(spans), len(ranges)
+
+
+def test_zorder_gives_locality_in_both_dimensions(spark, fragmented, tmp_path):
+    """Single-column clustering leaves the second column spanning the
+    whole domain per file; the Morton rewrite must carry substantial
+    locality in BOTH user_id and event_id simultaneously."""
+    from prueba_tecnica_http_client_etl_spark.plans.compaction import zorder_table
+
+    single = str(tmp_path / "single")
+    compact_table(spark, fragmented, single, target_file_bytes=12 << 10, cluster_by=["user_id"])
+    zorder = str(tmp_path / "zorder")
+    manifest = zorder_table(
+        spark, fragmented, zorder, zorder_by=["user_id", "event_id"], target_file_bytes=12 << 10
+    )
+    assert manifest["zordered_on"] == ["user_id", "event_id"]
+
+    s_user, n_single = _mean_span(spark, single, "user_id")
+    s_event, _ = _mean_span(spark, single, "event_id")
+    z_user, n_z = _mean_span(spark, zorder, "user_id")
+    z_event, _ = _mean_span(spark, zorder, "event_id")
+    assert n_single > 2 and n_z > 2, "need several files to measure locality"
+    # single-column clustering: tight on user_id, no locality on event_id
+    assert s_user < 0.5 and s_event > 0.8, (s_user, s_event)
+    # z-order: meaningful locality in BOTH dimensions at once
+    assert z_user < 0.8 and z_event < 0.8, (z_user, z_event)
+    # the metric that matters for filters on EITHER column is the WORST
+    # dimension: single-column clustering leaves it ~global (no pruning
+    # possible); z-order bounds it
+    assert max(z_user, z_event) < max(s_user, s_event) * 0.7, (
+        z_user,
+        z_event,
+        s_user,
+        s_event,
+    )
+
+
+def test_zorder_conserves_content_and_refuses_overlap(spark, fragmented, tmp_path):
+    from prueba_tecnica_http_client_etl_spark.plans.compaction import zorder_table
+
+    dest = str(tmp_path / "z2")
+    before = _content_hash(spark, fragmented)
+    zorder_table(spark, fragmented, dest, zorder_by=["user_id", "event_id"])
+    after = _content_hash(spark, dest)
+    assert (after.h, after.n) == (before.h, before.n)
+    # __zkey must not leak into the written schema
+    assert "__zkey" not in spark.read.parquet(dest).columns
+    with pytest.raises(ValueError, match="overlapping"):
+        zorder_table(spark, fragmented, fragmented + "/sub", zorder_by=["user_id", "event_id"])
