@@ -580,14 +580,23 @@ _PRIORITY_50 = [
     # dedup_components, dedup_incremental, dedup_survivors,
     # dedup_cluster_sizes) deliberately stays in-window so the driver
     # re-certifies the new permutation family's outputs externally.
+    # Final-pass swap: five late-round-6 flagships enter for first-round
+    # certification — dedup_index_probe_stream (the hash-certified
+    # persisted-index probe stream), dedup_jaccard_prefix (lossless
+    # prefix tier of the dedup flagship), kpi_anomaly_days (reference
+    # alerting extension), audio_decode_stats (the real-WAV-parser leg),
+    # event_funnel — displacing five rows that each hold 2 green rounds
+    # with untouched semantics (multimodal_meta, multimodal_frame_sample,
+    # pii_scrub, contamination_check, quality_gate; all still locally
+    # oracle-checked on every pytest run).
     "dedup_exact", "dedup_minhash_lsh",
     "dedup_components", "dedup_semantic", "dedup_lines", "dedup_substring",
     "dedup_incremental", "minhash_calibration", "dedup_lsh_recall",
     "ann_pq_topk", "ann_pq_rerank", "ann_pq_recall", "ann_pq_rerank_recall",
     "corpus_split", "corpus_split_stats",
     "sequence_pack_ids", "dedup_containment",
-    "multimodal_meta", "multimodal_frame_sample",
-    "pii_scrub", "contamination_check", "quality_gate", "quality_score",
+    "dedup_index_probe_stream", "dedup_jaccard_prefix",
+    "kpi_anomaly_days", "audio_decode_stats", "event_funnel", "quality_score",
     "curation_pipeline",
     "bpe_pair_counts", "domain_mixture_plan", "dedup_survivors",
     # never-driver-certified until now (round-6 entrants):
