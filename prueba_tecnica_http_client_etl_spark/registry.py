@@ -213,6 +213,8 @@ _LLM_PIPELINE = [
     ("dedup_jaccard_prefix", dedup.dedup_jaccard_prefix, dedup.SQL_DEDUP_JACCARD_PREFIX),
     ("corpus_sample_per_source", corpus.corpus_sample_per_source, corpus.SQL_CORPUS_SAMPLE_PER_SOURCE),
     ("pq_quantization_error", similarity.pq_quantization_error, similarity.SQL_PQ_QUANTIZATION_ERROR),
+    ("ann_ivfpq_topk", similarity.ann_ivfpq_topk, similarity.SQL_ANN_IVFPQ_TOPK),
+    ("ann_ivfpq_recall", similarity.ann_ivfpq_recall, similarity.SQL_ANN_IVFPQ_RECALL),
     ("corpus_split", corpus.corpus_split, corpus.SQL_CORPUS_SPLIT),
     ("corpus_split_stats", corpus.corpus_split_stats, corpus.SQL_CORPUS_SPLIT_STATS),
 ]
