@@ -1,9 +1,11 @@
-"""CLI parity wrappers: the reference operates its pipeline through three
-argparse entry points (reference src/generar_datos.py:72-79,
+"""CLI parity wrappers: the reference operates its pipeline through four
+entry points (src/http_client.py:199-211, src/generar_datos.py:72-79,
 src/calcular_kpi.py:156-160, src/generar_reporte.py:252-257); this module
-maps the same flags onto the Spark-native operators so the four-stage
-workflow runs end to end from a shell:
+maps the same flags onto the Spark-native operators so the full workflow
+runs end to end from a shell:
 
+    python -m prueba_tecnica_http_client_etl_spark http-client \
+        --out_dir out            # add --real to hit a live httpbin
     python -m prueba_tecnica_http_client_etl_spark generar-datos \
         --n_registros 50000 --salida out/datos.jsonl --seed 123
     python -m prueba_tecnica_http_client_etl_spark calcular-kpi \
@@ -74,9 +76,29 @@ def cmd_generar_reporte(args: argparse.Namespace) -> int:
     spark = _spark("cli-generar-reporte")
     kpi = read_kpi_csv(spark, args.input)
     endpoints = report_by_endpoint(kpi, p90_threshold=args.umbral_p90)
-    render_html_report(global_metrics(kpi), endpoints, args.output)
+    # charts first so the report can embed their <img> references
+    # (reference generar_reporte.py renders PNGs before the HTML)
     pngs = render_png_charts(endpoints, os.path.dirname(args.output) or ".")
+    render_html_report(
+        global_metrics(kpi),
+        endpoints,
+        args.output,
+        chart_names=[os.path.basename(p) for p in pngs],
+        p90_threshold=args.umbral_p90,
+    )
     print(f"OK -> Reporte generado en {args.output} (graficos={len(pngs)})")
+    return 0
+
+
+def cmd_http_client(args: argparse.Namespace) -> int:
+    from .sources import http as H
+
+    spark = _spark("cli-http-client")
+    transport = None if args.real else H.httpbin_like_transport
+    written = H.run_http_client_stage(
+        spark, base_url=args.base_url, out_dir=args.out_dir, transport=transport
+    )
+    print(f"OK -> Cliente HTTP completado: {len(written)} archivos en {args.out_dir}")
     return 0
 
 
@@ -105,6 +127,24 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--output", required=True)
     r.add_argument("--umbral_p90", type=float, required=True)
     r.set_defaults(fn=cmd_generar_reporte)
+
+    h = sub.add_parser(
+        "http-client",
+        help="secuencia de 8 tareas HTTP del cliente de referencia (JSON/XML/HTML/auth/cookies)",
+    )
+    h.add_argument("--out_dir", default="out")
+    h.add_argument(
+        "--base-url",
+        dest="base_url",
+        default="https://httpbin.org",
+        help="base del servicio httpbin a consultar",
+    )
+    h.add_argument(
+        "--real",
+        action="store_true",
+        help="usar la red real via requests (por defecto: transporte httpbin en memoria)",
+    )
+    h.set_defaults(fn=cmd_http_client)
     return p
 
 

@@ -204,6 +204,144 @@ def fetch(
     return requests_df.mapInPandas(run, RESULT_SCHEMA)
 
 
+# --- the reference's http-client stage (src/http_client.py:199-211) ----------
+
+REFERENCE_BASE_URL = "https://httpbin.org"  # reference http_client.py:14
+REFERENCE_USER = "usuario_test"  # reference http_client.py:19
+REFERENCE_PASSWD = "clave123"  # reference http_client.py:20
+
+# reference http_client.py:168-173: the fixed demo form payload
+REFERENCE_FORM_PAYLOAD = {
+    "nombre": "Juan",
+    "apellido": "Pérez",
+    "correo": "juan.perez@example.com",
+    "mensaje": "Este es un mensaje de prueba.",
+}
+
+
+def reference_task_table(
+    spark, base_url: str = REFERENCE_BASE_URL, user: str = REFERENCE_USER, passwd: str = REFERENCE_PASSWD
+) -> DataFrame:
+    """The reference's 8-task sequence (http_client.py:199-211) as a
+    requests DataFrame — 9 rows because tarea_cookies issues two requests
+    (set + get, :90-102). Built single-partition (createDataFrame +
+    coalesce(1), which concatenates in order): one partition = one HTTP
+    session processed in row order, reproducing the reference's
+    one-Session sequential semantics exactly (cookie state set by row 2
+    is visible to row 3). The same table repartitioned is the scale
+    shape — independent fetch work spread across executors."""
+    rows = [
+        (1, "GET", f"{base_url}/basic-auth/{user}/{passwd}", None, json.dumps([user, passwd]), "auth_basic"),
+        (2, "GET", f"{base_url}/cookies/set?session=activa", None, None, "cookies_set"),
+        (3, "GET", f"{base_url}/cookies", None, None, "cookies_get"),
+        (4, "GET", f"{base_url}/status/403", None, None, "status_403"),
+        (5, "GET", f"{base_url}/get", None, None, "extract_json"),
+        (6, "GET", f"{base_url}/xml", None, None, "extract_xml"),
+        (7, "GET", f"{base_url}/html", None, None, "extract_html_title"),
+        (8, "POST", f"{base_url}/post", json.dumps(REFERENCE_FORM_PAYLOAD, ensure_ascii=False), None, "post_form"),
+        (9, "GET", f"{base_url}/redirect-to?url=/get", None, None, "redirect"),
+    ]
+    return spark.createDataFrame(
+        rows, "request_id long, method string, url string, form_json string, auth_json string, task string"
+    ).coalesce(1)
+
+
+def run_http_client_stage(
+    spark,
+    *,
+    base_url: str = REFERENCE_BASE_URL,
+    out_dir: str = "out",
+    transport: Transport | None = None,
+    user: str = REFERENCE_USER,
+    passwd: str = REFERENCE_PASSWD,
+    log=print,
+) -> dict[str, str]:
+    """Stage E of the reference workflow: run the 8-task sequence through
+    the distributed fetch layer and write the reference's per-task output
+    files (http_client.py: datos.json :119-124, datos.xml :127-137,
+    titulo.html :156-165; the remaining tasks log to console :78-113,
+    :168-196). Returns {filename: path} for the files written.
+
+    Validation parity: raises RuntimeError when basic-auth does not
+    authenticate (:84-86) or the cookie round-trip drops the session
+    cookie (:99-101); a final 403 after retries is logged and tolerated
+    (:108-113). Extraction runs RELATIONALLY over the fetched-results
+    frame (json_field / xml_slides / html_title — S3-S5), and only the
+    9-row result table is collected."""
+    import os
+
+    tasks = reference_task_table(spark, base_url, user, passwd)
+    # cache: the extraction collect and the xml_slides pass are two
+    # actions — without it the 9 HTTP requests would execute twice
+    results = (
+        fetch(tasks.drop("task"), transport=transport)
+        .join(tasks.select("request_id", "task"), "request_id")
+        .cache()
+    )
+    extracted = results.select(
+        "request_id",
+        "task",
+        "status_code",
+        "final_url",
+        "body",
+        "attempts",
+        "error",
+        json_field("body", "$.authenticated").alias("authenticated"),
+        json_field("body", "$.cookies.session").alias("cookie_session"),
+        json_field("body", "$.form").alias("form_echo"),
+        json_field("body", "$.args").alias("redirect_args"),
+        html_title("body").alias("title"),
+    )
+    rows = {r["task"]: r for r in extracted.collect()}
+
+    auth = rows["auth_basic"]
+    log(f"[AUTH BASIC] status: {auth['status_code']}")
+    if auth["authenticated"] != "true":
+        raise RuntimeError("Autenticación no exitosa: authenticated != true")
+    log(f"[AUTH BASIC] OK: {auth['body']}")
+
+    cook = rows["cookies_get"]
+    log(f"[COOKIES] get status: {cook['status_code']}")
+    if cook["cookie_session"] != "activa":
+        raise RuntimeError(f"Cookie session no establecida correctamente. cookies={cook['body']}")
+    log(f"[COOKIES] OK: {cook['body']}")
+
+    s403 = rows["status_403"]
+    log(f"[403] status final: {s403['status_code']} (intentos: {s403['attempts']})")
+    if s403["status_code"] == 403:
+        log("[403] Acceso denegado detectado. Registrando evento y continuando...")
+
+    os.makedirs(out_dir, exist_ok=True)
+    written: dict[str, str] = {}
+
+    p_json = os.path.join(out_dir, "datos.json")
+    with open(p_json, "w", encoding="utf-8") as f:
+        json.dump(json.loads(rows["extract_json"]["body"]), f, ensure_ascii=False, indent=2)
+    written["datos.json"] = p_json
+    log("[JSON] Guardado en datos.json")
+
+    p_xml = os.path.join(out_dir, "datos.xml")
+    with open(p_xml, "w", encoding="utf-8") as f:
+        f.write(rows["extract_xml"]["body"])
+    written["datos.xml"] = p_xml
+    resumen = [
+        {"type": r["type"], "title": r["title"]}
+        for r in xml_slides(results.filter(F.col("task") == "extract_xml")).collect()
+    ]
+    log(f"[XML] Guardado en datos.xml; resumen slides: {resumen}")
+
+    p_title = os.path.join(out_dir, "titulo.html")
+    with open(p_title, "w", encoding="utf-8") as f:
+        f.write(rows["extract_html_title"]["title"])
+    written["titulo.html"] = p_title
+    log(f"[HTML] Título extraído: {rows['extract_html_title']['title']}")
+
+    log(f"[POST] Respuesta form: {rows['post_form']['form_echo']}")
+    red = rows["redirect"]
+    log(f"[REDIRECT] url final: {red['final_url']}; args: {red['redirect_args']}")
+    return written
+
+
 # --- relational extraction over fetched bodies (S3-S6, P11-P12) --------------
 
 
