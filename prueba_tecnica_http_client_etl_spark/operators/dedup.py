@@ -1255,7 +1255,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 (F.col("neigh_min") < F.col("component_id")).alias("changed"),
             )
-            .localCheckpoint()
+            # lazy checkpoint: the changed-count below materializes the
+            # blocks, so each round runs ONE job instead of two (an eager
+            # checkpoint schedules its own job and the count a second;
+            # on a 477-row label table the loop is pure per-job fixed
+            # overhead, so halving the job count halves the loop)
+            .localCheckpoint(eager=False)
         )
         n_changed = updated.filter(F.col("changed")).count()
         labels = updated.select("doc_id", "component_id")

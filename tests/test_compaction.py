@@ -157,3 +157,11 @@ def test_zorder_conserves_content_and_refuses_overlap(spark, fragmented, tmp_pat
     assert "__zkey" not in spark.read.parquet(dest).columns
     with pytest.raises(ValueError, match="overlapping"):
         zorder_table(spark, fragmented, fragmented + "/sub", zorder_by=["user_id", "event_id"])
+    # dimension-arity contract: ValueError (not a strippable assert),
+    # raised before any source read
+    with pytest.raises(ValueError, match="exactly 2 columns"):
+        zorder_table(spark, fragmented, str(tmp_path / "z3"), zorder_by=["user_id"])
+    with pytest.raises(ValueError, match="exactly 2 columns"):
+        zorder_table(
+            spark, fragmented, str(tmp_path / "z4"), zorder_by=["user_id", "event_id", "ts"]
+        )

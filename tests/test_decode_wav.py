@@ -66,3 +66,24 @@ def test_malformed_payloads_fail_loudly():
     # restore RIFF size (unchanged length) — only the format code differs
     with pytest.raises(ValueError, match="not PCM"):
         decode_wav(bytes(bad))
+
+
+def test_chunk_size_overrunning_payload_raises_value_error():
+    """A chunk whose declared size exceeds the remaining bytes must raise
+    ValueError (not struct.error from a truncated unpack), even when the
+    outer RIFF size is made consistent with the truncated payload."""
+    good = build_audio_payload(7)
+    # inflate the data chunk's declared size without adding bytes
+    bad = bytearray(good)
+    data_at = bad.index(b"data") + 4
+    declared = struct.unpack("<I", bytes(bad[data_at : data_at + 4]))[0]
+    bad[data_at : data_at + 4] = struct.pack("<I", declared + 64)
+    with pytest.raises(ValueError, match="overruns payload"):
+        decode_wav(bytes(bad))
+    # truncate mid-fmt with a fixed-up RIFF size: fmt declares 16 bytes
+    # but fewer remain — the walk must reject it, not unpack garbage
+    fmt_at = good.index(b"fmt ")
+    cut = good[: fmt_at + 12]  # chunk header + 4 of 16 declared bytes
+    fixed = b"RIFF" + struct.pack("<I", len(cut) - 8) + cut[8:]
+    with pytest.raises(ValueError, match="overruns payload"):
+        decode_wav(fixed)

@@ -91,3 +91,29 @@ def test_stream_agg_values_match_batch_engine(stream_result, spark):
     assert set(got) == set(batch)
     for k, b in batch.items():
         assert abs(got[k]["avg_elapsed_ms"] - b["avg_elapsed_ms"]) < 1e-9, k
+
+
+def test_stream_run_dirs_fixed_and_cleared(tmp_path, monkeypatch):
+    """Run output/checkpoint dirs are FIXED per (kind, sf) and cleared at
+    each invocation — repeated bench/correctness runs must not accumulate
+    verdict-parquet + checkpoint pairs (the mkdtemp-per-call leak)."""
+    import tempfile
+
+    from prueba_tecnica_http_client_etl_spark import registry
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    sf = str(tmp_path / "sf0.01")
+    out1, ckpt1 = registry._stream_run_dirs(sf, "probe_test")
+    # simulate a run leaving state behind
+    (Path(out1) / "part-0000.parquet").write_text("x")
+    (Path(ckpt1) / "offsets").mkdir()
+    out2, ckpt2 = registry._stream_run_dirs(sf, "probe_test")
+    assert (out2, ckpt2) == (out1, ckpt1)  # same fixed location reused
+    assert list(Path(out2).iterdir()) == []  # cleared, not accumulated
+    assert list(Path(ckpt2).iterdir()) == []
+    # distinct kinds / scale factors never collide
+    out3, _ = registry._stream_run_dirs(str(tmp_path / "sf0.1"), "probe_test")
+    out4, _ = registry._stream_run_dirs(sf, "other_kind")
+    assert len({out1, out3, out4}) == 3
+    run_root = tmp_path / "spark_graft_stream_runs"
+    assert len(list(run_root.iterdir())) == 3  # one live dir per (kind, sf)
