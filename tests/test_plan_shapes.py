@@ -115,3 +115,22 @@ def test_capped_lsh_anti_joins_hot_buckets_broadcast(spark):
     assert "CartesianProduct" not in plan, plan
     anti_lines = [l for l in plan.splitlines() if "LeftAnti" in l]
     assert anti_lines and any("Broadcast" in l for l in anti_lines), plan
+
+
+def test_ivfpq_rerank_fetches_vectors_by_equi_join(spark):
+    """ann_ivfpq_rerank's exact stage must fetch full vectors through
+    equi-joins on (query_id / neighbor_id) — the bounded point-lookup
+    contract its docstring claims. The only nested-loop joins allowed in
+    the whole chain are the two documented k-row broadcasts (centroids
+    during assignment/probe); a CartesianProduct anywhere means a
+    corpus-scale scan crept into the 100 TB tier."""
+    from prueba_tecnica_http_client_etl_spark.operators.similarity import ann_ivfpq_rerank
+
+    plan = _physical(ann_ivfpq_rerank(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    # the rerank joins on neighbor_id must be hash equi-joins
+    nbr_joins = [
+        l for l in plan.splitlines()
+        if ("BroadcastHashJoin" in l or "SortMergeJoin" in l) and "neighbor_id" in l
+    ]
+    assert nbr_joins, plan
