@@ -1230,12 +1230,16 @@ _SPARK_SUB_DOT = (
 )
 
 
-def _pq_subspaces(df: DataFrame, id_alias: str) -> DataFrame:
-    """Explode a quantized frame into (id, sub, sv): one row per
+def _pq_subspaces(df: DataFrame, id_alias: str, *, carry: list[str] = []) -> DataFrame:
+    """Explode a quantized frame into (id, *carry, sub, sv): one row per
     PQ_SUBDIM-wide subspace slice. A pure map (posexplode of slices) —
-    no shuffle."""
+    no shuffle. `carry` keeps extra columns (e.g. the IVF cell id)
+    through the explode so callers never need a corpus self-join to
+    re-attach them."""
     slices = F.array(*[F.slice(F.col("q"), s * PQ_SUBDIM + 1, PQ_SUBDIM) for s in range(PQ_M)])
-    return df.select(F.col("vec_id").alias(id_alias), F.posexplode(slices).alias("sub", "sv"))
+    return df.select(
+        F.col("vec_id").alias(id_alias), *carry, F.posexplode(slices).alias("sub", "sv")
+    )
 
 
 def _pq_codebook(emb: DataFrame) -> DataFrame:
@@ -1652,12 +1656,10 @@ def _ivfpq_scored(emb: DataFrame) -> DataFrame:
     cb = managed_persist(_pq_codebook(resid))
 
     codes = managed_persist(
-        _pq_subspaces(resid, "vec_id")
-        .join(
-            resid.select(F.col("vec_id"), F.col("cent_id")).withColumnRenamed("vec_id", "vid2"),
-            F.col("vec_id") == F.col("vid2"),
-        )
-        .drop("vid2")
+        # cent_id rides the subspace explode (carry=): the previous shape
+        # re-joined the corpus to itself on vec_id just to re-attach the
+        # cell id — a corpus-wide shuffle with no information gain
+        _pq_subspaces(resid, "vec_id", carry=["cent_id"])
         .join(F.broadcast(cb), "sub")
         .withColumn("d2", F.expr(_SPARK_SUB_SQDIST))
         .groupBy("vec_id", "cent_id", "sub")
