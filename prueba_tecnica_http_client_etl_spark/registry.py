@@ -264,7 +264,8 @@ def q_events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFram
 # Bump when a staging projection changes (columns written to the JSONL
 # replay input) so pre-existing staged dirs are not silently replayed
 # with the old shape (judge round-2 ADVICE item 1).
-STAGING_VERSION = 3
+# v4: sessionize_stream stages ONE file (single-batch certified replay).
+STAGING_VERSION = 4
 
 
 def _stream_staging_path(sf_dir: str, kind: str, source_table: str) -> tuple[str, str]:
@@ -411,14 +412,59 @@ def q_kpi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KS.run_to_memory(spark, tmp, table_name=tag).drop("p90_elapsed_ms")
 
 
-@register("sessionize_stream")
+def _sql_sessionize_stream_oracle() -> str:
+    """Batch sessionization minus each user's LAST session, 0-based seq —
+    exactly the closed-session set a finite single-batch replay emits
+    (see q_sessionize_stream)."""
+    from .functions.portable import sql_roundn
+    from .operators.analytics import SESSION_GAP_MIN
+
+    return f"""
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN gap_s IS NULL OR gap_s > {SESSION_GAP_MIN * 60} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM gaps
+),
+agg AS (
+  SELECT user_id, session_seq, count(*) AS n_events,
+         {sql_roundn('max(epoch(ts)) - min(epoch(ts))', 3)} AS duration_s
+  FROM sess GROUP BY user_id, session_seq
+),
+mx AS (SELECT user_id, max(session_seq) AS mseq FROM agg GROUP BY user_id)
+SELECT a.user_id, CAST(a.session_seq - 1 AS BIGINT) AS session_seq, a.n_events, a.duration_s
+FROM agg a JOIN mx ON a.user_id = mx.user_id
+WHERE a.session_seq < mx.mseq
+ORDER BY a.user_id, session_seq"""
+
+
+@register("sessionize_stream", _sql_sessionize_stream_oracle())
 def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
-    cross-batch gap sessionization of the events table replayed as a
-    multi-batch file stream. No oracle: stateful streaming emission
-    (closed-sessions-only) is not SQL-expressible."""
+    gap sessionization of the events table replayed as a file stream.
+
+    Oracle (round 7): the replay is staged as ONE file, so availableNow
+    processes it in a single micro-batch; the handler sorts the batch by
+    event time and closes sessions data-driven (a later-than-gap event
+    closes its predecessor), leaving exactly each user's LAST session
+    open in state. The emitted set is therefore deterministic — the
+    batch sessionization minus each user's final session — and the
+    driver check upgrades from rows-only to rows+schema+hash on the
+    deterministic columns (the stream's raw float total_value is summed
+    in arrival order, so it is projected out of the certified surface,
+    like the sketch p90 in kpi_daily_stream; duration re-rounds with the
+    batch operator's portable roundn). CROSS-batch state transitions
+    stay exercised by tests/test_sessionize_stream.py, which replays one
+    file per trigger."""
     from pyspark.sql import functions as F
 
+    from .functions.portable import roundn
     from .streaming import sessionize_stream as SS
 
     tmp, tag = _stream_staging_path(sf_dir, "sess_stream_in", "events")
@@ -426,11 +472,20 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp,
         lambda p: load_table(spark, sf_dir, "events")
         .select("user_id", F.col("ts").cast("double").alias("ts_s"), "value")
-        .repartition(4)
+        .coalesce(1)
         .write.mode("overwrite")
         .json(p),
     )
-    return SS.run_files_to_memory(spark, tmp, table_name=tag, one_file_per_batch=False)
+    return (
+        SS.run_files_to_memory(spark, tmp, table_name=tag, one_file_per_batch=False)
+        .select(
+            "user_id",
+            "session_seq",
+            "n_events",
+            roundn(F.col("duration_s"), 3).alias("duration_s"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
 
 
 @register(
@@ -731,6 +786,15 @@ LAST_CERTIFIED: dict[str, int | None] = {
 # the reference-surface anchor: always driver-certified (VERDICT r5 item 1)
 _ANCHORS = ["clean_coerce", "kpi_daily", "kpi_report_endpoint", "kpi_global"]
 
+# Queries whose CERTIFIED SURFACE changed this round (semantics, columns,
+# or oracle) without being never-certified: they re-enter the window
+# right after the never-certified block, regardless of ledger age —
+# a green row from a previous round does not certify this round's code.
+# Round 7: both formerly rows-only streams now carry full hash oracles
+# (sessionize_stream single-batch closed-session set; range_join_stream
+# batch pair set).
+_TOUCHED_THIS_ROUND = ["sessionize_stream", "range_join_stream"]
+
 _WINDOW_SIZE = 50
 
 
@@ -745,11 +809,13 @@ def _build_window() -> list[str]:
     assert not extra, f"LAST_CERTIFIED names not registered: {extra}"
     reg_idx = {n: i for i, n in enumerate(names)}
     never = [n for n in names if LAST_CERTIFIED[n] is None and n not in _ANCHORS]
+    touched = [n for n in _TOUCHED_THIS_ROUND if n not in _ANCHORS and n not in never]
+    head = _ANCHORS + never + touched
     rest = sorted(
-        (n for n in names if n not in _ANCHORS and LAST_CERTIFIED[n] is not None),
+        (n for n in names if n not in head),
         key=lambda n: (LAST_CERTIFIED[n], reg_idx[n]),
     )
-    window = (_ANCHORS + never + rest)[:_WINDOW_SIZE]
+    window = (head + rest)[:_WINDOW_SIZE]
     assert len(window) == _WINDOW_SIZE, (
         f"window needs {_WINDOW_SIZE} queries, registry has {len(window)}"
     )
@@ -786,16 +852,44 @@ def _reorder(d: dict) -> dict:
     return head
 
 
-@register("range_join_stream")
+def _sql_range_join_stream_oracle() -> str:
+    """The batch interval-join PAIR set (pre-aggregation twin of
+    purchases_near_views_range). The band predicate compares NATIVE
+    timestamps — exact microsecond arithmetic, matching the stream's
+    timestamp join condition bit-for-bit at the band boundary (an
+    epoch-double band could round differently at exact edges)."""
+    from .functions.portable import sql_roundn
+    from .operators.analytics import RANGE_JOIN_WINDOW_S
+
+    return f"""
+SELECT v.event_id AS view_id, v.user_id,
+       {sql_roundn('epoch(p.ts) - epoch(v.ts)', 3)} AS gap_s
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts > v.ts
+ AND p.ts <= v.ts + INTERVAL {RANGE_JOIN_WINDOW_S} SECOND
+ORDER BY view_id, gap_s"""
+
+
+@register("range_join_stream", _sql_range_join_stream_oracle())
 def q_range_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (views x purchases within
-    the band) — the streaming tier of purchases_near_views_range. No
-    oracle: stream-stream join emission timing is a streaming-only
-    notion; the finite replay's row count equals the batch operator's
-    pre-aggregation pair count, which tests assert and the rows-only
-    check records."""
+    the band) — the streaming tier of purchases_near_views_range.
+
+    Oracle (round 7): the emitted PAIR SET is batch-order-independent —
+    the join is data-driven (a pair emits when both sides have arrived)
+    and WATERMARK_DELAY exceeds the staged data's event-time span, so no
+    pair is ever dropped as late (run_files_to_memory raises on any
+    numRowsDroppedByWatermark). The finite replay therefore emits
+    exactly the batch interval-join pair set, and the driver check
+    upgrades from rows-only to rows+schema+hash; only the emission
+    TIMING remains a streaming-only notion. gap_s re-rounds with the
+    portable roundn on both sides."""
     from pyspark.sql import functions as F
 
+    from .functions.portable import roundn
     from .streaming import range_join_stream as RJ
 
     tmp, tag = _stream_staging_path(sf_dir, "rjoin_stream_in", "events")
@@ -811,7 +905,11 @@ def q_range_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .json(p),
     )
-    return RJ.run_files_to_memory(spark, tmp, table_name=tag)
+    return (
+        RJ.run_files_to_memory(spark, tmp, table_name=tag)
+        .select("view_id", "user_id", roundn(F.col("gap_s"), 3).alias("gap_s"))
+        .orderBy("view_id", "gap_s")
+    )
 
 
 def _with_drain(fn: QueryFn) -> QueryFn:
