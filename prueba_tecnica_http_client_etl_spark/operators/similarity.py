@@ -671,13 +671,26 @@ _SPARK_SQDIST = "aggregate(zip_with(q, qc, (x, y) -> (x - y) * (x - y)), cast(0 
 def _kmeans_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
     """One Lloyd assignment step: each vector to its nearest centroid by
     exact BIGINT squared L2 (ties on cent_id). Centroids broadcast;
-    map-side argmin via a k-row per-vector window."""
-    w = Window.partitionBy("vec_id").orderBy("d2", "cent_id")
+    argmin via min(struct(d2, cent_id, ...)) — lexicographic struct-min
+    IS the (d2, cent_id) tie-break, and unlike the previous row_number
+    window it partial-aggregates: each task collapses its k candidate
+    rows per vector map-side, so the exchange carries one argmin struct
+    per vector instead of k pre-argmin rows plus a sort (the same
+    pattern as the PQ encode). cent_id is distinct per group, so the
+    payload fields after it never participate in the comparison."""
     return (
         emb.join(F.broadcast(cents), F.lit(True))
         .withColumn("d2", F.expr(_SPARK_SQDIST))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cent_id", "qc", "q", "nrm")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.q").alias("q"),
+            F.col("m.nrm").alias("nrm"),
+            F.col("m.d2").alias("d2"),
+            F.col("m.cent_id").alias("cent_id"),
+            F.col("m.qc").alias("qc"),
+        )
     )
 
 
