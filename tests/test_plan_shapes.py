@@ -134,3 +134,26 @@ def test_ivfpq_rerank_fetches_vectors_by_equi_join(spark):
         if ("BroadcastHashJoin" in l or "SortMergeJoin" in l) and "neighbor_id" in l
     ]
     assert nbr_joins, plan
+
+
+def test_kpi_path_has_no_python_eval(spark):
+    """SURVEY §2.7: the entire reference-parity KPI path is built-ins —
+    no row-at-a-time Python UDF (BatchEvalPython) and no Arrow Python
+    node (ArrowEvalPython / MapInPandas) anywhere in the physical plans.
+    Locks the zero-UDF claim in CI; Python is allowed in the engine only
+    at real binary-decode / vectorized-scoring boundaries, never here."""
+    from prueba_tecnica_http_client_etl_spark import registry
+
+    qs = registry.QUERIES
+    for name in (
+        "clean_coerce",
+        "kpi_daily",
+        "kpi_report_endpoint",
+        "kpi_global",
+        "kpi_global_exact",
+        "kpi_rollup",
+        "kpi_anomaly_days",
+    ):
+        plan = _physical(qs[name](spark, SF_SMOKE))
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, f"{name}: {marker} in plan"
