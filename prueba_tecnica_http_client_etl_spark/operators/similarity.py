@@ -1273,12 +1273,15 @@ def _pq_codebook(emb: DataFrame) -> DataFrame:
     # engines stay consistent, but silently degraded codes are the wrong
     # failure mode. A 1-row count cross-joined with assert_true keeps the
     # builder lazy (no driver action) and fails the eventual collect with
-    # an explicit message instead.
+    # an explicit message instead. The assertion lives in a FILTER
+    # (always-true: assert_true yields NULL when it passes), not in a
+    # projected-then-dropped column — ColumnPruning removes a dropped
+    # column's expression entirely, which made the first version of this
+    # guard dead code (round-7 review finding, reproduced empirically).
     n_seeds = seeds.agg(F.count(F.lit(1)).alias("n_seeds"))
     seeds = (
         seeds.join(F.broadcast(n_seeds))
-        .withColumn(
-            "_cb_ok",
+        .where(
             F.assert_true(
                 F.col("n_seeds") >= PQ_K,
                 F.concat(
@@ -1286,9 +1289,9 @@ def _pq_codebook(emb: DataFrame) -> DataFrame:
                           f"(corpus >= ~{PQ_K * PQ_CB_STRIDE} vectors), got "),
                     F.col("n_seeds").cast("string"),
                 ),
-            ),
+            ).isNull()
         )
-        .drop("_cb_ok", "n_seeds")
+        .drop("n_seeds")
     )
     slices = F.array(*[F.slice(F.col("q"), s * PQ_SUBDIM + 1, PQ_SUBDIM) for s in range(PQ_M)])
     return seeds.select(
@@ -1378,26 +1381,15 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = Non
     )
 
 
-def ann_pq_rerank(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None) -> DataFrame:
-    """Two-stage PQ retrieval: ADC proposes PQ_RERANK_CANDIDATES
-    candidates per query from codes alone, then ONLY those |Q| x pool
-    rows join back to full vectors for an exact quantized-cosine re-rank
-    to top-10 — at 100 TB the full-vector fetch is a fixed number of
-    point lookups per query instead of a corpus scan, which is why
-    production PQ systems are built exactly this way. The exact stage
-    reuses the brute-force cosine arithmetic, so candidate scores are
-    bit-identical to ann_cosine_topk's on the overlap; a miss can only
-    mean the true neighbor fell outside the ADC pool (the measured
-    ladder at PQ_RERANK_CANDIDATES' definition)."""
-    if emb is None:
-        emb = managed_persist(_quantized(spark, sf_dir))
-    w_adc = Window.partitionBy("query_id").orderBy(F.col("cos_hat").desc(), F.col("neighbor_id"))
-    cand = (
-        _pq_scored(emb)
-        .withColumn("rank", F.row_number().over(w_adc))
-        .filter(F.col("rank") <= PQ_RERANK_CANDIDATES)
-        .select("query_id", "neighbor_id")
-    )
+def _exact_rerank_topk(emb: DataFrame, cand: DataFrame) -> DataFrame:
+    """Shared exact re-rank stage of the two-stage retrieval tiers
+    (ann_pq_rerank / ann_ivfpq_rerank): ONLY the (query_id, neighbor_id)
+    candidate rows fetch full vectors — point lookups, never a corpus
+    scan — and re-rank to TOPK with the brute-force quantized-cosine
+    arithmetic, so candidate scores are bit-identical to ann_cosine_topk
+    on the overlap. One definition keeps the tiers' rounding and
+    tie-break in lockstep (round-7 review finding: the block existed
+    per-tier and a drift would silently diverge the gates)."""
     qa = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), F.col("nrm").alias("na")
     )
@@ -1418,6 +1410,29 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = N
         )
         .orderBy("query_id", "rank")
     )
+
+
+def ann_pq_rerank(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None) -> DataFrame:
+    """Two-stage PQ retrieval: ADC proposes PQ_RERANK_CANDIDATES
+    candidates per query from codes alone, then ONLY those |Q| x pool
+    rows join back to full vectors for an exact quantized-cosine re-rank
+    to top-10 — at 100 TB the full-vector fetch is a fixed number of
+    point lookups per query instead of a corpus scan, which is why
+    production PQ systems are built exactly this way. The exact stage
+    reuses the brute-force cosine arithmetic, so candidate scores are
+    bit-identical to ann_cosine_topk's on the overlap; a miss can only
+    mean the true neighbor fell outside the ADC pool (the measured
+    ladder at PQ_RERANK_CANDIDATES' definition)."""
+    if emb is None:
+        emb = managed_persist(_quantized(spark, sf_dir))
+    w_adc = Window.partitionBy("query_id").orderBy(F.col("cos_hat").desc(), F.col("neighbor_id"))
+    cand = (
+        _pq_scored(emb)
+        .withColumn("rank", F.row_number().over(w_adc))
+        .filter(F.col("rank") <= PQ_RERANK_CANDIDATES)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank_topk(emb, cand)
 
 
 def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1800,26 +1815,7 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None 
         .filter(F.col("rank") <= IVFPQ_RERANK_CANDIDATES)
         .select("query_id", "neighbor_id")
     )
-    qa = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), F.col("nrm").alias("na")
-    )
-    qb = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"), F.col("nrm").alias("nb"))
-    cos = F.expr(_SPARK_PAIR_DOT).cast("double") / (F.col("na") * F.col("nb"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), F.col("neighbor_id"))
-    return (
-        cand.join(F.broadcast(qa), "query_id")
-        .join(qb, "neighbor_id")
-        .withColumn("cosine_raw", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rank").cast("int").alias("rank"),
-            roundn(F.col("cosine_raw") + 1.0, 6).alias("cosine_p1"),
-        )
-        .orderBy("query_id", "rank")
-    )
+    return _exact_rerank_topk(emb, cand)
 
 
 def ann_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

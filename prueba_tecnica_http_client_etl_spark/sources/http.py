@@ -268,16 +268,25 @@ def run_http_client_stage(
     (:108-113). Extraction runs RELATIONALLY over the fetched-results
     frame (json_field / xml_slides / html_title — S3-S5), and only the
     9-row result table is collected."""
-    import os
-
     tasks = reference_task_table(spark, base_url, user, passwd)
     # cache: the extraction collect and the xml_slides pass are two
-    # actions — without it the 9 HTTP requests would execute twice
+    # actions — without it the 9 HTTP requests would execute twice.
+    # Released in the finally below (this is a CLI stage, not a registry
+    # query, so the cachepool drain never reaches it).
     results = (
         fetch(tasks.drop("task"), transport=transport)
         .join(tasks.select("request_id", "task"), "request_id")
         .cache()
     )
+    try:
+        return _run_http_client_tasks(results, out_dir, log)
+    finally:
+        results.unpersist()
+
+
+def _run_http_client_tasks(results: DataFrame, out_dir: str, log) -> dict[str, str]:
+    import os
+
     extracted = results.select(
         "request_id",
         "task",

@@ -54,7 +54,10 @@ FLAGSHIPS = [
 
 
 def build_replica(spark) -> None:
-    """10x key-shifted union of sf0.1, written once (_SUCCESS-gated)."""
+    """10x key-shifted union of sf0.1, written once — gated on a
+    whole-replica _REPLICA_DONE marker written after ALL tables succeed
+    (per-table _SUCCESS files alone can't tell a complete replica from
+    one that crashed between tables)."""
     from pyspark.sql import functions as F
 
     from prueba_tecnica_http_client_etl_spark.schemas import load_table
@@ -91,10 +94,16 @@ def build_replica(spark) -> None:
     ev = spans("events", ["event_id", "user_id"])
     shifted_union("events", ev)
     shifted_union("documents", spans("documents", ["doc_id"]), text_suffix=True)
-    okey = spans("orders", ["o_orderkey", "o_custkey"])
-    shifted_union("lineitem", {"l_orderkey": okey["o_orderkey"]})
-    shifted_union("orders", okey)
-    shifted_union("customer", {"c_custkey": okey["o_custkey"]})
+    # the custkey span must come from CUSTOMER, not orders: the corpus
+    # deliberately contains customers without orders, so max(o_custkey)
+    # can be below max(c_custkey) and an orders-derived span would make
+    # replicas' customer keys overlap (duplicate primary keys). One span
+    # shifts both sides so the FK relationship is preserved.
+    cust_span = spans("customer", ["c_custkey"])["c_custkey"]
+    okey_span = spans("orders", ["o_orderkey"])["o_orderkey"]
+    shifted_union("lineitem", {"l_orderkey": okey_span})
+    shifted_union("orders", {"o_orderkey": okey_span, "o_custkey": cust_span})
+    shifted_union("customer", {"c_custkey": cust_span})
     for dim in ("region", "nation", "supplier", "part", "embeddings"):
         load_table(spark, SF01, dim).write.mode("overwrite").parquet(
             os.path.join(SF1, f"{dim}.parquet")

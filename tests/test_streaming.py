@@ -93,10 +93,12 @@ def test_stream_agg_values_match_batch_engine(stream_result, spark):
         assert abs(got[k]["avg_elapsed_ms"] - b["avg_elapsed_ms"]) < 1e-9, k
 
 
-def test_stream_run_dirs_fixed_and_cleared(tmp_path, monkeypatch):
-    """Run output/checkpoint dirs are FIXED per (kind, sf) and cleared at
-    each invocation — repeated bench/correctness runs must not accumulate
-    verdict-parquet + checkpoint pairs (the mkdtemp-per-call leak)."""
+def test_stream_run_dirs_unique_and_age_bounded(tmp_path, monkeypatch):
+    """Run output/checkpoint dirs are UNIQUE per invocation (a concurrent
+    session's live checkpoint must never be cleared mid-query) under a
+    root keyed by (kind, sf); disk stays bounded because superseded run
+    dirs past the staleness window are swept on the next invocation."""
+    import os
     import tempfile
 
     from prueba_tecnica_http_client_etl_spark import registry
@@ -104,16 +106,22 @@ def test_stream_run_dirs_fixed_and_cleared(tmp_path, monkeypatch):
     monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
     sf = str(tmp_path / "sf0.01")
     out1, ckpt1 = registry._stream_run_dirs(sf, "probe_test")
-    # simulate a run leaving state behind
     (Path(out1) / "part-0000.parquet").write_text("x")
     (Path(ckpt1) / "offsets").mkdir()
     out2, ckpt2 = registry._stream_run_dirs(sf, "probe_test")
-    assert (out2, ckpt2) == (out1, ckpt1)  # same fixed location reused
-    assert list(Path(out2).iterdir()) == []  # cleared, not accumulated
-    assert list(Path(ckpt2).iterdir()) == []
+    # a fresh invocation gets its OWN dirs and leaves the live run intact
+    assert out2 != out1 and ckpt2 != ckpt1
+    assert (Path(out1) / "part-0000.parquet").exists()
+    root = Path(out1).parent.parent
+    assert Path(out2).parent.parent == root  # same (kind, sf) root
+    assert len(list(root.iterdir())) == 2
+    # runs older than the staleness window are swept on the next call
+    old_run = Path(out1).parent
+    past = 1_000_000
+    os.utime(old_run, (past, past))
+    registry._stream_run_dirs(sf, "probe_test")
+    assert not old_run.exists()
     # distinct kinds / scale factors never collide
     out3, _ = registry._stream_run_dirs(str(tmp_path / "sf0.1"), "probe_test")
     out4, _ = registry._stream_run_dirs(sf, "other_kind")
-    assert len({out1, out3, out4}) == 3
-    run_root = tmp_path / "spark_graft_stream_runs"
-    assert len(list(run_root.iterdir())) == 3  # one live dir per (kind, sf)
+    assert len({Path(p).parent.parent for p in (out1, out3, out4)}) == 3
