@@ -7,8 +7,9 @@ Four strategies, each scalable to 100 TB:
 - exact        : hash-groupBy on normalized text. One shuffle keyed on a
                  128-bit digest; partial aggregation collapses duplicates
                  map-side, so shuffle volume ~= |distinct docs|.
-- MinHash+LSH  : shingle -> 16 minhashes -> 4 bands -> band-bucket
-                 self-join -> exact-Jaccard verify of candidates only.
+- MinHash+LSH  : shingle -> 16 minhashes -> 8 bands x 2 rows -> band-
+                 bucket self-join -> exact-Jaccard verify of candidates
+                 only (banding layout in functions/textprep.py).
                  Never computes the O(n^2) pair matrix: the only shuffles
                  key on (band_idx, band_hash), and the verify join touches
                  just colliding pairs. Hot buckets (boilerplate shingles)
@@ -160,23 +161,13 @@ def band_table(mh: DataFrame) -> DataFrame:
     ).select("doc_id", "band.band_idx", "band.band_hash")
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs via MinHash-LSH banding, verified with exact
-    shingle Jaccard >= 0.5. Output: (doc_a, doc_b, jaccard).
-
-    Both the shingle table and the signature table are persisted: the
-    shingle set feeds both sides of the verify join (and the signature
-    build), the signatures feed both sides of the band self-join —
-    without the persists Spark recomputes shingling+hashing once per
-    branch. At 100 TB both are materialized pipeline stages (tiny next
-    to the corpus: 16 longs + shingle set per doc). Both persists are
-    pool-managed: released when the next registry query runs."""
-    sh = managed_persist(docs_normalized(spark, sf_dir).select("doc_id", "sh"))
-    mh = managed_persist(_minhash_signatures(sh))
-    bands = band_table(mh)
-
+def _band_candidates(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs colliding in any band bucket — the
+    one candidate-generation definition every LSH consumer shares
+    (flagship, capped tier, calibration), so the collision predicate and
+    the doc_a<doc_b convention cannot drift between them."""
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -187,6 +178,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
+
+def _verify_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the
+    (persisted) shingle table — banding is a recall device, never the
+    decision. Shared by the flagship and the capped tier."""
     x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
@@ -200,6 +196,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", roundn(F.col("jaccard_raw"), 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH banding, verified with exact
+    shingle Jaccard >= 0.5. Output: (doc_a, doc_b, jaccard).
+
+    Shingle, signature, and band tables are persisted: the shingle set
+    feeds both sides of the verify join (and the signature build), the
+    band table feeds both sides of the band self-join — without the
+    persists Spark recomputes shingling+hashing once per branch. At
+    100 TB all are materialized pipeline stages (tiny next to the
+    corpus: 16 longs + shingle set per doc). All persists are
+    pool-managed: released when the next registry query runs."""
+    sh = managed_persist(docs_normalized(spark, sf_dir).select("doc_id", "sh"))
+    return _capped_lsh_pairs(sh, max_bucket_size=None)
 
 
 def _sql_bands_union() -> str:
@@ -268,44 +279,25 @@ def lsh_hot_buckets(bands: DataFrame, *, max_bucket_size: int = LSH_MAX_BUCKET) 
     )
 
 
-def _capped_lsh_pairs(sh: DataFrame, *, max_bucket_size: int = LSH_MAX_BUCKET) -> DataFrame:
-    """dedup_minhash_lsh's candidate->verify chain with hot buckets
-    excluded before pair generation: bands anti-join the (broadcast) hot
-    set, so no task ever materializes a hot bucket's quadratic pair list.
-    `sh` must be persisted by the caller (it feeds signatures + both
-    verify sides)."""
+def _capped_lsh_pairs(sh: DataFrame, *, max_bucket_size: int | None = LSH_MAX_BUCKET) -> DataFrame:
+    """The LSH candidate->verify chain, optionally with hot buckets
+    excluded before pair generation (max_bucket_size=None disables the
+    cap — the flagship's configuration): bands anti-join the (broadcast)
+    hot set, so no task ever materializes a hot bucket's quadratic pair
+    list. `sh` must be persisted by the caller (it feeds signatures +
+    both verify sides)."""
     mh = managed_persist(_minhash_signatures(sh))
     bands = managed_persist(band_table(mh))
-    hot = lsh_hot_buckets(bands, max_bucket_size=max_bucket_size)
-    cold = bands.join(
-        F.broadcast(hot.select("band_idx", "band_hash")),
-        ["band_idx", "band_hash"],
-        "left_anti",
-    )
-    a, b = cold.alias("a"), cold.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if max_bucket_size is None:
+        cold = bands
+    else:
+        hot = lsh_hot_buckets(bands, max_bucket_size=max_bucket_size)
+        cold = bands.join(
+            F.broadcast(hot.select("band_idx", "band_hash")),
+            ["band_idx", "band_hash"],
+            "left_anti",
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
-    return (
-        cand.join(x, "doc_a")
-        .join(y, "doc_b")
-        .withColumn("jaccard_raw", jac)
-        .filter(F.col("jaccard_raw") >= MINHASH_JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", roundn(F.col("jaccard_raw"), 4).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    )
+    return _verify_pairs(_band_candidates(cold), sh)
 
 
 def dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,7 +344,10 @@ def dedup_lsh_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     that the driver certifies the audit ARITHMETIC, while the adversarial
     corpus exercises the nonzero branch in tests)."""
     sh = managed_persist(docs_normalized(spark, sf_dir).select("doc_id", "sh"))
-    bands = band_table(_minhash_signatures(sh))
+    # bands feeds THREE branches of the audit (hot, affected's join side,
+    # totals); persist both stages or the 16-minhash aggregation re-runs
+    # per branch (round-7 review finding)
+    bands = managed_persist(band_table(managed_persist(_minhash_signatures(sh))))
     return _cap_audit(bands)
 
 
@@ -457,19 +452,7 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decile rollup is a <=11-row aggregate."""
     sh = managed_persist(docs_normalized(spark, sf_dir).select("doc_id", "sh"))
     mh = managed_persist(_minhash_signatures(sh))
-    bands = band_table(mh)
-
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _band_candidates(band_table(mh))
     ma = mh.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(tp.NUM_MINHASHES)])
     mb = mh.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(tp.NUM_MINHASHES)])
     x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -592,12 +575,16 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
-    truth = (
+    # truth and found each feed TWO branches (their own count + the hits
+    # join): persist both tiny pair sets or the inverted-index ground-
+    # truth join and the whole LSH tail execute twice in one action
+    # (round-7 review finding)
+    truth = managed_persist(
         co.filter(jac >= MINHASH_JACCARD_THRESHOLD)
         .select(F.least("pa", "pb").alias("lo"), F.greatest("pa", "pb").alias("hi"))
         .distinct()
     )
-    found = (
+    found = managed_persist(
         dedup_minhash_lsh(spark, sf_dir)
         .select(F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi"))
         .filter((F.col("lo") % LSH_AUDIT_STRIDE == 0) | (F.col("hi") % LSH_AUDIT_STRIDE == 0))
@@ -817,7 +804,11 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "sh")
         .withColumn("n", F.size("sh"))
     )
-    prefix = _prefix_postings(base)
+    # persist: the posting table feeds BOTH self-join sides — without it
+    # the interpreted per-shingle md5 transform + array_sort + explode
+    # chain runs once per side (round-7 review finding; same rationale
+    # as dedup_ngram_jaccard's persisted posting table)
+    prefix = managed_persist(_prefix_postings(base))
     a = prefix.select("lang", "s", F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     b = prefix.select("lang", "s", F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     cand = (
@@ -1104,6 +1095,19 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands_all = managed_persist(band_table(mh))
     bands_in = bands_all.filter(is_incoming).withColumnRenamed("doc_id", "doc_in")
     bands_ix = bands_all.filter(~is_incoming).withColumnRenamed("doc_id", "doc_ix")
+    # hot-bucket cap on the INDEX side (round-7 review finding): without
+    # it the per-batch-cost-independent-of-corpus-size claim breaks on a
+    # boilerplate bucket — every colliding incoming doc would fan out to
+    # the whole bucket's membership. Same cap + rationale as the batch
+    # path (LSH_MAX_BUCKET); the persisted-index variant drops hot
+    # buckets at BUILD time (plans/lsh_index.py), which this inline
+    # index reproduces so the stream probe's oracle stays this query.
+    hot = lsh_hot_buckets(
+        bands_ix.withColumnRenamed("doc_ix", "doc_id"), max_bucket_size=LSH_MAX_BUCKET
+    )
+    bands_ix = bands_ix.join(
+        F.broadcast(hot.select("band_idx", "band_hash")), ["band_idx", "band_hash"], "left_anti"
+    )
 
     cand = (
         bands_in.join(bands_ix, ["band_idx", "band_hash"])
@@ -1160,11 +1164,22 @@ mh_t AS (
 bands AS (
 {_sql_bands_union()}
 ),
+hot_ix AS (
+  SELECT band_idx, band_hash
+  FROM bands WHERE doc_id % {INCREMENTAL_STRIDE} <> 0
+  GROUP BY band_idx, band_hash
+  HAVING count(*) > {LSH_MAX_BUCKET}
+),
+bands_ix AS (
+  SELECT b.* FROM bands b
+  ANTI JOIN hot_ix h ON b.band_idx = h.band_idx AND b.band_hash = h.band_hash
+  WHERE b.doc_id % {INCREMENTAL_STRIDE} <> 0
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_in, b.doc_id AS doc_ix
-  FROM bands a JOIN bands b
+  FROM bands a JOIN bands_ix b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-  WHERE a.doc_id % {INCREMENTAL_STRIDE} = 0 AND b.doc_id % {INCREMENTAL_STRIDE} <> 0
+  WHERE a.doc_id % {INCREMENTAL_STRIDE} = 0
 ),
 near_hits AS (
   SELECT doc_in AS doc_id, count(*) AS n_near
@@ -1264,6 +1279,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n_changed = updated.filter(F.col("changed")).count()
         labels = updated.select("doc_id", "component_id")
+        # releases the round-1 persist()ed seed labels; for later rounds
+        # `backing` is a localCheckpoint()ed frame whose RDD-level blocks
+        # Dataset.unpersist() does NOT free (they are not in the
+        # CacheManager) — those are reclaimed by the ContextCleaner when
+        # the frame is garbage-collected, which the rebinding below
+        # enables. Peak storage is therefore a few rounds of the (tiny,
+        # clustered-docs-only) label table, not one.
         backing.unpersist()
         backing = updated
         if n_changed == 0:
@@ -1344,7 +1366,6 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = docs_normalized(spark, sf_dir).select(
         "doc_id", F.posexplode_outer("toks").alias("pos", "tok")
     )
-    from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, SUBSTRING_K)]

@@ -33,9 +33,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    LSH_MAX_BUCKET,
     MINHASH_JACCARD_THRESHOLD,
     _minhash_signatures,
     band_table,
+    lsh_hot_buckets,
 )
 from .layout import write_bucketed
 
@@ -99,8 +101,23 @@ def build_lsh_index(docs: DataFrame, *, prefix: str, n_buckets: int = 8) -> None
             bucket_cols=["digest"],
             n_buckets=n_buckets,
         )
+        # hot-bucket cap at BUILD time (round-7 review finding): a
+        # boilerplate band bucket holding a large slice of the index
+        # would make every colliding probe fan out to its whole
+        # membership, breaking the per-batch-cost-independent-of-corpus
+        # contract. Dropping it here (same LSH_MAX_BUCKET + rationale as
+        # the batch path) keeps every future probe bounded; exact dups
+        # in such buckets are still caught by the digest tier, and the
+        # inline index in dedup_incremental applies the identical cap so
+        # probe verdicts keep matching its oracle.
+        bands = band_table(_minhash_signatures(d))
+        hot = lsh_hot_buckets(bands, max_bucket_size=LSH_MAX_BUCKET)
         write_bucketed(
-            band_table(_minhash_signatures(d)),
+            bands.join(
+                F.broadcast(hot.select("band_idx", "band_hash")),
+                ["band_idx", "band_hash"],
+                "left_anti",
+            ),
             f"{prefix}_bands",
             bucket_cols=["band_hash"],
             n_buckets=n_buckets,

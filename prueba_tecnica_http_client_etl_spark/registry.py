@@ -809,8 +809,16 @@ _ANCHORS = ["clean_coerce", "kpi_daily", "kpi_report_endpoint", "kpi_global"]
 # a green row from a previous round does not certify this round's code.
 # Round 7: both formerly rows-only streams now carry full hash oracles
 # (sessionize_stream single-batch closed-session set; range_join_stream
-# batch pair set).
-_TOUCHED_THIS_ROUND = ["sessionize_stream", "range_join_stream"]
+# batch pair set); dedup_incremental and the persisted-index probe
+# stream gained the index-side hot-bucket cap (verdicts unchanged on the
+# natural corpus — the adversarial branch is tests/test_lsh_hot_bucket —
+# but the certified code path changed, so they re-certify).
+_TOUCHED_THIS_ROUND = [
+    "sessionize_stream",
+    "range_join_stream",
+    "dedup_incremental",
+    "dedup_index_probe_stream",
+]
 
 _WINDOW_SIZE = 50
 

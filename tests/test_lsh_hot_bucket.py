@@ -83,3 +83,49 @@ def test_cap_inert_on_clean_corpus(spark):
     uncapped = dedup_minhash_lsh(spark, sf).collect()
     assert sorted(map(tuple, capped)) == sorted(map(tuple, uncapped))
     drain()
+
+
+def test_incremental_probe_caps_hot_index_buckets(spark):
+    """dedup_incremental's index-side probe must refuse hot index
+    buckets (round-7 review): an incoming doc colliding only with a
+    boilerplate bucket is 'novel' via the near tier — its exact-dup
+    twin still gets caught by the digest tier — and per-batch probe cost
+    stays independent of the hot bucket's size. Exercised end-to-end
+    through the persisted index too (build_lsh_index drops hot buckets
+    at build time; probe verdicts must match dedup_incremental)."""
+    from prueba_tecnica_http_client_etl_spark.operators.dedup import (
+        LSH_MAX_BUCKET,
+        docs_normalized,
+    )
+    from prueba_tecnica_http_client_etl_spark.plans.lsh_index import (
+        build_lsh_index,
+        probe_lsh_index,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again " * 5
+    # index: 30 identical boilerplate docs (every shared band bucket hot)
+    # + one genuine doc; incoming: one boilerplate copy + one near-dup of
+    # the genuine doc
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    near_b = near_a + " omicron"
+    rows = [(i, boiler) for i in range(1, 31)] + [(31, near_a)]
+    incoming_rows = [(1000, boiler), (1001, near_b)]
+    docs = spark.createDataFrame(rows + incoming_rows, "doc_id long, text string")
+    norm = docs.withColumn("norm", F.expr(tp.SPARK_NORM)).withColumn(
+        "toks", F.expr(tp.SPARK_TOKS)
+    ).withColumn("sh", F.expr(tp.SPARK_SHINGLES)).select("doc_id", "norm", "sh")
+    index_docs = norm.filter(F.col("doc_id") < 1000)
+    incoming = norm.filter(F.col("doc_id") >= 1000)
+
+    assert 30 > LSH_MAX_BUCKET  # the boilerplate bucket is over the cap
+    build_lsh_index(index_docs, prefix="hotcap_test")
+    verdicts = {
+        r["doc_id"]: (r["verdict"], r["n_near_candidates"])
+        for r in probe_lsh_index(spark, incoming, prefix="hotcap_test").collect()
+    }
+    # boilerplate copy: near tier refused the hot bucket, digest tier
+    # still catches the exact duplicate
+    assert verdicts[1000] == ("exact_dup", 0)
+    # genuine near-dup outside the hot bucket is unaffected by the cap
+    assert verdicts[1001][0] == "near_dup" and verdicts[1001][1] >= 1
+    drain()
