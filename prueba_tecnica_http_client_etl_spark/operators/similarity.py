@@ -29,6 +29,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.artifacts import artifact_key, trained_artifact
 from ..functions.cachepool import managed_persist
 from ..functions.portable import roundn, sql_roundn
 from ..schemas import load_table
@@ -591,12 +592,20 @@ def _recall_vs_exact(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
     (query_id, neighbor_id) between two k x |queries| row sets — tiny; at
     100 TB this gate runs on a sampled query set the same way. The
     quantized frame is built and persisted ONCE and shared by both tiers
-    (pool-managed: released when the next registry query runs)."""
+    (pool-managed: released when the next registry query runs).
+
+    The brute-force ground truth is a TRAINED ARTIFACT (functions/
+    artifacts.py): a production recall audit precomputes and versions
+    the exact top-k for its sampled query set once per corpus snapshot,
+    then gates every tier against that one table. The first gate in a
+    session pays the brute-force pass; the other gates reuse the
+    identical checkpointed frame (it also feeds both the hits join and
+    the denominator, so the artifact replaces the former per-gate
+    persist)."""
     emb = managed_persist(_quantized(spark, sf_dir))
-    # the exact tier feeds BOTH the hits join and the denominator — persist
-    # its (tiny) top-k output or the brute-force matmul executes twice
-    exact = managed_persist(
-        ann_cosine_topk(spark, sf_dir, emb=emb).select("query_id", "neighbor_id")
+    exact = trained_artifact(
+        artifact_key("ann_ground_truth_topk", spark, sf_dir, "embeddings"),
+        lambda: ann_cosine_topk(spark, sf_dir, emb=emb).select("query_id", "neighbor_id"),
     )
     approx = approx_fn(spark, sf_dir, emb=emb).select("query_id", "neighbor_id")
     hits = (
@@ -720,6 +729,20 @@ def _trained_centroids(emb: DataFrame) -> DataFrame:
     return cents
 
 
+def _coarse_centroids(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
+    """The trained coarse quantizer as a session TRAINED ARTIFACT
+    (functions/artifacts.py): a production IVF index trains its
+    centroids once per corpus snapshot and persists them
+    (plans/ivf_index.py is the on-disk form) — here the first consumer
+    in a session (kmeans_embeddings, the learned-IVF tier, or the
+    IVF-PQ tier) pays the Lloyd update's corpus-wide assignment pass and
+    every later consumer reuses the identical checkpointed k-row frame."""
+    return trained_artifact(
+        artifact_key("ivf_coarse_centroids", spark, sf_dir, "embeddings"),
+        lambda: _trained_centroids(emb),
+    )
+
+
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over the quantized embeddings with INTEGER
     centroids: init = the strided CENTROID_STRIDE subset (same
@@ -742,7 +765,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     k x 64 partials — the corpus itself shuffles zero times. The
     driver-side loop is KMEANS_ITERS plan compositions, not actions."""
     emb = managed_persist(_quantized(spark, sf_dir))
-    assigned = _kmeans_assign(emb, _trained_centroids(emb))
+    assigned = _kmeans_assign(emb, _coarse_centroids(spark, sf_dir, emb))
     return (
         assigned.groupBy(F.col("cent_id").alias("cluster_id"))
         .agg(
@@ -836,7 +859,7 @@ def ann_ivf_learned_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | N
     learned tier keeps the same bit-determinism as the strided one."""
     if emb is None:
         emb = managed_persist(_quantized(spark, sf_dir))
-    cents = _trained_centroids(emb).select(
+    cents = _coarse_centroids(spark, sf_dir, emb).select(
         "cent_id",
         "qc",
         F.sqrt(F.expr("aggregate(qc, cast(0 as bigint), (acc, v) -> acc + v * v)").cast("double")).alias("nc"),
@@ -1301,7 +1324,7 @@ def _pq_codebook(emb: DataFrame) -> DataFrame:
     )
 
 
-def _pq_scored(emb: DataFrame) -> DataFrame:
+def _pq_scored(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
     """ADC scores (query_id, neighbor_id, cos_hat) for every query x
     corpus vector, computed entirely from codes:
 
@@ -1319,20 +1342,31 @@ def _pq_scored(emb: DataFrame) -> DataFrame:
 
     All products/sums are exact BIGINTs < 2^45 (components < 2^19), so
     cos_hat = adc / (na * nb_hat) divides identical doubles in both
-    engines — the PQ tiers keep the engine-wide bit-determinism."""
-    cb = _pq_codebook(emb)
+    engines — the PQ tiers keep the engine-wide bit-determinism.
+
+    The codebook and the codes table are session TRAINED ARTIFACTS
+    (functions/artifacts.py): they ARE the PQ index a production system
+    trains and stores once per corpus snapshot — the first PQ query in
+    a session pays the encode pass, the rest (topk/rerank and their
+    gates, pq_quantization_error) reuse the identical checkpointed
+    frames and only run their own LUT + scan."""
+    cb = trained_artifact(
+        artifact_key("pq_codebook", spark, sf_dir, "embeddings"),
+        lambda: _pq_codebook(emb),
+    )
     # argmin via min(struct(d2, code_id, ...)): lexicographic struct-min IS
     # the (d2, code_id) tie-break, and unlike a row_number window it is a
     # partial aggregation — each task combines its PQ_K candidate rows per
     # (vec, sub) map-side, so the shuffle carries |corpus| x PQ_M argmin
     # structs instead of |corpus| x PQ_M x PQ_K pre-argmin rows.
-    codes = managed_persist(
-        _pq_subspaces(emb, "vec_id")
+    codes = trained_artifact(
+        artifact_key("pq_codes", spark, sf_dir, "embeddings"),
+        lambda: _pq_subspaces(emb, "vec_id")
         .join(F.broadcast(cb), "sub")
         .withColumn("d2", F.expr(_SPARK_SUB_SQDIST))
         .groupBy("vec_id", "sub")
         .agg(F.min(F.struct("d2", "code_id", "cself")).alias("m"))
-        .select("vec_id", "sub", F.col("m.code_id").alias("code_id"), F.col("m.cself").alias("cself"))
+        .select("vec_id", "sub", F.col("m.code_id").alias("code_id"), F.col("m.cself").alias("cself")),
     )
     nbh = codes.groupBy("vec_id").agg(
         F.sqrt(F.sum("cself").cast("double")).alias("nbh")
@@ -1368,7 +1402,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = Non
         emb = managed_persist(_quantized(spark, sf_dir))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_hat").desc(), F.col("neighbor_id"))
     return (
-        _pq_scored(emb)
+        _pq_scored(spark, sf_dir, emb)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
         .select(
@@ -1427,7 +1461,7 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = N
         emb = managed_persist(_quantized(spark, sf_dir))
     w_adc = Window.partitionBy("query_id").orderBy(F.col("cos_hat").desc(), F.col("neighbor_id"))
     cand = (
-        _pq_scored(emb)
+        _pq_scored(spark, sf_dir, emb)
         .withColumn("rank", F.row_number().over(w_adc))
         .filter(F.col("rank") <= PQ_RERANK_CANDIDATES)
         .select("query_id", "neighbor_id")
@@ -1574,7 +1608,10 @@ def pq_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode pass's own BIGINTs, so the audit is bit-identical across
     engines."""
     emb = managed_persist(_quantized(spark, sf_dir))
-    cb = _pq_codebook(emb)
+    cb = trained_artifact(
+        artifact_key("pq_codebook", spark, sf_dir, "embeddings"),
+        lambda: _pq_codebook(emb),
+    )
     # the assigned code's d2 is simply min(d2) — the code_id tie-break
     # cannot change the minimal distance value itself
     d2s = (
@@ -1656,7 +1693,7 @@ IVFPQ_NPROBE = LEARNED_NPROBE
 IVFPQ_RERANK_CANDIDATES = PQ_RERANK_CANDIDATES
 
 
-def _ivfpq_scored(emb: DataFrame) -> DataFrame:
+def _ivfpq_scored(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
     """ADC scores (query_id, neighbor_id, cos_hat) for the IVF-PQ tier.
 
     State build (one pass each, all deterministic):
@@ -1673,26 +1710,38 @@ def _ivfpq_scored(emb: DataFrame) -> DataFrame:
        |cells| x PQ_M x PQ_K rows, broadcast;
     5. probe: queries rank cells by exact L2 and take IVFPQ_NPROBE;
        score = dot(q, centroid) + sum_sub LUT[q, sub, code] over the
-       probed cells' members only."""
-    cents = managed_persist(_trained_centroids(emb))
-    assigned = managed_persist(
-        _kmeans_assign(emb, cents).select("vec_id", "q", "nrm", "cent_id", "qc")
-    )
-    resid = assigned.select(
-        "vec_id", "cent_id", F.zip_with("q", "qc", lambda x, c: x - c).alias("q")
-    )
-    cb = managed_persist(_pq_codebook(resid))
+       probed cells' members only.
 
-    codes = managed_persist(
+    The trained state (cents via _coarse_centroids, the residual
+    codebook, the codes table) consists of session TRAINED ARTIFACTS
+    (functions/artifacts.py) — the IVF-PQ index a production system
+    trains and stores once per corpus snapshot. The residual frame is a
+    plain lazy managed_persist: on the first query the codebook
+    builder's materialization caches it and the codes builder reuses the
+    cache; on memo hits neither builder runs and the lazy frame is never
+    computed (pool registration of a never-computed frame is a no-op
+    drain)."""
+    cents = _coarse_centroids(spark, sf_dir, emb)
+    resid = managed_persist(
+        _kmeans_assign(emb, cents)
+        .select("vec_id", "q", "cent_id", "qc")
+        .select("vec_id", "cent_id", F.zip_with("q", "qc", lambda x, c: x - c).alias("q"))
+    )
+    cb = trained_artifact(
+        artifact_key("ivfpq_residual_codebook", spark, sf_dir, "embeddings"),
+        lambda: _pq_codebook(resid),
+    )
+    codes = trained_artifact(
+        artifact_key("ivfpq_codes", spark, sf_dir, "embeddings"),
         # cent_id rides the subspace explode (carry=): the previous shape
         # re-joined the corpus to itself on vec_id just to re-attach the
         # cell id — a corpus-wide shuffle with no information gain
-        _pq_subspaces(resid, "vec_id", carry=["cent_id"])
+        lambda: _pq_subspaces(resid, "vec_id", carry=["cent_id"])
         .join(F.broadcast(cb), "sub")
         .withColumn("d2", F.expr(_SPARK_SUB_SQDIST))
         .groupBy("vec_id", "cent_id", "sub")
         .agg(F.min(F.struct("d2", "code_id", "cself")).alias("m"))
-        .select("vec_id", "cent_id", "sub", F.col("m.code_id").alias("code_id"), F.col("m.cself").alias("cself"))
+        .select("vec_id", "cent_id", "sub", F.col("m.code_id").alias("code_id"), F.col("m.cself").alias("cself")),
     )
 
     # (cell, sub, code) cross terms dot(centroid_sub, code_sub)
@@ -1769,7 +1818,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = 
         emb = managed_persist(_quantized(spark, sf_dir))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_hat").desc(), F.col("neighbor_id"))
     return (
-        _ivfpq_scored(emb)
+        _ivfpq_scored(spark, sf_dir, emb)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
         .select(
@@ -1810,7 +1859,7 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None 
         emb = managed_persist(_quantized(spark, sf_dir))
     w_adc = Window.partitionBy("query_id").orderBy(F.col("cos_hat").desc(), F.col("neighbor_id"))
     cand = (
-        _ivfpq_scored(emb)
+        _ivfpq_scored(spark, sf_dir, emb)
         .withColumn("rank", F.row_number().over(w_adc))
         .filter(F.col("rank") <= IVFPQ_RERANK_CANDIDATES)
         .select("query_id", "neighbor_id")

@@ -812,12 +812,32 @@ _ANCHORS = ["clean_coerce", "kpi_daily", "kpi_report_endpoint", "kpi_global"]
 # batch pair set); dedup_incremental and the persisted-index probe
 # stream gained the index-side hot-bucket cap (verdicts unchanged on the
 # natural corpus — the adversarial branch is tests/test_lsh_hot_bucket —
-# but the certified code path changed, so they re-certify).
+# but the certified code path changed, so they re-certify). The second
+# block re-certifies the consumers of the new trained-artifact store
+# (functions/artifacts.py): results are memoized==fresh by construction
+# (tests/test_artifacts.py), but the executed plan now reads checkpointed
+# artifacts, so the previously-green rows no longer describe the shipped
+# path. ann_lsh_recall is the one store consumer left out — the shared
+# _recall_vs_exact path is certified through the five gates below plus
+# the never-certified IVF-PQ gates, and the window budget (the 20
+# round-2 rows MUST stay in, enforced by _build_window's staleness
+# ceiling) caps touched at 15.
 _TOUCHED_THIS_ROUND = [
     "sessionize_stream",
     "range_join_stream",
     "dedup_incremental",
     "dedup_index_probe_stream",
+    "dedup_components",
+    "dedup_cluster_sizes",
+    "dedup_survivors",
+    "kmeans_embeddings",
+    "ann_ivf_learned_topk",
+    "ann_ivf_learned_recall",
+    "ann_ivf_recall",
+    "ann_pq_topk",
+    "ann_pq_recall",
+    "ann_pq_rerank",
+    "ann_pq_rerank_recall",
 ]
 
 _WINDOW_SIZE = 50

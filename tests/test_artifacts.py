@@ -1,0 +1,92 @@
+"""Session trained-artifact store (functions/artifacts.py): memoized
+state must be bit-identical to a fresh retrain, keyed to the corpus
+snapshot, reused (not rebuilt) across consumers, and bounded.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from prueba_tecnica_http_client_etl_spark.functions import artifacts as A
+from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain
+from prueba_tecnica_http_client_etl_spark.operators.dedup import dedup_components
+from prueba_tecnica_http_client_etl_spark.operators.similarity import (
+    ann_ivf_learned_recall,
+    ann_pq_topk,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_memoized_equals_fresh(spark):
+    """The store's core contract: a memo hit returns exactly the rows a
+    cold retrain produces — across the three artifact families (cluster
+    labels; coarse centroids + ground truth via the recall gate; PQ
+    codebook + codes via the ADC tier)."""
+    for fn in (dedup_components, ann_ivf_learned_recall, ann_pq_topk):
+        A.clear()
+        drain()
+        cold = _rows(fn(spark, SF_SMOKE))
+        drain()
+        warm = _rows(fn(spark, SF_SMOKE))  # second call hits the memo
+        assert warm == cold, fn.__name__
+        drain()
+
+
+def test_artifacts_are_reused_not_rebuilt(spark):
+    """A second consumer must get the SAME stored frame (is-identity),
+    and consuming queries must not grow the store."""
+    A.clear()
+    drain()
+    dedup_components(spark, SF_SMOKE).collect()
+    drain()
+    key = A.artifact_key("dedup_component_labels", spark, SF_SMOKE, "documents")
+    assert key in A._STORE
+    stored = A._STORE[key]
+    n_entries = len(A._STORE)
+    dedup_components(spark, SF_SMOKE).collect()
+    drain()
+    assert A._STORE[key] is stored
+    assert len(A._STORE) == n_entries
+    A.clear()
+
+
+def test_key_tracks_corpus_snapshot(spark, tmp_path):
+    """Retrain triggers: a different sf_dir, a different source table,
+    or a rewritten (new-mtime) snapshot of the same path must all
+    produce distinct keys; the same snapshot must key stably."""
+    src = Path(SF_SMOKE) / "documents.parquet"
+    d = tmp_path / "sf"
+    d.mkdir()
+    shutil.copy(src, d / "documents.parquet")
+
+    k1 = A.artifact_key("x", spark, str(d), "documents")
+    assert k1 == A.artifact_key("x", spark, str(d), "documents")
+    assert k1 != A.artifact_key("x", spark, SF_SMOKE, "documents")
+    assert k1 != A.artifact_key("x", spark, str(d), "embeddings")
+
+    import os
+    import time
+
+    time.sleep(0.01)
+    os.utime(d / "documents.parquet")  # snapshot rewritten in place
+    assert A.artifact_key("x", spark, str(d), "documents") != k1
+
+
+def test_store_is_bounded_fifo(spark):
+    """The store must cap its entry count, evicting oldest-first, so a
+    long session over many corpora cannot accumulate unbounded
+    checkpoint blocks."""
+    A.clear()
+    first_key = ("synthetic", "0")
+    A.trained_artifact(first_key, lambda: spark.range(1))
+    for i in range(1, A._MAX_ENTRIES + 1):
+        A.trained_artifact(("synthetic", str(i)), lambda: spark.range(1))
+    assert len(A._STORE) == A._MAX_ENTRIES
+    assert first_key not in A._STORE  # oldest evicted
+    assert ("synthetic", str(A._MAX_ENTRIES)) in A._STORE
+    A.clear()
