@@ -77,6 +77,24 @@ def test_key_tracks_corpus_snapshot(spark, tmp_path):
     assert A.artifact_key("x", spark, str(d), "documents") != k1
 
 
+def test_consumer_reads_artifact_not_retrain(spark):
+    """The no-retrain property, locked at the plan level: a PQ
+    consumer's physical plan scans the checkpointed code table (an
+    ExistingRDD — artifacts materialize at plan-construction time, so
+    this holds from the first call) and its only generator is the
+    query-side LUT posexplode (|queries| rows). The corpus-sized encode
+    chain (subspace posexplode over every vector plus the codebook seed
+    selection) must never appear in a consumer plan — the exact shape a
+    query over a persisted on-disk index would have."""
+    A.clear()
+    drain()
+    plan = ann_pq_topk(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, plan
+    assert plan.lower().count("posexplode") == 1, plan
+    A.clear()
+    drain()
+
+
 def test_store_is_bounded_fifo(spark):
     """The store must cap its entry count, evicting oldest-first, so a
     long session over many corpora cannot accumulate unbounded
