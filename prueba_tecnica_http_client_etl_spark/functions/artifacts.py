@@ -15,11 +15,23 @@ would produce — the driver's hash oracle certifies memoized results the
 same way it certifies fresh ones, and tests/test_artifacts.py asserts
 memoized == fresh directly.
 
-Only TRAINED STATE is stored (centroids, codes, cluster labels, the
-brute-force ground truth an audit compares against) — never a query's
-output: each consumer still runs its own probe/rank/aggregate plan on
-top of the artifact, exactly as it would over the persisted on-disk
-form.
+What may be stored: exactly the state a production pipeline persists
+per corpus snapshot — trained quantizers/codebooks/code tables, the
+duplicate-cluster label table, and the versioned brute-force
+ground-truth table a recall audit gates against. Never the output of
+the query being served: each consumer still runs its own
+probe/rank/aggregate plan on top of the artifact, exactly as it would
+over the persisted on-disk form. (The ground-truth table is the ids
+projection of the brute-force tier's result — that is what production
+audits version and reuse; the gate queries that CONSUME it still
+compute their hits/recall per call.)
+
+Construction is EAGER by design: trained_artifact materializes during
+DataFrame composition, the same way probing a persisted index table
+requires the table to exist at plan time. Consumers of these helpers
+therefore run training jobs when their plan is first built in a
+session (plan-shape tests included) — the lazy-frame contract in
+cachepool.py applies to operator-internal persists, not to artifacts.
 
 Keying: (builder name, absolute sf_dir, source-file mtime, Spark
 application id). The mtime component retrains on a changed corpus
@@ -65,6 +77,13 @@ def trained_artifact(key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
     df = _STORE.get(key)
     if df is None:
         df = build().localCheckpoint(eager=True)
+        # prune artifacts from OTHER Spark applications (their contexts
+        # are dead; the frames only pin stale py4j references) before
+        # applying the FIFO bound. artifact_key's application id is the
+        # last tuple element; same-length keys from other apps differ.
+        if len(key) == 4:
+            for k in [k for k in _STORE if len(k) == 4 and k[3] != key[3]]:
+                del _STORE[k]
         _STORE[key] = df
         while len(_STORE) > _MAX_ENTRIES:
             _STORE.popitem(last=False)

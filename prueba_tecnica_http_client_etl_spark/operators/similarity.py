@@ -339,7 +339,7 @@ NPROBE = 8
 LEARNED_NPROBE = 12
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None) -> DataFrame:
+def ann_ivf_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None, _canonical_emb: bool = False) -> DataFrame:
     """IVF approximation of cosine top-k: vectors are assigned to their
     nearest coarse centroid (a deterministic strided subset standing in
     for k-means — same plan shape; `kmeans_embeddings` below IS the
@@ -476,7 +476,7 @@ ORDER BY bucket"""
 PROBE_BITS = 8  # search-tier bucket width; the histogram keeps all 16 planes
 
 
-def ann_lsh_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None) -> DataFrame:
+def ann_lsh_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None, _canonical_emb: bool = False) -> DataFrame:
     """ANN top-k through hyperplane LSH buckets with Hamming-1 multiprobe:
     each query probes its own bucket plus the PROBE_BITS buckets one
     bit-flip away, ranking only candidates found there by exact quantized
@@ -607,7 +607,11 @@ def _recall_vs_exact(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
         artifact_key("ann_ground_truth_topk", spark, sf_dir, "embeddings"),
         lambda: ann_cosine_topk(spark, sf_dir, emb=emb).select("query_id", "neighbor_id"),
     )
-    approx = approx_fn(spark, sf_dir, emb=emb).select("query_id", "neighbor_id")
+    # _canonical_emb: the shared emb IS _quantized(spark, sf_dir), so the
+    # memoizing tiers may (and should) use the session artifact store
+    approx = approx_fn(spark, sf_dir, emb=emb, _canonical_emb=True).select(
+        "query_id", "neighbor_id"
+    )
     hits = (
         exact.join(approx, ["query_id", "neighbor_id"])
         .groupBy("query_id")
@@ -729,14 +733,24 @@ def _trained_centroids(emb: DataFrame) -> DataFrame:
     return cents
 
 
-def _coarse_centroids(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
+def _coarse_centroids(
+    spark: SparkSession, sf_dir: str, emb: DataFrame, *, canonical: bool = True
+) -> DataFrame:
     """The trained coarse quantizer as a session TRAINED ARTIFACT
     (functions/artifacts.py): a production IVF index trains its
     centroids once per corpus snapshot and persists them
     (plans/ivf_index.py is the on-disk form) — here the first consumer
     in a session (kmeans_embeddings, the learned-IVF tier, or the
     IVF-PQ tier) pays the Lloyd update's corpus-wide assignment pass and
-    every later consumer reuses the identical checkpointed k-row frame."""
+    every later consumer reuses the identical checkpointed k-row frame.
+
+    canonical=False means `emb` was supplied by the caller and is not
+    guaranteed to be _quantized(spark, sf_dir): train fresh from it and
+    keep the store untouched — the artifact keys identify the corpus
+    snapshot, not an arbitrary frame, and a foreign emb must neither
+    poison the store nor be served someone else's centroids."""
+    if not canonical:
+        return managed_persist(_trained_centroids(emb))
     return trained_artifact(
         artifact_key("ivf_coarse_centroids", spark, sf_dir, "embeddings"),
         lambda: _trained_centroids(emb),
@@ -837,7 +851,7 @@ ORDER BY cluster_id"""
 # --- IVF on the trained quantizer (kmeans -> probe-path composition) ---------
 
 
-def ann_ivf_learned_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None) -> DataFrame:
+def ann_ivf_learned_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None, _canonical_emb: bool = False) -> DataFrame:
     """IVF top-k over the K-MEANS-TRAINED coarse quantizer: the
     `_trained_centroids` update (the quantizer `kmeans_embeddings`
     trains) feeds the same probe path as `ann_ivf_topk` — train once,
@@ -857,9 +871,10 @@ def ann_ivf_learned_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | N
 
     Centroid norms are sqrt of an exact BIGINT self-dot (< 2^47), so the
     learned tier keeps the same bit-determinism as the strided one."""
+    canonical = _canonical_emb or emb is None
     if emb is None:
         emb = managed_persist(_quantized(spark, sf_dir))
-    cents = _coarse_centroids(spark, sf_dir, emb).select(
+    cents = _coarse_centroids(spark, sf_dir, emb, canonical=canonical).select(
         "cent_id",
         "qc",
         F.sqrt(F.expr("aggregate(qc, cast(0 as bigint), (acc, v) -> acc + v * v)").cast("double")).alias("nc"),
@@ -1324,7 +1339,9 @@ def _pq_codebook(emb: DataFrame) -> DataFrame:
     )
 
 
-def _pq_scored(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
+def _pq_scored(
+    spark: SparkSession, sf_dir: str, emb: DataFrame, *, canonical: bool = True
+) -> DataFrame:
     """ADC scores (query_id, neighbor_id, cos_hat) for every query x
     corpus vector, computed entirely from codes:
 
@@ -1350,17 +1367,21 @@ def _pq_scored(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
     a session pays the encode pass, the rest (topk/rerank and their
     gates, pq_quantization_error) reuse the identical checkpointed
     frames and only run their own LUT + scan."""
-    cb = trained_artifact(
-        artifact_key("pq_codebook", spark, sf_dir, "embeddings"),
-        lambda: _pq_codebook(emb),
-    )
+    def memo(name, build):
+        # canonical=False: caller-supplied emb — train fresh, keep the
+        # store untouched (see _coarse_centroids' contract note)
+        if not canonical:
+            return managed_persist(build())
+        return trained_artifact(artifact_key(name, spark, sf_dir, "embeddings"), build)
+
+    cb = memo("pq_codebook", lambda: _pq_codebook(emb))
     # argmin via min(struct(d2, code_id, ...)): lexicographic struct-min IS
     # the (d2, code_id) tie-break, and unlike a row_number window it is a
     # partial aggregation — each task combines its PQ_K candidate rows per
     # (vec, sub) map-side, so the shuffle carries |corpus| x PQ_M argmin
     # structs instead of |corpus| x PQ_M x PQ_K pre-argmin rows.
-    codes = trained_artifact(
-        artifact_key("pq_codes", spark, sf_dir, "embeddings"),
+    codes = memo(
+        "pq_codes",
         lambda: _pq_subspaces(emb, "vec_id")
         .join(F.broadcast(cb), "sub")
         .withColumn("d2", F.expr(_SPARK_SUB_SQDIST))
@@ -1392,17 +1413,18 @@ def _pq_scored(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
     )
 
 
-def ann_pq_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None) -> DataFrame:
+def ann_pq_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None, _canonical_emb: bool = False) -> DataFrame:
     """Pure-ADC PQ top-k: rank corpus vectors for each strided query by
     the code-reconstructed cosine (see _pq_scored). The approximation
     error is the quantization residual; `ann_pq_recall` measures it and
     `ann_pq_rerank` repairs it. Output schema matches the other ANN
     tiers so the shared recall gate composes."""
+    canonical = _canonical_emb or emb is None
     if emb is None:
         emb = managed_persist(_quantized(spark, sf_dir))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_hat").desc(), F.col("neighbor_id"))
     return (
-        _pq_scored(spark, sf_dir, emb)
+        _pq_scored(spark, sf_dir, emb, canonical=canonical)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
         .select(
@@ -1446,7 +1468,7 @@ def _exact_rerank_topk(emb: DataFrame, cand: DataFrame) -> DataFrame:
     )
 
 
-def ann_pq_rerank(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None) -> DataFrame:
+def ann_pq_rerank(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None, _canonical_emb: bool = False) -> DataFrame:
     """Two-stage PQ retrieval: ADC proposes PQ_RERANK_CANDIDATES
     candidates per query from codes alone, then ONLY those |Q| x pool
     rows join back to full vectors for an exact quantized-cosine re-rank
@@ -1457,11 +1479,12 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = N
     bit-identical to ann_cosine_topk's on the overlap; a miss can only
     mean the true neighbor fell outside the ADC pool (the measured
     ladder at PQ_RERANK_CANDIDATES' definition)."""
+    canonical = _canonical_emb or emb is None
     if emb is None:
         emb = managed_persist(_quantized(spark, sf_dir))
     w_adc = Window.partitionBy("query_id").orderBy(F.col("cos_hat").desc(), F.col("neighbor_id"))
     cand = (
-        _pq_scored(spark, sf_dir, emb)
+        _pq_scored(spark, sf_dir, emb, canonical=canonical)
         .withColumn("rank", F.row_number().over(w_adc))
         .filter(F.col("rank") <= PQ_RERANK_CANDIDATES)
         .select("query_id", "neighbor_id")
@@ -1693,7 +1716,9 @@ IVFPQ_NPROBE = LEARNED_NPROBE
 IVFPQ_RERANK_CANDIDATES = PQ_RERANK_CANDIDATES
 
 
-def _ivfpq_scored(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
+def _ivfpq_scored(
+    spark: SparkSession, sf_dir: str, emb: DataFrame, *, canonical: bool = True
+) -> DataFrame:
     """ADC scores (query_id, neighbor_id, cos_hat) for the IVF-PQ tier.
 
     State build (one pass each, all deterministic):
@@ -1721,18 +1746,22 @@ def _ivfpq_scored(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame
     cache; on memo hits neither builder runs and the lazy frame is never
     computed (pool registration of a never-computed frame is a no-op
     drain)."""
-    cents = _coarse_centroids(spark, sf_dir, emb)
+    def memo(name, build):
+        # canonical=False: caller-supplied emb — train fresh, keep the
+        # store untouched (see _coarse_centroids' contract note)
+        if not canonical:
+            return managed_persist(build())
+        return trained_artifact(artifact_key(name, spark, sf_dir, "embeddings"), build)
+
+    cents = _coarse_centroids(spark, sf_dir, emb, canonical=canonical)
     resid = managed_persist(
         _kmeans_assign(emb, cents)
         .select("vec_id", "q", "cent_id", "qc")
         .select("vec_id", "cent_id", F.zip_with("q", "qc", lambda x, c: x - c).alias("q"))
     )
-    cb = trained_artifact(
-        artifact_key("ivfpq_residual_codebook", spark, sf_dir, "embeddings"),
-        lambda: _pq_codebook(resid),
-    )
-    codes = trained_artifact(
-        artifact_key("ivfpq_codes", spark, sf_dir, "embeddings"),
+    cb = memo("ivfpq_residual_codebook", lambda: _pq_codebook(resid))
+    codes = memo(
+        "ivfpq_codes",
         # cent_id rides the subspace explode (carry=): the previous shape
         # re-joined the corpus to itself on vec_id just to re-attach the
         # cell id — a corpus-wide shuffle with no information gain
@@ -1808,17 +1837,18 @@ def _ivfpq_scored(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame
     )
 
 
-def ann_ivfpq_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None) -> DataFrame:
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None, _canonical_emb: bool = False) -> DataFrame:
     """IVF-PQ top-k: rank probed-cell members by the residual-quantized
     cosine (see _ivfpq_scored). Storage-wise this is the 100 TB tier:
     cell id + 40-bit code per vector instead of 256 raw bytes, scored
     without touching a full vector; `ann_ivfpq_recall` measures the
     tradeoff through the shared gate."""
+    canonical = _canonical_emb or emb is None
     if emb is None:
         emb = managed_persist(_quantized(spark, sf_dir))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_hat").desc(), F.col("neighbor_id"))
     return (
-        _ivfpq_scored(spark, sf_dir, emb)
+        _ivfpq_scored(spark, sf_dir, emb, canonical=canonical)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
         .select(
@@ -1844,7 +1874,7 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(spark, sf_dir, ann_ivfpq_topk)
 
 
-def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None) -> DataFrame:
+def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None, _canonical_emb: bool = False) -> DataFrame:
     """Two-stage IVF-PQ retrieval, mirroring ann_pq_rerank over the
     IVF-PQ candidate pool (judge round-6 item 8): the residual-ADC stage
     proposes up to IVFPQ_RERANK_CANDIDATES candidates per query from
@@ -1855,11 +1885,12 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None 
     The exact stage reuses the brute-force arithmetic, so a miss can only
     mean the true neighbor fell outside the probed cells or the ADC pool
     — exactly what ann_ivfpq_rerank_recall measures."""
+    canonical = _canonical_emb or emb is None
     if emb is None:
         emb = managed_persist(_quantized(spark, sf_dir))
     w_adc = Window.partitionBy("query_id").orderBy(F.col("cos_hat").desc(), F.col("neighbor_id"))
     cand = (
-        _ivfpq_scored(spark, sf_dir, emb)
+        _ivfpq_scored(spark, sf_dir, emb, canonical=canonical)
         .withColumn("rank", F.row_number().over(w_adc))
         .filter(F.col("rank") <= IVFPQ_RERANK_CANDIDATES)
         .select("query_id", "neighbor_id")

@@ -31,8 +31,13 @@ def test_memoized_equals_fresh(spark):
         A.clear()
         drain()
         cold = _rows(fn(spark, SF_SMOKE))
+        n_after_cold = len(A._STORE)
+        assert n_after_cold > 0, fn.__name__  # the cold call trained
         drain()
         warm = _rows(fn(spark, SF_SMOKE))  # second call hits the memo
+        # and it really was a memo hit, not a silent second cold build
+        # under an unstable key (that would make warm == cold vacuous)
+        assert len(A._STORE) == n_after_cold, fn.__name__
         assert warm == cold, fn.__name__
         drain()
 
@@ -91,6 +96,33 @@ def test_consumer_reads_artifact_not_retrain(spark):
     plan = ann_pq_topk(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in plan, plan
     assert plan.lower().count("posexplode") == 1, plan
+    A.clear()
+    drain()
+
+
+def test_caller_supplied_emb_neither_poisons_nor_reads_store(spark):
+    """The artifact keys identify a CORPUS SNAPSHOT, not an arbitrary
+    frame: a caller passing its own emb (not flagged canonical) must
+    train fresh from that frame — its results reflect the supplied data,
+    the store gains no entry under the snapshot's key, and a later
+    canonical call trains from the true corpus rather than being served
+    the foreign frame's codes."""
+    from prueba_tecnica_http_client_etl_spark.operators.similarity import _quantized
+
+    A.clear()
+    drain()
+    # a deliberately DIFFERENT corpus frame under the same sf_dir (a
+    # light filter — the codebook's minimum-seed-count guard correctly
+    # rejects a frame too small to train on)
+    foreign = _quantized(spark, SF_SMOKE).filter("vec_id % 25 != 0")
+    foreign_rows = _rows(ann_pq_topk(spark, SF_SMOKE, emb=foreign))
+    assert len(A._STORE) == 0  # nothing stored for the foreign frame
+    drain()
+    canonical_rows = _rows(ann_pq_topk(spark, SF_SMOKE))
+    assert len(A._STORE) > 0
+    # the foreign run really used the foreign frame (filtered ids absent)
+    assert all(r[1] % 25 != 0 for r in foreign_rows)  # neighbor_id
+    assert foreign_rows != canonical_rows
     A.clear()
     drain()
 
