@@ -127,6 +127,25 @@ def test_caller_supplied_emb_neither_poisons_nor_reads_store(spark):
     drain()
 
 
+def test_dead_application_entries_pruned_on_insert(spark):
+    """Artifacts keyed to another Spark application are orphans (their
+    checkpoint blocks died with that context): inserting a new artifact
+    must evict them so they cannot pin stale frames for the process
+    lifetime, while same-app and un-appkeyed (synthetic) entries
+    survive."""
+    A.clear()
+    dead = ("x", "/some/sf", 1.0, "app-dead-123")
+    synthetic = ("synthetic-key",)
+    A._STORE[dead] = spark.range(1)
+    A._STORE[synthetic] = spark.range(1)
+    live_key = A.artifact_key("y", spark, SF_SMOKE, "documents")
+    A.trained_artifact(live_key, lambda: spark.range(1))
+    assert dead not in A._STORE
+    assert synthetic in A._STORE  # length-guard: only 4-tuple keys pruned
+    assert live_key in A._STORE
+    A.clear()
+
+
 def test_store_is_bounded_fifo(spark):
     """The store must cap its entry count, evicting oldest-first, so a
     long session over many corpora cannot accumulate unbounded
