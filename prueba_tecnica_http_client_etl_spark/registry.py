@@ -675,61 +675,61 @@ def q_dedup_index_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #            order), which bounds staleness: the test asserts every
 #            query older than MAX_STALENESS rounds is in this window.
 
-CURRENT_ROUND = 7
+CURRENT_ROUND = 8
 MAX_STALENESS = 4  # a row certified at round R must re-enter the window
 # by round R + MAX_STALENESS (asserted in tests/test_rotation_ledger.py)
 
 LAST_CERTIFIED: dict[str, int | None] = {
-    "clean_coerce": 6,
-    "kpi_daily": 6,
-    "kpi_report_endpoint": 6,
-    "kpi_global": 6,
+    "clean_coerce": 7,
+    "kpi_daily": 7,
+    "kpi_report_endpoint": 7,
+    "kpi_global": 7,
     "kpi_global_exact": 5,
     "kpi_anomaly_days": 6,
     "kpi_rollup": 5,
-    "pricing_summary": 2,
-    "top_revenue_orders": 2,
-    "region_revenue": 2,
-    "customers_with_open_orders": 2,
-    "customers_without_orders": 2,
-    "top_orders_per_customer": 2,
+    "pricing_summary": 7,
+    "top_revenue_orders": 7,
+    "region_revenue": 7,
+    "customers_with_open_orders": 7,
+    "customers_without_orders": 7,
+    "top_orders_per_customer": 7,
     "supplier_running_revenue": 3,
-    "nation_presence": 2,
-    "orders_cube": 2,
-    "events_daily_pivot": 2,
+    "nation_presence": 7,
+    "orders_cube": 7,
+    "events_daily_pivot": 7,
     "sessionize_events": 3,
     "purchase_after_view_asof": 4,
-    "shipped_within_30_days": 2,
-    "events_json_stats": 2,
-    "events_distinct_users": 2,
-    "small_quantity_revenue": 2,
-    "supplier_trailing_revenue": 2,
-    "latest_event_per_user": 2,
-    "user_daily_gapfill": 2,
-    "top_supplier_per_quarter": 2,
-    "high_balance_idle_customers": 2,
-    "stratified_event_sample": 2,
-    "customer_value_deciles": 2,
+    "shipped_within_30_days": 7,
+    "events_json_stats": 7,
+    "events_distinct_users": 7,
+    "small_quantity_revenue": 7,
+    "supplier_trailing_revenue": 7,
+    "latest_event_per_user": 7,
+    "user_daily_gapfill": 7,
+    "top_supplier_per_quarter": 7,
+    "high_balance_idle_customers": 7,
+    "stratified_event_sample": 7,
+    "customer_value_deciles": 7,
     "events_hourly_window": 3,
     "event_value_by_type_salted": 3,
     "purchases_near_views_range": 4,
     "snapshot_merge": 6,
     "user_retention_cohorts": 6,
     "event_funnel": 6,
-    "suppliers_blocking_orders": None,
-    "rolling_active_users": None,
+    "suppliers_blocking_orders": 7,
+    "rolling_active_users": 7,
     "audio_decode_stats": 6,
     "dedup_exact": 6,
     "dedup_minhash_lsh": 6,
     "dedup_simhash": 5,
     "dedup_ngram_jaccard": 5,
-    "dedup_components": 6,
+    "dedup_components": 7,
     "dedup_embedding_cosine": 5,
     "ann_cosine_topk": 5,
     "lsh_bucket_histogram": 4,
     "ann_ivf_topk": 5,
     "ann_lsh_topk": 5,
-    "ann_ivf_recall": 5,
+    "ann_ivf_recall": 7,
     "ann_lsh_recall": 5,
     "embedding_centroids": 5,
     "text_stats": 5,
@@ -743,7 +743,7 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "pii_scrub": 5,
     "contamination_check": 5,
     "quality_gate": 5,
-    "kmeans_embeddings": 5,
+    "kmeans_embeddings": 7,
     "vocab_topk": 5,
     "repetition_score": 5,
     "sequence_pack": 5,
@@ -753,51 +753,51 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "tokenize_ids": 6,
     "embedding_center_by_label": 6,
     "sequence_pack_manifest": 6,
-    "dedup_incremental": 6,
+    "dedup_incremental": 7,
     "dedup_semantic": 6,
     "dedup_lines": 6,
     "quality_score": 6,
     "sequence_pack_ids": 6,
     "dedup_substring": 6,
-    "ann_ivf_learned_topk": 6,
-    "ann_ivf_learned_recall": 6,
+    "ann_ivf_learned_topk": 7,
+    "ann_ivf_learned_recall": 7,
     "bpe_pair_counts": 6,
     "domain_mixture_plan": 6,
-    "dedup_survivors": 6,
+    "dedup_survivors": 7,
     "source_overlap_matrix": 6,
     "doc_commonness": 6,
     "duplicate_rate_by_source": 6,
-    "dedup_cluster_sizes": 6,
+    "dedup_cluster_sizes": 7,
     "pii_stats_by_source": 6,
     "lang_confusion": 6,
     "image_decode_stats": 6,
-    "dedup_lsh_capped": None,
-    "dedup_lsh_cap_audit": None,
-    "embedding_pca_top": None,
-    "ann_pq_topk": 6,
-    "ann_pq_rerank": 6,
-    "ann_pq_recall": 6,
-    "ann_pq_rerank_recall": 6,
+    "dedup_lsh_capped": 7,
+    "dedup_lsh_cap_audit": 7,
+    "embedding_pca_top": 7,
+    "ann_pq_topk": 7,
+    "ann_pq_rerank": 7,
+    "ann_pq_recall": 7,
+    "ann_pq_rerank_recall": 7,
     "minhash_calibration": 6,
     "dedup_lsh_recall": 6,
     "dedup_jaccard_prefix": 6,
-    "corpus_sample_per_source": None,
-    "pq_quantization_error": None,
-    "ann_ivfpq_topk": None,
-    "ann_ivfpq_recall": None,
-    "ann_ivfpq_rerank": None,
-    "ann_ivfpq_rerank_recall": None,
+    "corpus_sample_per_source": 7,
+    "pq_quantization_error": 7,
+    "ann_ivfpq_topk": 7,
+    "ann_ivfpq_recall": 7,
+    "ann_ivfpq_rerank": 7,
+    "ann_ivfpq_rerank_recall": 7,
     "corpus_split": 6,
     "corpus_split_stats": 6,
     "kpi_daily_approx_p90": 4,
     "events_distinct_users_approx": 4,
     "customer_value_deciles_approx": 4,
     "kpi_daily_stream": 6,
-    "sessionize_stream": 6,
+    "sessionize_stream": 7,
     "dedup_stream": 6,
     "quality_gate_stream": 6,
-    "dedup_index_probe_stream": 6,
-    "range_join_stream": 6,
+    "dedup_index_probe_stream": 7,
+    "range_join_stream": 7,
 }
 
 # the reference-surface anchor: always driver-certified (VERDICT r5 item 1)
@@ -807,37 +807,14 @@ _ANCHORS = ["clean_coerce", "kpi_daily", "kpi_report_endpoint", "kpi_global"]
 # or oracle) without being never-certified: they re-enter the window
 # right after the never-certified block, regardless of ledger age —
 # a green row from a previous round does not certify this round's code.
-# Round 7: both formerly rows-only streams now carry full hash oracles
-# (sessionize_stream single-batch closed-session set; range_join_stream
-# batch pair set); dedup_incremental and the persisted-index probe
-# stream gained the index-side hot-bucket cap (verdicts unchanged on the
-# natural corpus — the adversarial branch is tests/test_lsh_hot_bucket —
-# but the certified code path changed, so they re-certify). The second
-# block re-certifies the consumers of the new trained-artifact store
-# (functions/artifacts.py): results are memoized==fresh by construction
-# (tests/test_artifacts.py), but the executed plan now reads checkpointed
-# artifacts, so the previously-green rows no longer describe the shipped
-# path. ann_lsh_recall is the one store consumer left out — the shared
-# _recall_vs_exact path is certified through the five gates below plus
-# the never-certified IVF-PQ gates, and the window budget (the 20
-# round-2 rows MUST stay in, enforced by _build_window's staleness
-# ceiling) caps touched at 15.
+# Round 8: ann_lsh_recall is the one round-7 artifact-store consumer
+# whose changed plan the driver has not yet seen (budget exclusion in
+# round 7 — verdict r7 item 2). The LSH-trained-state extension of the
+# artifact store (verdict r7 item 3) adds its consumers below as their
+# executed plans change. Window budget: 4 anchors + touched + the 24
+# forced-stale round-2/3 rows must stay <= 50, so touched caps at 22.
 _TOUCHED_THIS_ROUND = [
-    "sessionize_stream",
-    "range_join_stream",
-    "dedup_incremental",
-    "dedup_index_probe_stream",
-    "dedup_components",
-    "dedup_cluster_sizes",
-    "dedup_survivors",
-    "kmeans_embeddings",
-    "ann_ivf_learned_topk",
-    "ann_ivf_learned_recall",
-    "ann_ivf_recall",
-    "ann_pq_topk",
-    "ann_pq_recall",
-    "ann_pq_rerank",
-    "ann_pq_rerank_recall",
+    "ann_lsh_recall",
 ]
 
 _WINDOW_SIZE = 50
