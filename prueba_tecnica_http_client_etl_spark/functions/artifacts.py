@@ -75,6 +75,12 @@ def trained_artifact(key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
     NEVER pool these frames in cachepool — unpersist would free a
     checkpointed frame's only source (see cachepool's contract)."""
     df = _STORE.get(key)
+    if df is not None:
+        # LRU, not FIFO: a hit refreshes recency so a long session that
+        # trains more than _MAX_ENTRIES artifacts evicts genuinely idle
+        # entries instead of the oldest actively-reused one (whose
+        # silent retrain is exactly the cost the store exists to avoid)
+        _STORE.move_to_end(key)
     if df is None:
         df = build().localCheckpoint(eager=True)
         # prune artifacts from OTHER Spark applications (their contexts

@@ -1316,21 +1316,26 @@ def _pq_codebook(emb: DataFrame) -> DataFrame:
     # projected-then-dropped column — ColumnPruning removes a dropped
     # column's expression entirely, which made the first version of this
     # guard dead code (round-7 review finding, reproduced empirically).
-    n_seeds = seeds.agg(F.count(F.lit(1)).alias("n_seeds"))
-    seeds = (
-        seeds.join(F.broadcast(n_seeds))
-        .where(
-            F.assert_true(
-                F.col("n_seeds") >= PQ_K,
-                F.concat(
-                    F.lit(f"PQ codebook under-sized: need {PQ_K} seeds "
-                          f"(corpus >= ~{PQ_K * PQ_CB_STRIDE} vectors), got "),
-                    F.col("n_seeds").cast("string"),
-                ),
-            ).isNull()
-        )
-        .drop("n_seeds")
+    # The assertion rides on the ALWAYS-1-ROW aggregate frame itself,
+    # not on the joined seed rows: with 0 seeds a filter over the join
+    # output evaluates over zero rows and the degenerate-corpus case —
+    # the guard's worst case — would pass silently (round-8 ADVICE).
+    # The checked aggregate is the LEFT side of an outer join (seeds
+    # broadcast): AQE's empty-relation propagation rewrites a left-outer
+    # with an empty right side to a null-padded projection of the LEFT —
+    # which still evaluates the side carrying the assert — whereas it
+    # would eliminate an inner join outright, silencing the guard again.
+    n_seeds = seeds.agg(F.count(F.lit(1)).alias("n_seeds")).where(
+        F.assert_true(
+            F.col("n_seeds") >= PQ_K,
+            F.concat(
+                F.lit(f"PQ codebook under-sized: need {PQ_K} seeds "
+                      f"(corpus >= ~{PQ_K * PQ_CB_STRIDE} vectors), got "),
+                F.col("n_seeds").cast("string"),
+            ),
+        ).isNull()
     )
+    seeds = n_seeds.join(F.broadcast(seeds), how="left").drop("n_seeds")
     slices = F.array(*[F.slice(F.col("q"), s * PQ_SUBDIM + 1, PQ_SUBDIM) for s in range(PQ_M)])
     return seeds.select(
         "code_id", F.posexplode(slices).alias("sub", "cv")

@@ -149,7 +149,12 @@ def _morton_key(df: DataFrame, cols: list[str], *, bits: int = ZORDER_BITS):
     no cross-engine contract."""
     from pyspark.sql import functions as F
 
-    assert len(cols) == 2, "Morton interleave implemented for 2 dimensions"
+    # explicit raise, not assert: unreachable behind zorder_table's arity
+    # guard today, but a direct caller under python -O would get silent
+    # two-dim truncation otherwise (same strippable-assert class the
+    # repo's other guards were converted from)
+    if len(cols) != 2:
+        raise ValueError("Morton interleave implemented for 2 dimensions")
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"mn{i}") for i, c in enumerate(cols)],
         *[F.max(c).cast("double").alias(f"mx{i}") for i, c in enumerate(cols)],

@@ -10,7 +10,11 @@ from pathlib import Path
 
 from prueba_tecnica_http_client_etl_spark.functions import artifacts as A
 from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain
-from prueba_tecnica_http_client_etl_spark.operators.dedup import dedup_components
+from prueba_tecnica_http_client_etl_spark.operators.dedup import (
+    dedup_components,
+    dedup_incremental,
+    dedup_minhash_lsh,
+)
 from prueba_tecnica_http_client_etl_spark.operators.similarity import (
     ann_ivf_learned_recall,
     ann_pq_topk,
@@ -24,10 +28,17 @@ def _rows(df):
 
 def test_memoized_equals_fresh(spark):
     """The store's core contract: a memo hit returns exactly the rows a
-    cold retrain produces — across the three artifact families (cluster
+    cold retrain produces — across the artifact families (cluster
     labels; coarse centroids + ground truth via the recall gate; PQ
-    codebook + codes via the ADC tier)."""
-    for fn in (dedup_components, ann_ivf_learned_recall, ann_pq_topk):
+    codebook + codes via the ADC tier; LSH shingles/signatures/bands via
+    the pair finder and the incremental prober)."""
+    for fn in (
+        dedup_components,
+        ann_ivf_learned_recall,
+        ann_pq_topk,
+        dedup_minhash_lsh,
+        dedup_incremental,
+    ):
         A.clear()
         drain()
         cold = _rows(fn(spark, SF_SMOKE))
@@ -146,16 +157,62 @@ def test_dead_application_entries_pruned_on_insert(spark):
     A.clear()
 
 
-def test_store_is_bounded_fifo(spark):
-    """The store must cap its entry count, evicting oldest-first, so a
-    long session over many corpora cannot accumulate unbounded
-    checkpoint blocks."""
+def test_store_is_bounded_lru(spark):
+    """The store must cap its entry count, evicting least-recently-USED
+    first (a hit refreshes recency — pure FIFO would evict the oldest
+    actively-reused artifact and silently retrain it), so a long session
+    over many corpora cannot accumulate unbounded checkpoint blocks."""
     A.clear()
     first_key = ("synthetic", "0")
     A.trained_artifact(first_key, lambda: spark.range(1))
-    for i in range(1, A._MAX_ENTRIES + 1):
+    for i in range(1, A._MAX_ENTRIES):
         A.trained_artifact(("synthetic", str(i)), lambda: spark.range(1))
+    # store is now full; a HIT on the oldest entry must refresh it...
+    A.trained_artifact(first_key, lambda: spark.range(1))
+    A.trained_artifact(("synthetic", "overflow"), lambda: spark.range(1))
     assert len(A._STORE) == A._MAX_ENTRIES
-    assert first_key not in A._STORE  # oldest evicted
-    assert ("synthetic", str(A._MAX_ENTRIES)) in A._STORE
+    # ...so the eviction lands on the least-recently-used entry instead
+    assert first_key in A._STORE
+    assert ("synthetic", "1") not in A._STORE
+    assert ("synthetic", "overflow") in A._STORE
     A.clear()
+
+
+def test_lsh_artifacts_reused_across_consumers(spark):
+    """The round-8 LSH trained-state extension: the first LSH consumer
+    trains shingles -> signatures -> bands (three chained checkpoints);
+    a different LSH consumer afterwards must reuse the SAME frames, and
+    its physical plan must scan checkpointed blocks (ExistingRDD) with
+    no re-shingling (the interpreted normalize/shingle chain never
+    appears in a consumer plan)."""
+    from prueba_tecnica_http_client_etl_spark.operators.dedup import (
+        dedup_lsh_cap_audit,
+        lsh_bands,
+        lsh_shingles,
+        lsh_signatures,
+    )
+
+    A.clear()
+    drain()
+    dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    stored = {
+        name: A._STORE[A.artifact_key(name, spark, SF_SMOKE, "documents")]
+        for name in ("lsh_shingles", "lsh_signatures", "lsh_bands")
+    }
+    drain()
+    # a second consumer reuses the identical frames (is-identity)
+    dedup_lsh_cap_audit(spark, SF_SMOKE).collect()
+    assert lsh_shingles(spark, SF_SMOKE) is stored["lsh_shingles"]
+    assert lsh_signatures(spark, SF_SMOKE) is stored["lsh_signatures"]
+    assert lsh_bands(spark, SF_SMOKE) is stored["lsh_bands"]
+    # and the consumer plan reads pinned blocks, never re-shingles
+    plan = (
+        dedup_minhash_lsh(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ExistingRDD" in plan, plan
+    assert "regexp_replace" not in plan, plan  # the normalize chain
+    A.clear()
+    drain()

@@ -84,3 +84,23 @@ def test_rerank_scores_match_brute_force_on_overlap(spark):
     assert overlap, "no overlap between rerank and brute force top-10"
     for r in overlap:
         assert r.cosine_p1 == exact[(r.query_id, r.neighbor_id)]
+
+
+def test_undersized_codebook_guard_fires_even_on_empty_seeds(spark):
+    """The under-sized-codebook guard must fail loudly for a degenerate
+    corpus — INCLUDING the worst case of zero seed rows, where a guard
+    filtering the joined seed set would evaluate over zero rows and pass
+    silently (round-8 ADVICE): the assertion rides on the always-1-row
+    seed-count aggregate instead."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    emb = S._quantized(spark, SF_SMOKE)
+    # strip every seed row (vec_id % PQ_CB_STRIDE == 0) -> 0 seeds
+    no_seeds = emb.filter(F.col("vec_id") % S.PQ_CB_STRIDE != 0)
+    with pytest.raises(SparkRuntimeException, match="under-sized"):
+        S._pq_codebook(no_seeds).collect()
+    # and the ordinary under-sized (nonzero but < PQ_K seeds) case
+    few_seeds = emb.filter(F.col("vec_id") <= S.PQ_CB_STRIDE * 3)
+    with pytest.raises(SparkRuntimeException, match="under-sized"):
+        S._pq_codebook(few_seeds).collect()

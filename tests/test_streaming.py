@@ -115,12 +115,29 @@ def test_stream_run_dirs_unique_and_age_bounded(tmp_path, monkeypatch):
     root = Path(out1).parent.parent
     assert Path(out2).parent.parent == root  # same (kind, sf) root
     assert len(list(root.iterdir())) == 2
-    # runs older than the staleness window are swept on the next call
+    # a FINISHED run (marked _DONE) older than the staleness window is
+    # swept on the next call
     old_run = Path(out1).parent
-    past = 1_000_000
-    os.utime(old_run, (past, past))
+    registry._finish_stream_run(out1)
+    assert (old_run / registry._RUN_DONE_MARKER).exists()
+    import time
+
+    hour_ago = time.time() - registry._STAGING_STALE_AFTER_S - 60
+    os.utime(old_run, (hour_ago, hour_ago))
+    # a marker-LESS sibling of the same age may be a concurrent
+    # session's LIVE run (checkpoint writes never refresh the run dir's
+    # own mtime) and must survive the normal threshold...
+    live_run = Path(out2).parent
+    os.utime(live_run, (hour_ago, hour_ago))
     registry._stream_run_dirs(sf, "probe_test")
     assert not old_run.exists()
+    assert live_run.exists()
+    # ...but a marker-less dir past the orphan threshold (a crashed run
+    # that never marked) is still reclaimed — disk stays bounded
+    ancient = time.time() - registry._ORPHAN_RUN_STALE_AFTER_S - 60
+    os.utime(live_run, (ancient, ancient))
+    registry._stream_run_dirs(sf, "probe_test")
+    assert not live_run.exists()
     # distinct kinds / scale factors never collide
     out3, _ = registry._stream_run_dirs(str(tmp_path / "sf0.1"), "probe_test")
     out4, _ = registry._stream_run_dirs(sf, "other_kind")
