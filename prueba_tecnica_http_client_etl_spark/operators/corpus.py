@@ -865,3 +865,143 @@ SELECT source, CAST(rk AS INT) AS rk, doc_id, lang, n_chars
 FROM ranked
 WHERE rk <= {SAMPLE_PER_SOURCE}
 ORDER BY source, rk"""
+
+
+# --- bigram-LM quality filter (CCNet-style perplexity tier) ------------------
+
+LM_HELD_STRIDE = 10  # doc_id % 10 == 0 -> scored docs; the rest train the LM
+
+
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality filter: train an add-one-
+    smoothed bigram LM on 90% of the corpus, score the held 10% by the
+    average per-bigram code length — the filter that ranks fluent prose
+    below gibberish/boilerplate at ingest (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    LREC 2020 — theirs is a 5-gram KenLM; the bigram tier is the same
+    pipeline shape with the model table computable in one pass).
+
+    The per-bigram cost is the INTEGER code length
+        bits(w1,w2) = bitlen(c(w1) + V) - bitlen(c(w1,w2) + 1),
+    i.e. floor-log2 of the reciprocal smoothed probability
+    (c12+1)/(c1+V) within 1 bit. bitlen is length(bin(x)) — exact
+    integer in both engines — so per-doc sums are BIGINTs and the score
+    is deterministic bit-for-bit; a float log2 would hash-diverge on
+    libm's last ulp. (Production would use float logs and a
+    tolerance-based audit; the integer proxy ranks identically at
+    filter granularity and keeps the cross-engine contract exact.)
+    c(w1) counts w1 as a bigram CONTEXT (occurrences except doc-final),
+    V = distinct train-side tokens.
+
+    Scale shape (100 TB): the model is two partial-aggregated counting
+    passes (shuffle volume |distinct bigrams| / |distinct contexts|,
+    never token occurrences); scoring joins held bigrams to the model
+    on (w1, w2) then (w1,) — both AQE-skew-handled equi-joins; V is a
+    1-row broadcast. At production scale the model table prunes to the
+    top-M bigrams (everything below the cut is indistinguishable from
+    unseen under smoothing), making the score join broadcastable."""
+    from ..functions.cachepool import managed_persist
+
+    d = managed_persist(
+        docs_normalized(spark, sf_dir).select("doc_id", "toks")
+    )
+    is_held = F.col("doc_id") % LM_HELD_STRIDE == 0
+    # one row per bigram: zip each token with its successor. The arrays
+    # are non-empty by the size filter, so explode_outer only guards the
+    # computed-array generator trap (the implied size>0 filter would
+    # push the zip below the repartition into the scan).
+    bigrams = (
+        d.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.arrays_zip(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1).alias("w1"),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    train_bg = managed_persist(bigrams.filter(~is_held))
+    c12 = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = train_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        d.filter(~is_held)
+        .select(F.explode_outer("toks").alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    bits = F.length(F.bin(F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))) - F.length(
+        F.bin(F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1))
+    )
+    scored = (
+        bigrams.filter(is_held)
+        .join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("c12").isNull(), 1).otherwise(0)).alias("n_oov_bigrams"),
+            F.sum(bits.cast("long")).alias("sum_bits"),
+        )
+    )
+    # every held doc appears, including <2-token docs with no bigrams
+    return (
+        d.filter(is_held)
+        .select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("n_oov_bigrams"), F.lit(0)).cast("long").alias("n_oov_bigrams"),
+            F.when(
+                F.coalesce(F.col("n_bigrams"), F.lit(0)) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                roundn(F.col("sum_bits").cast("double") / F.col("n_bigrams"), 4)
+            )
+            .alias("avg_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_LM_BIGRAM_SCORE = f"""
+WITH {DUCK_DOCS_CTE},
+tk AS (SELECT doc_id, toks FROM sh_t),
+bg AS (
+  SELECT doc_id,
+         unnest(toks[1:len(toks) - 1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM tk WHERE len(toks) >= 2
+),
+train_bg AS (SELECT * FROM bg WHERE doc_id % {LM_HELD_STRIDE} <> 0),
+c12_t AS (SELECT w1, w2, count(*) AS c12 FROM train_bg GROUP BY w1, w2),
+c1_t AS (SELECT w1, count(*) AS c1 FROM train_bg GROUP BY w1),
+vocab AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(toks) AS tok FROM tk WHERE doc_id % {LM_HELD_STRIDE} <> 0)
+),
+scored AS (
+  SELECT b.doc_id,
+         count(*) AS n_bigrams,
+         sum(CASE WHEN c12_t.c12 IS NULL THEN 1 ELSE 0 END) AS n_oov_bigrams,
+         sum(length(bin(COALESCE(c1_t.c1, 0) + vocab.v))
+             - length(bin(COALESCE(c12_t.c12, 0) + 1))) AS sum_bits
+  FROM bg b
+  LEFT JOIN c12_t ON b.w1 = c12_t.w1 AND b.w2 = c12_t.w2
+  LEFT JOIN c1_t ON b.w1 = c1_t.w1
+  CROSS JOIN vocab
+  WHERE b.doc_id % {LM_HELD_STRIDE} = 0
+  GROUP BY b.doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(s.n_oov_bigrams, 0) AS BIGINT) AS n_oov_bigrams,
+       CASE WHEN COALESCE(s.n_bigrams, 0) = 0 THEN 0.0
+            ELSE {sql_roundn('CAST(s.sum_bits AS DOUBLE) / s.n_bigrams', 4)} END AS avg_bits
+FROM tk t
+LEFT JOIN scored s ON t.doc_id = s.doc_id
+WHERE t.doc_id % {LM_HELD_STRIDE} = 0
+ORDER BY t.doc_id"""

@@ -2056,3 +2056,83 @@ ORDER BY query_id, rank"""
 
 SQL_ANN_IVFPQ_RECALL = _sql_recall(SQL_ANN_IVFPQ_TOPK)
 SQL_ANN_IVFPQ_RERANK_RECALL = _sql_recall(SQL_ANN_IVFPQ_RERANK)
+
+
+# --- per-label embedding outlier audit ---------------------------------------
+
+OUTLIER_TOPK = 5  # outliers reported per label
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-OUTLIER_TOPK embedding outliers per label: the vectors
+    farthest (squared L2) from their own label's centroid — the
+    mislabeled/noisy-embedding audit a curation run reports before
+    trusting labels for mixture planning or supervised filtering
+    (centroid-distance outliers are the standard first-pass label-noise
+    detector).
+
+    Determinism: the centroid is rounded to the INTEGER quantization
+    grid — c_d = floor(sum_d / n + 0.5), computed in double (the sums
+    are < 2^53 so the one IEEE division is exact-input and both engines
+    floor the identical double) — after which every distance is an
+    exact BIGINT (|x - c| <= 2^20 per dim, squared and summed over 64
+    dims < 2^46), so the ranking has no float tie ambiguity. Rank ties
+    break on vec_id.
+
+    Scale shape (100 TB): one partial-aggregated per-(label, dim) sum
+    (|labels| x 64 rows out), centroids broadcast back, one
+    partial-aggregated per-vector distance sum, then a per-label top-k
+    window over data already keyed by label. The corpus shuffles once
+    (the posexplode rows partial-aggregate map-side into |vectors|
+    partials); at production scale the same plan rides the persisted
+    centroid table instead of recomputing it."""
+    qe = managed_persist(_quantized(spark, sf_dir).select("label", "vec_id", "q"))
+    ex = managed_persist(qe.select("label", "vec_id", F.posexplode("q").alias("dim", "x")))
+    cent = (
+        ex.groupBy("label", "dim")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "dim",
+            F.floor(F.col("s").cast("double") / F.col("n") + 0.5)
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    d2 = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("label", "vec_id")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d2"))
+    )
+    w = Window.partitionBy("label").orderBy(F.col("d2").desc(), F.col("vec_id"))
+    return (
+        d2.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= OUTLIER_TOPK)
+        .select("label", F.col("rk").cast("int").alias("rk"), "vec_id", "d2")
+        .orderBy("label", "rk")
+    )
+
+
+SQL_EMBEDDING_OUTLIERS = f"""
+WITH {DUCK_QUANT_CTE},
+ex AS (
+  SELECT label, vec_id, generate_subscripts(q, 1) AS dim, unnest(q) AS x FROM qn
+),
+cent AS (
+  SELECT label, dim,
+         CAST(floor(CAST(sum(x) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
+  FROM ex GROUP BY label, dim
+),
+d2_t AS (
+  SELECT ex.label, ex.vec_id, CAST(sum((x - c) * (x - c)) AS BIGINT) AS d2
+  FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+  GROUP BY ex.label, ex.vec_id
+),
+ranked AS (
+  SELECT label, vec_id, d2,
+         row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rk
+  FROM d2_t
+)
+SELECT label, CAST(rk AS INT) AS rk, vec_id, d2
+FROM ranked WHERE rk <= {OUTLIER_TOPK}
+ORDER BY label, rk"""

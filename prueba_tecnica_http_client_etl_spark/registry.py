@@ -219,6 +219,8 @@ _LLM_PIPELINE = [
     ("ann_ivfpq_rerank_recall", similarity.ann_ivfpq_rerank_recall, similarity.SQL_ANN_IVFPQ_RERANK_RECALL),
     ("corpus_split", corpus.corpus_split, corpus.SQL_CORPUS_SPLIT),
     ("corpus_split_stats", corpus.corpus_split_stats, corpus.SQL_CORPUS_SPLIT_STATS),
+    ("lm_bigram_score", corpus.lm_bigram_score, corpus.SQL_LM_BIGRAM_SCORE),
+    ("embedding_outliers", similarity.embedding_outliers, similarity.SQL_EMBEDDING_OUTLIERS),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
@@ -819,6 +821,8 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "ann_ivfpq_rerank_recall": 7,
     "corpus_split": 6,
     "corpus_split_stats": 6,
+    "lm_bigram_score": None,
+    "embedding_outliers": None,
     "kpi_daily_approx_p90": 4,
     "events_distinct_users_approx": 4,
     "customer_value_deciles_approx": 4,
