@@ -102,30 +102,50 @@ sh_t AS (
 # on arbitrary frames).
 
 
+def _corpus_sized(df: DataFrame) -> DataFrame:
+    """Mark a CORPUS-SIZED artifact frame so joins never broadcast it:
+    a localCheckpoint's LogicalRDD inherits the builder plan's (tiny,
+    parquet-derived) size estimate, and without the correction Catalyst
+    auto-broadcasts whole posting/shingle/band tables — measured 2.5 ->
+    10+ s on dedup_jaccard_prefix at sf0.1 and fatal at 100 TB, where
+    these tables are the corpus x a constant. The merge hint restores
+    the shuffle-join shapes the parquet-backed plans had; explicitly
+    F.broadcast()-hinted small sides (hot-bucket sets, codebooks,
+    centroids) still win by hint precedence, and non-join consumers
+    ignore it."""
+    return df.hint("merge")
+
+
 def lsh_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical per-snapshot text-prep artifact: (doc_id, lang, source,
     digest, sh). digest is the exact-dedup key (md5 of normalized text);
     sh the shingle set the near-dup tiers verify against. Checkpointed —
     multi-branch consumers (both verify-join sides) read pinned blocks,
     no per-branch recompute and no cachepool persist needed."""
-    return trained_artifact(
-        artifact_key("lsh_shingles", spark, sf_dir, "documents"),
-        lambda: docs_normalized(spark, sf_dir).select(
-            "doc_id",
-            "lang",
-            "source",
-            F.md5(F.col("norm")).alias("digest"),
-            "sh",
-        ),
+    return _corpus_sized(
+        trained_artifact(
+            artifact_key("lsh_shingles", spark, sf_dir, "documents"),
+            lambda: docs_normalized(spark, sf_dir).select(
+                "doc_id",
+                "lang",
+                "source",
+                F.md5(F.col("norm")).alias("digest"),
+                "sh",
+            ),
+        )
     )
 
 
 def lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical 16-column minhash signature table over the snapshot's
     shingle artifact (doc_id, mh0..mh15)."""
-    return trained_artifact(
-        artifact_key("lsh_signatures", spark, sf_dir, "documents"),
-        lambda: _minhash_signatures(lsh_shingles(spark, sf_dir)),
+    return _corpus_sized(
+        trained_artifact(
+            artifact_key("lsh_signatures", spark, sf_dir, "documents"),
+            # the builder reads the UNHINTED stored frame (aggregation
+            # only, no join) — hints are consumer-side decoration
+            lambda: _minhash_signatures(lsh_shingles(spark, sf_dir)),
+        )
     )
 
 
@@ -133,9 +153,11 @@ def lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical LSH band table (doc_id, band_idx, band_hash) over the
     snapshot's signature artifact — the probe/index key table every
     banded consumer joins on."""
-    return trained_artifact(
-        artifact_key("lsh_bands", spark, sf_dir, "documents"),
-        lambda: band_table(lsh_signatures(spark, sf_dir)),
+    return _corpus_sized(
+        trained_artifact(
+            artifact_key("lsh_bands", spark, sf_dir, "documents"),
+            lambda: band_table(lsh_signatures(spark, sf_dir)),
+        )
     )
 
 

@@ -157,3 +157,38 @@ def test_kpi_path_has_no_python_eval(spark):
         plan = _physical(qs[name](spark, SF_SMOKE))
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan, f"{name}: {marker} in plan"
+
+
+def test_lsh_artifact_consumers_never_broadcast_corpus_frames(spark):
+    """A localCheckpoint artifact's LogicalRDD inherits the builder
+    plan's tiny parquet-derived size estimate, which made Catalyst
+    auto-broadcast whole posting/shingle/band tables (measured 2.5 ->
+    10+ s on dedup_jaccard_prefix at sf0.1; fatal at 100 TB where those
+    tables are corpus x constant). The artifact helpers carry a merge
+    hint (_corpus_sized) so every join against a corpus-sized artifact
+    shuffles; this test pins that shape, while the explicitly-broadcast
+    small sides (the hot-bucket set) must keep their broadcast."""
+    import re
+
+    from prueba_tecnica_http_client_etl_spark.functions import artifacts as A
+    from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain
+    from prueba_tecnica_http_client_etl_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_jaccard_prefix,
+        dedup_minhash_lsh,
+    )
+
+    corpus_broadcast = re.compile(
+        # a BroadcastExchange whose (nearby) subtree scans the
+        # checkpointed shingle/band artifact (ExistingRDD with sh/band
+        # columns) = a corpus-sized broadcast
+        r"BroadcastExchange[\s\S]{0,400}?ExistingRDD\[[^\]]*(sh|band_hash)#"
+    )
+    for fn in (dedup_minhash_lsh, dedup_jaccard_prefix, dedup_incremental):
+        plan = _physical(fn(spark, SF_SMOKE))
+        assert not corpus_broadcast.search(plan), f"{fn.__name__}: {plan}"
+    # the tiny hot-bucket set still broadcasts in the incremental probe
+    plan = _physical(dedup_incremental(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    A.clear()
+    drain()
