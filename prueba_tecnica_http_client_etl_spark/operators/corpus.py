@@ -899,19 +899,29 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (w1, w2) then (w1,) — both AQE-skew-handled equi-joins; V is a
     1-row broadcast. At production scale the model table prunes to the
     top-M bigrams (everything below the cut is indistinguishable from
-    unseen under smoothing), making the score join broadcastable."""
+    unseen under smoothing), making the score join broadcastable.
+
+    The model build (lm_train_model) and the per-doc scoring
+    (lm_score_docs) are shared VERBATIM with the streaming gate
+    (streaming/lm_stream.py): a micro-batch scores through exactly
+    these expressions, which is what lets the stream certify against
+    this query's oracle."""
     from ..functions.cachepool import managed_persist
 
-    d = managed_persist(
-        docs_normalized(spark, sf_dir).select("doc_id", "toks")
-    )
+    d = managed_persist(docs_normalized(spark, sf_dir).select("doc_id", "toks"))
     is_held = F.col("doc_id") % LM_HELD_STRIDE == 0
-    # one row per bigram: zip each token with its successor. The arrays
-    # are non-empty by the size filter, so explode_outer only guards the
-    # computed-array generator trap (the implied size>0 filter would
-    # push the zip below the repartition into the scan).
-    bigrams = (
-        d.filter(F.size("toks") >= 2)
+    c12, c1, vocab = lm_train_model(d.filter(~is_held))
+    return lm_score_docs(d.filter(is_held), c12, c1, vocab).orderBy("doc_id")
+
+
+def _lm_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) — one row per adjacent token pair. Zip each
+    token with its successor; the arrays are non-empty by the size
+    filter, so explode_outer only guards the computed-array generator
+    trap (the implied size>0 filter would push the zip below the
+    repartition into the scan)."""
+    return (
+        docs.filter(F.size("toks") >= 2)
         .select(
             "doc_id",
             F.explode_outer(
@@ -923,19 +933,39 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
-    train_bg = managed_persist(bigrams.filter(~is_held))
+
+
+def lm_train_model(train_docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(c12, c1, vocab) model frames from a (doc_id, toks) train slice —
+    the once-per-snapshot trained state both the batch filter and the
+    streaming gate score against. The bigram table is pool-persisted
+    (it feeds both counting passes)."""
+    from ..functions.cachepool import managed_persist
+
+    train_bg = managed_persist(_lm_bigrams(train_docs))
     c12 = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = train_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = (
-        d.filter(~is_held)
-        .select(F.explode_outer("toks").alias("tok"))
+        train_docs.select(F.explode_outer("toks").alias("tok"))
         .agg(F.countDistinct("tok").alias("v"))
     )
+    return c12, c1, vocab
+
+
+def lm_score_docs(
+    docs: DataFrame, c12: DataFrame, c1: DataFrame, vocab: DataFrame
+) -> DataFrame:
+    """(doc_id, n_bigrams, n_oov_bigrams, avg_bits) for every doc in
+    `docs` (doc_id, toks) — including <2-token docs, which score 0 with
+    no bigrams. Pure per-doc function of (model, doc): no cross-doc
+    state, which is the decomposability argument that lets the
+    streaming gate emit per micro-batch and still match the batch
+    result."""
     bits = F.length(F.bin(F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))) - F.length(
         F.bin(F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1))
     )
     scored = (
-        bigrams.filter(is_held)
+        _lm_bigrams(docs)
         .join(c12, ["w1", "w2"], "left")
         .join(c1, ["w1"], "left")
         .crossJoin(F.broadcast(vocab))
@@ -946,24 +976,17 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bits.cast("long")).alias("sum_bits"),
         )
     )
-    # every held doc appears, including <2-token docs with no bigrams
     return (
-        d.filter(is_held)
-        .select("doc_id")
+        docs.select("doc_id")
         .join(scored, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
             F.coalesce(F.col("n_oov_bigrams"), F.lit(0)).cast("long").alias("n_oov_bigrams"),
-            F.when(
-                F.coalesce(F.col("n_bigrams"), F.lit(0)) == 0, F.lit(0.0)
-            )
-            .otherwise(
-                roundn(F.col("sum_bits").cast("double") / F.col("n_bigrams"), 4)
-            )
+            F.when(F.coalesce(F.col("n_bigrams"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(roundn(F.col("sum_bits").cast("double") / F.col("n_bigrams"), 4))
             .alias("avg_bits"),
         )
-        .orderBy("doc_id")
     )
 
 

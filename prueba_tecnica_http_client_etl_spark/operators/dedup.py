@@ -1665,3 +1665,62 @@ ORDER BY cluster_size"""
 
 
 SQL_DEDUP_CLUSTER_SIZES = _sql_dedup_cluster_sizes()
+
+
+# --- shingle document-frequency profile (hot-shingle audit) ------------------
+
+
+def shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency distribution of shingles, bucketed by octave
+    (bitlen(df) = floor(log2 df)+1) — the monitoring row behind every
+    hot-shingle defense in this module: the LSH bucket cap, the PPJoin
+    prefix filter's global-rank relief, and dedup_lines' boilerplate
+    dictionary all exist because a heavy DF tail turns posting-list
+    joins quadratic. This profile is what an operator watches to know
+    the tail is growing (a new boilerplate family entering the crawl)
+    BEFORE a job blows up: n_postings concentrating into high octaves
+    is the early-warning signal.
+
+    Integer-exact: the octave is length(bin(df)) — no float log — and
+    the per-octave rollup carries exact BIGINT counts plus one portable-
+    rounded share. Scale shape: explode + one partial-aggregated count
+    keyed on the shingle (the inverted-index pass every set-similarity
+    join already makes), then a <=40-row octave rollup; the share is a
+    window over those rows."""
+    ex = lsh_shingles(spark, sf_dir).select(F.explode_outer("sh").alias("s"))
+    df_t = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    per_oct = (
+        df_t.groupBy(F.length(F.bin(F.col("df"))).cast("int").alias("df_octave"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("df").alias("n_postings"),
+            F.max("df").alias("max_df"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return per_oct.select(
+        "df_octave",
+        "n_shingles",
+        "n_postings",
+        "max_df",
+        roundn(
+            F.col("n_postings").cast("double") / F.sum("n_postings").over(w_all), 6
+        ).alias("postings_share"),
+    ).orderBy("df_octave")
+
+
+SQL_SHINGLE_DF_PROFILE = f"""
+WITH {DUCK_DOCS_CTE},
+ex AS (SELECT unnest(sh) AS s FROM sh_t),
+df_t AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+per_oct AS (
+  SELECT CAST(length(bin(df)) AS INT) AS df_octave,
+         count(*) AS n_shingles,
+         CAST(sum(df) AS BIGINT) AS n_postings,
+         CAST(max(df) AS BIGINT) AS max_df
+  FROM df_t GROUP BY 1
+)
+SELECT df_octave, n_shingles, n_postings, max_df,
+       {sql_roundn('CAST(n_postings AS DOUBLE) / sum(n_postings) OVER ()', 6)} AS postings_share
+FROM per_oct
+ORDER BY df_octave"""

@@ -221,6 +221,7 @@ _LLM_PIPELINE = [
     ("corpus_split_stats", corpus.corpus_split_stats, corpus.SQL_CORPUS_SPLIT_STATS),
     ("lm_bigram_score", corpus.lm_bigram_score, corpus.SQL_LM_BIGRAM_SCORE),
     ("embedding_outliers", similarity.embedding_outliers, similarity.SQL_EMBEDDING_OUTLIERS),
+    ("shingle_df_profile", dedup.shingle_df_profile, dedup.SQL_SHINGLE_DF_PROFILE),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
@@ -678,6 +679,57 @@ def q_dedup_index_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register("lm_score_stream", corpus.SQL_LM_BIGRAM_SCORE)
+def q_lm_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bigram-LM quality gate (streaming/lm_stream.py): the
+    model is trained once from the batch-side train slice
+    (corpus.lm_train_model — the same frames the batch filter uses),
+    the held slice replays as a file stream, and every micro-batch is
+    scored through corpus.lm_score_docs verbatim.
+
+    Oracle: scores reference only the frozen model, never other
+    in-flight docs, so the union over micro-batches equals scoring the
+    whole held set at once — which is exactly lm_bigram_score. Its
+    batch oracle SQL certifies the stream's full output
+    (rows+schema+hash), the strongest check a stream can carry; only
+    emission timing is a streaming-only notion."""
+    from pyspark.sql import functions as F
+
+    from .functions.cachepool import managed_persist
+    from .operators.corpus import LM_HELD_STRIDE, lm_train_model
+    from .operators.dedup import docs_normalized
+    from .streaming import lm_stream as LMS
+
+    tmp, tag = _stream_staging_path(sf_dir, "lm_score_in", "documents")
+    _ensure_staged(
+        tmp,
+        lambda p: load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % LM_HELD_STRIDE == 0)
+        .select("doc_id", "text")
+        .repartition(4)
+        .write.mode("overwrite")
+        .json(p),
+    )
+    train = docs_normalized(spark, sf_dir).select("doc_id", "toks").filter(
+        F.col("doc_id") % LM_HELD_STRIDE != 0
+    )
+    c12, c1, vocab = lm_train_model(train)
+    # every micro-batch joins the model frames: persist them (pool-
+    # managed — the stream completes inside this call, and the pool
+    # drains at the next registry query)
+    c12, c1, vocab = managed_persist(c12), managed_persist(c1), managed_persist(vocab)
+    out_root, checkpoint = _stream_run_dirs(sf_dir, "lm_score")
+    out = (
+        LMS.run_lm_score(
+            spark, tmp, out_root, c12=c12, c1=c1, vocab=vocab, checkpoint=checkpoint
+        )
+        .select("doc_id", "n_bigrams", "n_oov_bigrams", "avg_bits")
+        .orderBy("doc_id")
+    )
+    _finish_stream_run(out_root)  # replay terminated inside run_*
+    return out
+
+
 # --- certification ledger + rotation -----------------------------------------
 #
 # The external driver records correctness entries for the FIRST 50
@@ -823,6 +875,8 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "corpus_split_stats": 6,
     "lm_bigram_score": None,
     "embedding_outliers": None,
+    "shingle_df_profile": None,
+    "lm_score_stream": None,
     "kpi_daily_approx_p90": 4,
     "events_distinct_users_approx": 4,
     "customer_value_deciles_approx": 4,

@@ -82,6 +82,10 @@ LLM_TIER = [
     "dedup_jaccard_prefix",
     "ann_pq_topk",
     "kmeans_embeddings",
+    # the bigram model table is the axis that grows here: token renaming
+    # gives each replica a disjoint vocabulary, so |model| scales ~10x
+    # while per-doc scoring joins stay per-doc
+    "lm_bigram_score",
 ]
 
 # bump when the replica construction changes: a marker whose content
