@@ -663,3 +663,117 @@ SELECT funnel.source, n_docs_in, n_drop_quality,
        CAST(COALESCE(floor((n_tokens_packed - 1) / {PIPELINE_CONTEXT_TOKENS}.0) + 1, 0) AS BIGINT) AS n_bins
 FROM funnel LEFT JOIN packed ON funnel.source = packed.source
 ORDER BY funnel.source"""
+
+
+# --- Bloom-prescreened contamination (the Dolma/CCNet-scale shape) -----------
+
+BLOOM_BITS_LOG2 = 16  # m = 65536 bits -> 1024 packed longs of driver state
+BLOOM_K = 4  # hash functions; ~0.2% FP at m/n ~ 24 bits/gram (sf0.1 probe set)
+
+
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contamination_check's output through a BLOOM-FILTER PRESCREEN —
+    the shape production decontamination actually runs (Dolma's dedupe
+    and CCNet both gate on Bloom filters): the probe set's grams are
+    folded into an m-bit filter ONCE, every corpus gram tests against
+    the broadcast bitmap in pure codegen (k xxhash64 probes + array
+    indexing — no string ever leaves the corpus side), and only grams
+    PASSING the filter reach the exact verify join. A Bloom filter has
+    no false NEGATIVES, so prescreen + exact verify is byte-identical
+    to the exact join alone (tests assert equality with
+    contamination_check; the driver oracle is the same SQL) — false
+    positives only cost a little verify work, never a wrong answer.
+
+    Why it matters at 100 TB: the probe set there is millions of grams
+    (benchmark suites plus paraphrases); broadcasting gram STRINGS is
+    gigabytes and every corpus gram must probe the hash relation, while
+    the Bloom bitmap is n_grams x ~24 bits (~tens of MB), the bitmap
+    test kills ~all non-contaminated grams map-side, and the exact join
+    then touches only (true hits + FP) rows. The bitmap here travels as
+    a broadcast 1-row array<long> built by a bit_or aggregate — the
+    driver holds m/64 longs (1024; bounded like embedding_pca_top's
+    64-int state); at larger m hand the same longs to a broadcast
+    variable instead of a literal row.
+
+    The prescreen uses engine-specific hashing (xxhash64), which is
+    certifiable ONLY because it cannot change the output — the lossless
+    two-tier pattern this repo uses everywhere (LSH banding -> exact
+    Jaccard, PQ ADC -> exact rerank, prefix filter -> exact count)."""
+    from ..functions.artifacts import artifact_key, trained_artifact
+    from ..functions.cachepool import managed_persist
+
+    m = 1 << BLOOM_BITS_LOG2
+    d = docs_normalized(spark, sf_dir).withColumn("grams", F.expr(_SPARK_GRAMS))
+    probes = managed_persist(
+        d.filter(F.col("doc_id") % PROBE_STRIDE == 0)
+        .select(F.explode_outer("grams").alias("gram"))
+        .distinct()
+    )
+
+    def build_bitmap() -> DataFrame:
+        pos = [
+            F.pmod(F.xxhash64(F.concat(F.lit(f"bl{i}:"), F.col("gram"))), F.lit(m))
+            for i in range(BLOOM_K)
+        ]
+        packed = (
+            probes.select(F.explode_outer(F.array(*pos)).alias("p"))
+            .select(
+                (F.col("p") / 64).cast("int").alias("word"),
+                (F.col("p") % 64).cast("int").alias("bit"),
+            )
+            .groupBy("word")
+            # F.shiftleft only takes a literal bit count — the SQL form
+            # accepts a column
+            .agg(F.bit_or(F.expr("shiftleft(cast(1 as bigint), bit)")).alias("w"))
+            .collect()
+        )
+        words = {r["word"]: r["w"] for r in packed}
+        bitmap = [words.get(i, 0) for i in range(m // 64)]
+        return spark.range(1).select(
+            F.array(*[F.lit(v).cast("long") for v in bitmap]).alias("bf")
+        )
+
+    # the trained bitmap is per-snapshot state (production trains it
+    # once per benchmark-suite release and serves every ingest batch):
+    # memoized in the artifact store, so only the first call in a
+    # session pays the probe pass + fold. Small (1 row), so unhinted —
+    # its broadcast is wanted.
+    bf_row = trained_artifact(
+        artifact_key("contamination_bloom_bitmap", spark, sf_dir, "documents"),
+        build_bitmap,
+    )
+
+    corpus = d.filter(F.col("doc_id") % PROBE_STRIDE != 0).select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_grams"),
+        F.explode_outer("grams").alias("gram"),
+    )
+    hit = None
+    for i in range(BLOOM_K):
+        # bitwiseAND, not % 2: shiftright is arithmetic, so a set sign
+        # bit (bit 63) yields a negative value whose % 2 is -1; the SQL
+        # shiftright form accepts a column bit count (F.shiftright does
+        # not)
+        p = f"pmod(xxhash64(concat('bl{i}:', gram)), {m})"
+        test = F.expr(
+            f"(shiftright(element_at(bf, cast({p} div 64 as int) + 1), "
+            f"cast({p} % 64 as int)) & 1) = 1"
+        )
+        hit = test if hit is None else (hit & test)
+    prescreened = corpus.crossJoin(F.broadcast(bf_row)).filter(hit).drop("bf")
+    return (
+        prescreened.join(F.broadcast(probes), "gram")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_overlap",
+            roundn(F.col("n_overlap").cast("double") / F.col("n_grams"), 4).alias("contamination"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# the prescreen is lossless, so the exact check's SQL certifies it
+SQL_CONTAMINATION_BLOOM = SQL_CONTAMINATION_CHECK

@@ -222,6 +222,7 @@ _LLM_PIPELINE = [
     ("lm_bigram_score", corpus.lm_bigram_score, corpus.SQL_LM_BIGRAM_SCORE),
     ("embedding_outliers", similarity.embedding_outliers, similarity.SQL_EMBEDDING_OUTLIERS),
     ("shingle_df_profile", dedup.shingle_df_profile, dedup.SQL_SHINGLE_DF_PROFILE),
+    ("contamination_bloom", curation.contamination_bloom, curation.SQL_CONTAMINATION_BLOOM),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
@@ -877,6 +878,7 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "embedding_outliers": None,
     "shingle_df_profile": None,
     "lm_score_stream": None,
+    "contamination_bloom": None,
     "kpi_daily_approx_p90": 4,
     "events_distinct_users_approx": 4,
     "customer_value_deciles_approx": 4,
@@ -931,13 +933,15 @@ _TOUCHED_THIS_ROUND = [
     "ann_pq_topk",
     "ann_ivfpq_topk",
 ]
-# Round-9 projection (verdict r7 item 5, recomputed for this window):
-# with all 50 round-8 rows certified at 8, round 9 has ZERO forced-stale
-# rows (nothing then sits at R <= 4), 2 round-5 leftovers and 26 round-6
-# rows for the oldest-first fill — minimum load 4 anchors + 28 = 32,
-# leaving ~18 slots for round-9 touched entries. The round-5 staleness
-# wave the round-7 verdict warned about is fully absorbed by this
-# round's window (25 of its rows sit in the fill).
+# Round-9 projection (verdict r7 item 5, recomputed for the FINAL
+# round-8 registry of 123 queries): with all 50 round-8 window rows
+# certified at 8, round 9 has ZERO forced-stale rows, 7 round-5
+# leftovers and 26 round-6 rows for the oldest-first fill — minimum
+# load 4 anchors + 7 = 11 before optional fill, so the window
+# comfortably absorbs any plausible round-9 touched set. The round-5
+# staleness wave the round-7 verdict warned about is absorbed across
+# rounds 8 (21 rows in this window) and 9 (the 7 leftovers, then at
+# age 4, lead the fill).
 
 _WINDOW_SIZE = 50
 
