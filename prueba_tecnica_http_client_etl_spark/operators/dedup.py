@@ -890,11 +890,25 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "sh")
         .withColumn("n", F.size("sh"))
     )
-    # persist: the posting table feeds BOTH self-join sides — without it
-    # the interpreted per-shingle md5 transform + array_sort + explode
-    # chain runs once per side (round-7 review finding; same rationale
-    # as dedup_ngram_jaccard's persisted posting table)
-    prefix = managed_persist(_prefix_postings(base))
+    # The prefix posting table is per-(snapshot, threshold) trained
+    # state — the PPJoin inverted index a production pipeline
+    # materializes at ingest — so it lives in the artifact store like
+    # the shingle/band tables: built once per session (the interpreted
+    # per-shingle md5 transform + array_sort + explode chain is the
+    # expensive part), checkpointed so BOTH self-join sides read pinned
+    # blocks, and corpus-sized, so joins against it must never
+    # broadcast it (_corpus_sized).
+    prefix = _corpus_sized(
+        trained_artifact(
+            artifact_key(
+                f"jaccard_prefix_postings_t{NGRAM_T_NUM}_{NGRAM_T_DEN}",
+                spark,
+                sf_dir,
+                "documents",
+            ),
+            lambda: _prefix_postings(base),
+        )
+    )
     a = prefix.select("lang", "s", F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     b = prefix.select("lang", "s", F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     cand = (
