@@ -738,8 +738,16 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memoized in the artifact store, so only the first call in a
     # session pays the probe pass + fold. Small (1 row), so unhinted —
     # its broadcast is wanted.
+    # filter geometry is part of the artifact's identity (like the
+    # prefix-posting key's threshold): a bitmap trained at one (m, k)
+    # must never serve a run configured for another
     bf_row = trained_artifact(
-        artifact_key("contamination_bloom_bitmap", spark, sf_dir, "documents"),
+        artifact_key(
+            f"contamination_bloom_bitmap_m{BLOOM_BITS_LOG2}_k{BLOOM_K}",
+            spark,
+            sf_dir,
+            "documents",
+        ),
         build_bitmap,
     )
 
