@@ -161,6 +161,25 @@ def lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical exploded shingle posting table (doc_id, lang, n, s) —
+    the materialized inverted index every set-similarity join probes
+    (ngram Jaccard, containment, the recall gate's ground truth, the
+    DF profile). One explode of the checkpointed shingle sets, built
+    once per session; consumers project the columns they need."""
+    return _corpus_sized(
+        trained_artifact(
+            artifact_key("lsh_shingle_postings", spark, sf_dir, "documents"),
+            lambda: lsh_shingles(spark, sf_dir).select(
+                "doc_id",
+                "lang",
+                F.size("sh").alias("n"),
+                F.explode_outer("sh").alias("s"),
+            ),
+        )
+    )
+
+
 # --- exact dedup -------------------------------------------------------------
 
 
@@ -649,8 +668,7 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializing all pairs; restricting one join side to the sample is
     precisely how the audit stays affordable at 100 TB (probe cost
     ~1/stride of the full inverted-index join, run per ingest batch)."""
-    base = lsh_shingles(spark, sf_dir).select("doc_id", "sh").withColumn("n", F.size("sh"))
-    ex = managed_persist(base.select("doc_id", "n", F.explode_outer("sh").alias("s")))
+    ex = lsh_shingle_postings(spark, sf_dir).select("doc_id", "n", "s")
     a = ex.filter(F.col("doc_id") % LSH_AUDIT_STRIDE == 0).select(
         F.col("s"), F.col("doc_id").alias("pa"), F.col("n").alias("na")
     )
@@ -784,17 +802,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles are the skew risk — at 100 TB drop top-frequency shingles
     (stopword shingles contribute ~0 discrimination) or cap posting-list
     length, as PPJoin-style prefix filtering does."""
-    base = lsh_shingles(spark, sf_dir).select("lang", "doc_id", "sh").withColumn("n", F.size("sh"))
-    # persist the exploded posting table: it feeds both join sides —
-    # without the persist the explode re-runs once per branch. At 100 TB
-    # this is the materialized inverted-index stage of the pipeline.
-    # explode_outer, not explode: the plain generator implies a
-    # non-empty-array data filter that Catalyst pushes below the
-    # repartition into the (single-task) scan, re-evaluating the whole
-    # shingle expression there; shingle arrays are never empty (whole-norm
-    # fallback), so the outer variant is value-identical and keeps the
-    # heavy lambda above the shuffle.
-    ex = managed_persist(base.select("lang", "doc_id", "n", F.explode_outer("sh").alias("s")))
+    # the exploded posting table is the shared inverted-index artifact
+    # (lsh_shingle_postings): checkpointed once per session, both join
+    # sides read pinned blocks
+    ex = lsh_shingle_postings(spark, sf_dir).select("lang", "doc_id", "n", "s")
     a = ex.select(F.col("lang"), F.col("s"), F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     b = ex.select(F.col("lang"), F.col("s"), F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     co = (
@@ -994,8 +1005,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the all-pairs matrix, and the asymmetric c/na >= t filter is
     applied post-aggregation. Direction rule: na < nb, or na = nb with
     doc_a < doc_b (equal-set pairs emit once, smaller id as contained)."""
-    base = lsh_shingles(spark, sf_dir).select("doc_id", "sh").withColumn("n", F.size("sh"))
-    ex = managed_persist(base.select("doc_id", "n", F.explode_outer("sh").alias("s")))
+    ex = lsh_shingle_postings(spark, sf_dir).select("doc_id", "n", "s")
     a = ex.select(F.col("s"), F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     b = ex.select(F.col("s"), F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     co = (
@@ -1701,7 +1711,7 @@ def shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on the shingle (the inverted-index pass every set-similarity
     join already makes), then a <=40-row octave rollup; the share is a
     window over those rows."""
-    ex = lsh_shingles(spark, sf_dir).select(F.explode_outer("sh").alias("s"))
+    ex = lsh_shingle_postings(spark, sf_dir).select("s")
     df_t = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     per_oct = (
         df_t.groupBy(F.length(F.bin(F.col("df"))).cast("int").alias("df_octave"))
