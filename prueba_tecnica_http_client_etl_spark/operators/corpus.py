@@ -906,11 +906,9 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/lm_stream.py): a micro-batch scores through exactly
     these expressions, which is what lets the stream certify against
     this query's oracle."""
-    from ..functions.cachepool import managed_persist
-
-    d = managed_persist(docs_normalized(spark, sf_dir).select("doc_id", "toks"))
+    d = docs_normalized(spark, sf_dir).select("doc_id", "toks")
     is_held = F.col("doc_id") % LM_HELD_STRIDE == 0
-    c12, c1, vocab = lm_train_model(d.filter(~is_held))
+    c12, c1, vocab = lm_trained_model(spark, sf_dir)
     return lm_score_docs(d.filter(is_held), c12, c1, vocab).orderBy("doc_id")
 
 
@@ -939,7 +937,9 @@ def lm_train_model(train_docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFra
     """(c12, c1, vocab) model frames from a (doc_id, toks) train slice —
     the once-per-snapshot trained state both the batch filter and the
     streaming gate score against. The bigram table is pool-persisted
-    (it feeds both counting passes)."""
+    (it feeds both counting passes). This is the raw (non-canonical)
+    builder for caller-supplied slices; snapshot-keyed consumers go
+    through lm_trained_model."""
     from ..functions.cachepool import managed_persist
 
     train_bg = managed_persist(_lm_bigrams(train_docs))
@@ -948,6 +948,52 @@ def lm_train_model(train_docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFra
     vocab = (
         train_docs.select(F.explode_outer("toks").alias("tok"))
         .agg(F.countDistinct("tok").alias("v"))
+    )
+    return c12, c1, vocab
+
+
+def lm_trained_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Canonical per-snapshot LM model artifacts: (c12, c1, vocab) for
+    the standard train slice (doc_id % LM_HELD_STRIDE != 0), memoized
+    in the trained-artifact store — production trains the LM once per
+    snapshot and serves every filter/gate run from it. c1 derives from
+    the c12 artifact (c(w1) = sum over w2 of c(w1, w2) — the context
+    count by definition), so the bigram explode runs exactly once per
+    session. The count tables are corpus-sized (|distinct bigrams| /
+    |distinct contexts| scale with the corpus): merge-hinted so scoring
+    joins shuffle instead of broadcasting the model; the 1-row vocab
+    stays unhinted (its broadcast is wanted)."""
+    from ..functions.artifacts import artifact_key, trained_artifact
+    from .dedup import _corpus_sized, docs_normalized
+
+    def train_docs() -> DataFrame:
+        return (
+            docs_normalized(spark, sf_dir)
+            .select("doc_id", "toks")
+            .filter(F.col("doc_id") % LM_HELD_STRIDE != 0)
+        )
+
+    c12 = _corpus_sized(
+        trained_artifact(
+            artifact_key(f"lm_bigram_counts_s{LM_HELD_STRIDE}", spark, sf_dir, "documents"),
+            lambda: _lm_bigrams(train_docs())
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c12")),
+        )
+    )
+    c1 = _corpus_sized(
+        trained_artifact(
+            artifact_key(f"lm_context_counts_s{LM_HELD_STRIDE}", spark, sf_dir, "documents"),
+            lambda: c12.groupBy("w1").agg(F.sum("c12").alias("c1")),
+        )
+    )
+    vocab = trained_artifact(
+        artifact_key(f"lm_vocab_size_s{LM_HELD_STRIDE}", spark, sf_dir, "documents"),
+        lambda: train_docs()
+        .select(F.explode_outer("toks").alias("tok"))
+        .agg(F.countDistinct("tok").alias("v")),
     )
     return c12, c1, vocab
 

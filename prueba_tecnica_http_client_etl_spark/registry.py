@@ -696,9 +696,7 @@ def q_lm_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     emission timing is a streaming-only notion."""
     from pyspark.sql import functions as F
 
-    from .functions.cachepool import managed_persist
-    from .operators.corpus import LM_HELD_STRIDE, lm_train_model
-    from .operators.dedup import docs_normalized
+    from .operators.corpus import LM_HELD_STRIDE, lm_trained_model
     from .streaming import lm_stream as LMS
 
     tmp, tag = _stream_staging_path(sf_dir, "lm_score_in", "documents")
@@ -711,14 +709,9 @@ def q_lm_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .json(p),
     )
-    train = docs_normalized(spark, sf_dir).select("doc_id", "toks").filter(
-        F.col("doc_id") % LM_HELD_STRIDE != 0
-    )
-    c12, c1, vocab = lm_train_model(train)
-    # every micro-batch joins the model frames: persist them (pool-
-    # managed — the stream completes inside this call, and the pool
-    # drains at the next registry query)
-    c12, c1, vocab = managed_persist(c12), managed_persist(c1), managed_persist(vocab)
+    # the model frames are snapshot-keyed trained artifacts
+    # (checkpointed — every micro-batch joins pinned blocks)
+    c12, c1, vocab = lm_trained_model(spark, sf_dir)
     out_root, checkpoint = _stream_run_dirs(sf_dir, "lm_score")
     out = (
         LMS.run_lm_score(

@@ -32,12 +32,15 @@ def test_memoized_equals_fresh(spark):
     labels; coarse centroids + ground truth via the recall gate; PQ
     codebook + codes via the ADC tier; LSH shingles/signatures/bands via
     the pair finder and the incremental prober)."""
+    from prueba_tecnica_http_client_etl_spark.operators.corpus import lm_bigram_score
+
     for fn in (
         dedup_components,
         ann_ivf_learned_recall,
         ann_pq_topk,
         dedup_minhash_lsh,
         dedup_incremental,
+        lm_bigram_score,
     ):
         A.clear()
         drain()
