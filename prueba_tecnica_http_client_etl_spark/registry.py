@@ -925,6 +925,10 @@ _TOUCHED_THIS_ROUND = [
     # the first trainer of pq_codebook / ivfpq_residual_codebook
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    # its index-BUILD job changed (build_lsh_index now persists the
+    # band table across the hot-bucket and write branches — round-8
+    # ADVICE): verdicts are unchanged, the executed build is not
+    "dedup_index_probe_stream",
 ]
 # Round-9 projection (verdict r7 item 5, recomputed for the FINAL
 # round-8 registry of 123 queries): with all 50 round-8 window rows
