@@ -1074,3 +1074,89 @@ FROM tk t
 LEFT JOIN scored s ON t.doc_id = s.doc_id
 WHERE t.doc_id % {LM_HELD_STRIDE} = 0
 ORDER BY t.doc_id"""
+
+
+# --- near-duplicate split-leakage audit --------------------------------------
+
+
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate pairs per split-boundary combination — the audit
+    that closes the gap corpus_split's design leaves open by
+    construction: the digest-keyed split makes byte-identical
+    duplicates physically unable to straddle train/test, but two docs
+    at Jaccard 0.9 hash to independent assignments, and a near-dup of
+    a test doc sitting in train is eval contamination all the same.
+    This query joins the certified MinHash-LSH pair set to the split
+    manifest and counts pairs per unordered split combination: the
+    crosses_boundary rows are the leakage a pipeline either filters
+    (drop the train-side twin) or at least reports next to its eval
+    numbers.
+
+    Composition of certified components: pairs come from
+    dedup_minhash_lsh (banded + exact-verified, artifact-backed),
+    assignments recompute corpus_split's exact rule from the digest
+    ALREADY in the shingle artifact (same salted hash, same
+    thresholds). Scale shape: |near-dup pairs| joined twice against a
+    doc_id->split map (equi-joins), then a <=6-row rollup."""
+    from ..functions.portable import salted
+    from .dedup import dedup_minhash_lsh, lsh_shingles
+
+    u = salted("split", F.col("digest")) % 100
+    asg = lsh_shingles(spark, sf_dir).select(
+        "doc_id",
+        F.when(u < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(u < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    j = (
+        pairs.join(
+            asg.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_x")),
+            "doc_a",
+        )
+        .join(
+            asg.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_y")),
+            "doc_b",
+        )
+        .select(
+            F.least("split_x", "split_y").alias("split_a"),
+            F.greatest("split_x", "split_y").alias("split_b"),
+        )
+    )
+    return (
+        j.groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("crosses_boundary"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+from .dedup import SQL_DEDUP_MINHASH_LSH as _SQL_LSH_PAIRS  # noqa: E402
+
+SQL_SPLIT_LEAKAGE_CHECK = f"""
+WITH {DUCK_DOCS_CTE},
+pairs AS (SELECT doc_a, doc_b FROM ({_SQL_LSH_PAIRS})),
+docs_asg AS (
+  SELECT doc_id,
+         CASE WHEN {sql_salted('split', 'md5(norm)')} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN {sql_salted('split', 'md5(norm)')} % 100 < {SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM sh_t
+),
+j AS (
+  SELECT least(a.split, b.split) AS split_a, greatest(a.split, b.split) AS split_b
+  FROM pairs
+  JOIN docs_asg a ON pairs.doc_a = a.doc_id
+  JOIN docs_asg b ON pairs.doc_b = b.doc_id
+)
+SELECT split_a, split_b, count(*) AS n_pairs,
+       (split_a <> split_b) AS crosses_boundary
+FROM j
+GROUP BY split_a, split_b
+ORDER BY split_a, split_b"""

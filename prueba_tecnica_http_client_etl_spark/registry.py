@@ -223,6 +223,7 @@ _LLM_PIPELINE = [
     ("embedding_outliers", similarity.embedding_outliers, similarity.SQL_EMBEDDING_OUTLIERS),
     ("shingle_df_profile", dedup.shingle_df_profile, dedup.SQL_SHINGLE_DF_PROFILE),
     ("contamination_bloom", curation.contamination_bloom, curation.SQL_CONTAMINATION_BLOOM),
+    ("split_leakage_check", corpus.split_leakage_check, corpus.SQL_SPLIT_LEAKAGE_CHECK),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
@@ -872,6 +873,7 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "shingle_df_profile": None,
     "lm_score_stream": None,
     "contamination_bloom": None,
+    "split_leakage_check": None,
     "kpi_daily_approx_p90": 4,
     "events_distinct_users_approx": 4,
     "customer_value_deciles_approx": 4,
