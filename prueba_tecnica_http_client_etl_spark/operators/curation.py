@@ -769,8 +769,14 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         hit = test if hit is None else (hit & test)
     prescreened = corpus.crossJoin(F.broadcast(bf_row)).filter(hit).drop("bf")
+    # verify join deliberately UNHINTED (verdict r8): the prescreen
+    # exists because the probe set is gigabytes at production scale, so
+    # force-broadcasting that same relation here would undo the design
+    # (an explicit hint bypasses Spark's size check). Post-prescreen the
+    # corpus side is the tiny one (~true hits + FP), so AQE's runtime
+    # stats pick the right build side at any scale.
     return (
-        prescreened.join(F.broadcast(probes), "gram")
+        prescreened.join(probes, "gram")
         .groupBy("doc_id", "n_grams")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .select(

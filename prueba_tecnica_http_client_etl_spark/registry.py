@@ -224,6 +224,7 @@ _LLM_PIPELINE = [
     ("shingle_df_profile", dedup.shingle_df_profile, dedup.SQL_SHINGLE_DF_PROFILE),
     ("contamination_bloom", curation.contamination_bloom, curation.SQL_CONTAMINATION_BLOOM),
     ("split_leakage_check", corpus.split_leakage_check, corpus.SQL_SPLIT_LEAKAGE_CHECK),
+    ("lm_bigram_score_pruned", corpus.lm_bigram_score_pruned, corpus.SQL_LM_BIGRAM_SCORE_PRUNED),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
@@ -754,30 +755,30 @@ def q_lm_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #            order), which bounds staleness: the test asserts every
 #            query older than MAX_STALENESS rounds is in this window.
 
-CURRENT_ROUND = 8
+CURRENT_ROUND = 9
 MAX_STALENESS = 4  # a row certified at round R must re-enter the window
 # by round R + MAX_STALENESS (asserted in tests/test_rotation_ledger.py)
 
 LAST_CERTIFIED: dict[str, int | None] = {
-    "clean_coerce": 7,
-    "kpi_daily": 7,
-    "kpi_report_endpoint": 7,
-    "kpi_global": 7,
-    "kpi_global_exact": 5,
+    "clean_coerce": 8,
+    "kpi_daily": 8,
+    "kpi_report_endpoint": 8,
+    "kpi_global": 8,
+    "kpi_global_exact": 8,
     "kpi_anomaly_days": 6,
-    "kpi_rollup": 5,
+    "kpi_rollup": 8,
     "pricing_summary": 7,
     "top_revenue_orders": 7,
     "region_revenue": 7,
     "customers_with_open_orders": 7,
     "customers_without_orders": 7,
     "top_orders_per_customer": 7,
-    "supplier_running_revenue": 3,
+    "supplier_running_revenue": 8,
     "nation_presence": 7,
     "orders_cube": 7,
     "events_daily_pivot": 7,
-    "sessionize_events": 3,
-    "purchase_after_view_asof": 4,
+    "sessionize_events": 8,
+    "purchase_after_view_asof": 8,
     "shipped_within_30_days": 7,
     "events_json_stats": 7,
     "events_distinct_users": 7,
@@ -789,34 +790,34 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "high_balance_idle_customers": 7,
     "stratified_event_sample": 7,
     "customer_value_deciles": 7,
-    "events_hourly_window": 3,
-    "event_value_by_type_salted": 3,
-    "purchases_near_views_range": 4,
+    "events_hourly_window": 8,
+    "event_value_by_type_salted": 8,
+    "purchases_near_views_range": 8,
     "snapshot_merge": 6,
     "user_retention_cohorts": 6,
     "event_funnel": 6,
     "suppliers_blocking_orders": 7,
     "rolling_active_users": 7,
     "audio_decode_stats": 6,
-    "dedup_exact": 6,
-    "dedup_minhash_lsh": 6,
-    "dedup_simhash": 5,
-    "dedup_ngram_jaccard": 5,
-    "dedup_components": 7,
-    "dedup_embedding_cosine": 5,
-    "ann_cosine_topk": 5,
-    "lsh_bucket_histogram": 4,
-    "ann_ivf_topk": 5,
-    "ann_lsh_topk": 5,
+    "dedup_exact": 8,
+    "dedup_minhash_lsh": 8,
+    "dedup_simhash": 8,
+    "dedup_ngram_jaccard": 8,
+    "dedup_components": 8,
+    "dedup_embedding_cosine": 8,
+    "ann_cosine_topk": 8,
+    "lsh_bucket_histogram": 8,
+    "ann_ivf_topk": 8,
+    "ann_lsh_topk": 8,
     "ann_ivf_recall": 7,
-    "ann_lsh_recall": 5,
-    "embedding_centroids": 5,
-    "text_stats": 5,
-    "token_counts": 5,
-    "lang_id": 5,
-    "doc_fingerprint": 5,
-    "tfidf_top_terms": 5,
-    "corpus_mix": 5,
+    "ann_lsh_recall": 8,
+    "embedding_centroids": 8,
+    "text_stats": 8,
+    "token_counts": 8,
+    "lang_id": 8,
+    "doc_fingerprint": 8,
+    "tfidf_top_terms": 8,
+    "corpus_mix": 8,
     "multimodal_meta": 5,
     "multimodal_frame_sample": 5,
     "pii_scrub": 5,
@@ -826,13 +827,13 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "vocab_topk": 5,
     "repetition_score": 5,
     "sequence_pack": 5,
-    "dedup_containment": 6,
+    "dedup_containment": 8,
     "corpus_length_profile": 5,
     "curation_pipeline": 6,
     "tokenize_ids": 6,
     "embedding_center_by_label": 6,
     "sequence_pack_manifest": 6,
-    "dedup_incremental": 7,
+    "dedup_incremental": 8,
     "dedup_semantic": 6,
     "dedup_lines": 6,
     "quality_score": 6,
@@ -845,43 +846,44 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "dedup_survivors": 7,
     "source_overlap_matrix": 6,
     "doc_commonness": 6,
-    "duplicate_rate_by_source": 6,
+    "duplicate_rate_by_source": 8,
     "dedup_cluster_sizes": 7,
     "pii_stats_by_source": 6,
     "lang_confusion": 6,
     "image_decode_stats": 6,
-    "dedup_lsh_capped": 7,
-    "dedup_lsh_cap_audit": 7,
+    "dedup_lsh_capped": 8,
+    "dedup_lsh_cap_audit": 8,
     "embedding_pca_top": 7,
-    "ann_pq_topk": 7,
+    "ann_pq_topk": 8,
     "ann_pq_rerank": 7,
     "ann_pq_recall": 7,
     "ann_pq_rerank_recall": 7,
-    "minhash_calibration": 6,
-    "dedup_lsh_recall": 6,
-    "dedup_jaccard_prefix": 6,
+    "minhash_calibration": 8,
+    "dedup_lsh_recall": 8,
+    "dedup_jaccard_prefix": 8,
     "corpus_sample_per_source": 7,
     "pq_quantization_error": 7,
-    "ann_ivfpq_topk": 7,
+    "ann_ivfpq_topk": 8,
     "ann_ivfpq_recall": 7,
     "ann_ivfpq_rerank": 7,
     "ann_ivfpq_rerank_recall": 7,
     "corpus_split": 6,
     "corpus_split_stats": 6,
-    "lm_bigram_score": None,
-    "embedding_outliers": None,
-    "shingle_df_profile": None,
-    "lm_score_stream": None,
-    "contamination_bloom": None,
-    "split_leakage_check": None,
-    "kpi_daily_approx_p90": 4,
-    "events_distinct_users_approx": 4,
-    "customer_value_deciles_approx": 4,
+    "lm_bigram_score": 8,
+    "embedding_outliers": 8,
+    "shingle_df_profile": 8,
+    "lm_score_stream": 8,
+    "contamination_bloom": 8,
+    "split_leakage_check": 8,
+    "lm_bigram_score_pruned": None,
+    "kpi_daily_approx_p90": 8,
+    "events_distinct_users_approx": 8,
+    "customer_value_deciles_approx": 8,
     "kpi_daily_stream": 6,
     "sessionize_stream": 7,
     "dedup_stream": 6,
     "quality_gate_stream": 6,
-    "dedup_index_probe_stream": 7,
+    "dedup_index_probe_stream": 8,
     "range_join_stream": 7,
 }
 
@@ -892,55 +894,29 @@ _ANCHORS = ["clean_coerce", "kpi_daily", "kpi_report_endpoint", "kpi_global"]
 # or oracle) without being never-certified: they re-enter the window
 # right after the never-certified block, regardless of ledger age —
 # a green row from a previous round does not certify this round's code.
-# Round 8: ann_lsh_recall is the one round-7 artifact-store consumer
-# whose changed plan the driver has not yet seen (budget exclusion in
-# round 7 — verdict r7 item 2). The LSH-trained-state extension of the
-# artifact store (verdict r7 item 3) adds its consumers below as their
-# executed plans change. Window budget: 4 anchors + touched + the 24
-# forced-stale round-2/3 rows must stay <= 50, so touched caps at 22.
-_TOUCHED_THIS_ROUND = [
-    "ann_lsh_recall",
-    # round-8 LSH trained-state extension of the artifact store
-    # (operators/dedup.py lsh_shingles/lsh_signatures/lsh_bands): every
-    # consumer below now reads checkpointed artifacts where it previously
-    # recomputed shingles/signatures/bands per call — results are
-    # memoized==fresh by construction (tests/test_artifacts.py), but the
-    # executed plan changed, so each re-enters the window.
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_lsh_capped",
-    "dedup_lsh_cap_audit",
-    "minhash_calibration",
-    "dedup_lsh_recall",
-    "dedup_ngram_jaccard",
-    "dedup_jaccard_prefix",
-    "dedup_incremental",
-    "dedup_containment",
-    "duplicate_rate_by_source",
-    # training-side change only (its served plan still scans the
-    # memoized label checkpoint, but the first-call training job now
-    # reads the LSH artifacts): re-certify the family representative
-    "dedup_components",
-    # training-side representatives for the PQ codebook builder's
-    # empty-seed guard fix (round-8 ADVICE; artifact contents are
-    # bit-identical, only the builder's guard-join shape changed):
-    # the first trainer of pq_codebook / ivfpq_residual_codebook
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    # its index-BUILD job changed (build_lsh_index now persists the
-    # band table across the hot-bucket and write branches — round-8
-    # ADVICE): verdicts are unchanged, the executed build is not
-    "dedup_index_probe_stream",
+# Round 9: starts empty after the ledger refresh; queries re-enter here
+# as their executed plans change during the round (e.g. the
+# contamination_bloom verify-join hint fix — verdict r8 item 3).
+# Window budget: 4 anchors + |never| + touched + the 9 forced round-5
+# rows (staleness 4 this round) must stay <= 50.
+_TOUCHED_THIS_ROUND: list[str] = [
+    # verdict r8 item 3: the exact-verify join dropped its forced
+    # F.broadcast(probes) hint (curation.py) — output unchanged (same
+    # oracle, SQL_CONTAMINATION_CHECK) but the executed plan is new
+    "contamination_bloom",
 ]
-# Round-9 projection (verdict r7 item 5, recomputed for the FINAL
-# round-8 registry of 123 queries): with all 50 round-8 window rows
-# certified at 8, round 9 has ZERO forced-stale rows, 7 round-5
-# leftovers and 26 round-6 rows for the oldest-first fill — minimum
-# load 4 anchors + 7 = 11 before optional fill, so the window
-# comfortably absorbs any plausible round-9 touched set. The round-5
-# staleness wave the round-7 verdict warned about is absorbed across
-# rounds 8 (21 rows in this window) and 9 (the 7 leftovers, then at
-# age 4, lead the fill).
+# Round-9 projection (verdict r8 items 2 & 6, for the 124-query
+# registry): the 9 round-5 rows (contamination_check,
+# corpus_length_profile, multimodal_frame_sample, multimodal_meta,
+# pii_scrub, quality_gate, repetition_score, sequence_pack, vocab_topk)
+# reach staleness 4 and are FORCED into this window; minimum load is
+# 4 anchors + 0 never + 9 forced = 13, leaving ~37 slots for touched +
+# oldest-first fill. Round-10 wave: 26 rows sit at round 6 and all hit
+# the ceiling at round 10 — the oldest-first fill must pre-rotate at
+# least 13 of them through round 9's spare slots so round 10's forced
+# set fits (verified by the projection check in
+# tests/test_rotation_ledger.py-adjacent planning, and mechanically by
+# _build_window's raise if it ever overflows).
 
 _WINDOW_SIZE = 50
 

@@ -86,6 +86,21 @@ LLM_TIER = [
     # gives each replica a disjoint vocabulary, so |model| scales ~10x
     # while per-doc scoring joins stay per-doc
     "lm_bigram_score",
+    # round-9 additions (verdict r8 item 5 — the four round-8 queries
+    # whose scale behavior was argued but unmeasured, plus the new
+    # pruned-LM tier). Expected rows_ratio: contamination_bloom ~10.0
+    # (within-replica contamination preserved, renamed grams never
+    # collide across replicas); split_leakage_check ~10 in expectation
+    # only (splits are digest-keyed and renaming changes digests, so
+    # each replica re-rolls its split assignment); embedding_outliers
+    # and shingle_df_profile are fixed-size rollups (top-k per label /
+    # <=40 histogram rows) — their ratio is ~1 by design and the factor
+    # is the signal
+    "lm_bigram_score_pruned",
+    "contamination_bloom",
+    "split_leakage_check",
+    "embedding_outliers",
+    "shingle_df_profile",
 ]
 
 # bump when the replica construction changes: a marker whose content

@@ -12,7 +12,9 @@ from pyspark.sql import functions as F
 from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain
 from prueba_tecnica_http_client_etl_spark.operators.corpus import (
     LM_HELD_STRIDE,
+    LM_PRUNE_MIN_COUNT,
     lm_bigram_score,
+    lm_bigram_score_pruned,
 )
 from prueba_tecnica_http_client_etl_spark.operators.similarity import (
     OUTLIER_TOPK,
@@ -44,6 +46,14 @@ def lm_corpus_dir(spark, tmp_path):
     gibberish = " ".join(toks[::2] + toks[1::2][::-1])  # same vocab, new bigrams
     rows.append((LM_HELD_STRIDE, fluent, "en", "held"))
     rows.append((2 * LM_HELD_STRIDE, gibberish, "en", "held"))
+    # one train-side SINGLETON phrase (every repeated phrase above has
+    # c12 = 8): its bigrams sit below LM_PRUNE_MIN_COUNT, and the third
+    # held doc reuses one of them — trained under the full model, OOV
+    # under the pruned one (test_lm_prune_only_raises_cost_and_bites)
+    while doc_id % LM_HELD_STRIDE == 0:
+        doc_id += 1
+    rows.append((doc_id, "rare seam appears exactly once in training", "en", "train"))
+    rows.append((3 * LM_HELD_STRIDE, "rare seam", "en", "held"))
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
     df = df.withColumn("n_chars", F.length("text"))
     d = tmp_path / "lm_sf"
@@ -61,6 +71,30 @@ def test_lm_ranks_gibberish_above_fluent(spark, lm_corpus_dir):
     assert fluent["n_oov_bigrams"] <= 1
     assert gib["n_oov_bigrams"] > gib["n_bigrams"] // 2
     assert gib["avg_bits"] > fluent["avg_bits"] + 1.0
+
+
+def test_lm_prune_only_raises_cost_and_bites(spark, lm_corpus_dir):
+    """The count-threshold prune can only LENGTHEN codes: a pruned
+    bigram falls from bitlen(c1+V) - bitlen(c12+1) to the OOV floor
+    bitlen(c1+V) - 1, so per-doc sum_bits (hence avg_bits) is
+    monotonically >= the full model's, OOV counts can only grow, and
+    the doc set / bigram counts are identical. On the test corpus the
+    seam bigram between the two concatenated phrases is a train-side
+    singleton, so the prune must actually bite (pruned model strictly
+    smaller than full)."""
+    full = {r["doc_id"]: r for r in lm_bigram_score(spark, lm_corpus_dir).collect()}
+    pruned = {r["doc_id"]: r for r in lm_bigram_score_pruned(spark, lm_corpus_dir).collect()}
+    assert set(full) == set(pruned)
+    for did in full:
+        f, p = full[did], pruned[did]
+        assert p["n_bigrams"] == f["n_bigrams"]
+        assert p["n_oov_bigrams"] >= f["n_oov_bigrams"]
+        assert p["avg_bits"] >= f["avg_bits"]
+    # the prune bites: some trained bigram is a singleton (c12 <
+    # LM_PRUNE_MIN_COUNT), so at least one held doc scores more OOV
+    assert any(
+        pruned[d]["n_oov_bigrams"] > full[d]["n_oov_bigrams"] for d in full
+    ), f"prune (min count {LM_PRUNE_MIN_COUNT}) never bit on the test corpus"
 
 
 @pytest.fixture()

@@ -192,3 +192,26 @@ def test_lsh_artifact_consumers_never_broadcast_corpus_frames(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     A.clear()
     drain()
+
+
+def test_contamination_bloom_never_forces_probe_broadcast(spark):
+    """The Bloom prescreen exists because the probe-gram set is
+    gigabytes at production scale (millions of benchmark grams) — so the
+    exact-verify join must NOT carry a broadcast hint on the probe
+    relation (a hint bypasses Spark's size check; verdict r8). The only
+    hinted broadcast in the whole query is the 1-row packed bitmap; the
+    verify join's build side is left to AQE's runtime stats, which pick
+    the post-prescreen corpus side once the filter has done its job."""
+    from prueba_tecnica_http_client_etl_spark.functions import artifacts as A
+    from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain
+    from prueba_tecnica_http_client_etl_spark.operators.curation import contamination_bloom
+
+    df = contamination_bloom(spark, SF_SMOKE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    hints = analyzed.count("ResolvedHint")
+    assert hints == 1, f"expected only the bitmap broadcast hint, got {hints}:\n{analyzed}"
+    # and that one hint sits over the 1-row bitmap (bf column), not the grams
+    hinted_tail = analyzed.split("ResolvedHint", 1)[1][:400]
+    assert "bf#" in hinted_tail, hinted_tail
+    A.clear()
+    drain()
