@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.portable import roundn, sql_roundn, sql_salted
+from ..functions.portable import roundn, salted, sql_roundn, sql_salted
 from ..schemas import load_table
 from .dedup import DUCK_DOCS_CTE, docs_normalized
 from .textops import BPE_TOKEN_RE
@@ -1151,6 +1151,198 @@ FROM tk t
 LEFT JOIN scored s ON t.doc_id = s.doc_id
 WHERE t.doc_id % {LM_HELD_STRIDE} = 0
 ORDER BY t.doc_id"""
+
+
+# --- DSIR importance weights (hashed-n-gram data selection) ------------------
+
+DSIR_BUCKETS = 4096  # feature-hash buckets; the model is 2 x this many counts
+# the curated target slice (DSIR's "wiki + books"): a configured source
+# allowlist, exactly how production points the selector at trusted feeds
+DSIR_TARGET_SOURCES = ("src1", "src2", "src3")
+
+
+def _dsir_features(docs: DataFrame) -> DataFrame:
+    """One row per FEATURE OCCURRENCE — every unigram and every adjacent
+    bigram, hashed into DSIR_BUCKETS buckets. The hash is the portable
+    salted md5 (cross-engine contract); production would swap in
+    xxhash64, which cannot change the operator shape, only the digests.
+    Input is (toks + any carry-through columns); every non-toks column
+    rides along, so the model builder never needs a corpus-sized join to
+    recover its target flag. Both explodes are explode_outer over
+    size-filtered arrays — the computed-array generator trap (the
+    implied size>0 filter of a plain explode pushes the interpreted
+    slice/zip lambdas below the repartition into the scan)."""
+    keep = [c for c in docs.columns if c != "toks"]
+    uni = docs.filter(F.size("toks") >= 1).select(
+        *keep, F.explode_outer("toks").alias("gram")
+    )
+    bi = (
+        docs.filter(F.size("toks") >= 2)
+        .select(
+            *keep,
+            F.explode_outer(
+                F.arrays_zip(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1).alias("w1"),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select(*keep, F.concat_ws(" ", "bg.w1", "bg.w2").alias("gram"))
+    )
+    return uni.unionByName(bi).select(
+        *keep, (salted("dsirf", F.col("gram")) % DSIR_BUCKETS).alias("b")
+    )
+
+
+def dsir_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained DSIR importance model: per-bucket feature counts for
+    the target slice (ct) and the raw rest (cq) — DSIR_BUCKETS rows
+    total, built in ONE partial-aggregated counting pass over the corpus
+    and memoized per snapshot in the artifact store (production fits the
+    selector once per target definition and serves every ingest batch).
+    Bucket totals derive from this table by a second B-row aggregate, so
+    nothing ever re-scans the corpus for normalization. Small (B rows):
+    unhinted, its broadcast in the scoring join is wanted."""
+    from ..functions.artifacts import artifact_key, trained_artifact
+    from .dedup import docs_normalized
+
+    def build() -> DataFrame:
+        d = docs_normalized(spark, sf_dir)
+        is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
+        feats = _dsir_features(d.select(is_target.alias("tgt"), "toks"))
+        return feats.groupBy("b").agg(
+            F.sum(F.when(F.col("tgt"), 1).otherwise(0)).cast("long").alias("ct"),
+            F.sum(F.when(~F.col("tgt"), 1).otherwise(0)).cast("long").alias("cq"),
+        )
+
+    tag = "-".join(DSIR_TARGET_SOURCES)
+    return trained_artifact(
+        artifact_key(f"dsir_model_b{DSIR_BUCKETS}_t{tag}", spark, sf_dir, "documents"),
+        build,
+    )
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document importance weights toward the curated target slice —
+    DSIR (Xie et al., "Data Selection for Language Models via Importance
+    Resampling", NeurIPS 2023): fit bag-of-hashed-n-gram models p (target
+    sources) and q (everything else), score each raw doc by its summed
+    log likelihood ratio, select by weight. Feature hashing is the load-
+    bearing trick: both models are DSIR_BUCKETS counts REGARDLESS of
+    corpus size, so the entire scorer is one corpus scan + a broadcast
+    join against a B-row model + a per-doc partial aggregation — no
+    corpus-sized shuffle anywhere, which is what makes the selector
+    affordable as a routine pass at 100 TB.
+
+    The per-occurrence log ratio uses the same integer-bitlen floor-log2
+    as lm_bigram_score (bit-deterministic where float logs diverge on
+    libm ulps): with add-one smoothing over B buckets,
+        bits(b) = [bitlen(ct+1) - bitlen(Nt+B)] - [bitlen(cq+1) - bitlen(Nq+B)]
+    so log2_w = sum over a doc's occurrences is an exact BIGINT; positive
+    means target-like. Every non-target doc is scored (0-feature docs
+    score 0 with n_feat 0, same contract as lm_score_docs)."""
+    d = docs_normalized(spark, sf_dir).select("doc_id", "source", "toks")
+    raw_docs = d.filter(~F.col("source").isin(*DSIR_TARGET_SOURCES))
+    model = dsir_model(spark, sf_dir)
+    return dsir_score_docs(raw_docs, model, dsir_totals(model)).orderBy("doc_id")
+
+
+def dsir_totals(model: DataFrame) -> DataFrame:
+    """1-row (nt, nq) normalization totals, derived from the B-row model
+    table — nothing re-scans the corpus for normalization."""
+    return model.agg(
+        F.sum("ct").cast("long").alias("nt"), F.sum("cq").cast("long").alias("nq")
+    )
+
+
+def dsir_score_docs(docs: DataFrame, model: DataFrame, totals: DataFrame) -> DataFrame:
+    """(doc_id, n_feat, log2_w, avg_bits) for every doc in `docs`
+    (doc_id, toks, ...) — including 0-feature docs, which score 0 with
+    n_feat 0. Pure per-doc function of (model, doc): no cross-doc
+    state, so the union of per-batch scores equals scoring the whole
+    set at once — the decomposability argument that certifies the
+    streaming gate against this scorer's batch oracle (same contract
+    as lm_score_docs)."""
+    bits = (
+        F.length(F.bin(F.coalesce(F.col("ct"), F.lit(0)) + 1))
+        - F.length(F.bin(F.col("nt") + F.lit(DSIR_BUCKETS)))
+        - F.length(F.bin(F.coalesce(F.col("cq"), F.lit(0)) + 1))
+        + F.length(F.bin(F.col("nq") + F.lit(DSIR_BUCKETS)))
+    )
+    scored = (
+        _dsir_features(docs.select("doc_id", "toks"))
+        .join(model, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feat"),
+            F.sum(bits.cast("long")).alias("log2_w"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_feat"), F.lit(0)).cast("long").alias("n_feat"),
+            F.coalesce(F.col("log2_w"), F.lit(0)).cast("long").alias("log2_w"),
+            F.when(F.coalesce(F.col("n_feat"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(roundn(F.col("log2_w").cast("double") / F.col("n_feat"), 4))
+            .alias("avg_bits"),
+        )
+    )
+
+
+_DSIR_TGT_SQL = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+
+SQL_DSIR_IMPORTANCE = f"""
+WITH {DUCK_DOCS_CTE},
+tk AS (SELECT doc_id, source, toks FROM sh_t),
+grams AS (
+  SELECT doc_id, unnest(toks) AS gram FROM tk
+  UNION ALL
+  SELECT doc_id, w1 || ' ' || w2 AS gram
+  FROM (
+    SELECT doc_id,
+           unnest(toks[1:len(toks) - 1]) AS w1,
+           unnest(toks[2:len(toks)]) AS w2
+    FROM tk WHERE len(toks) >= 2
+  )
+),
+feats AS (
+  SELECT g.doc_id, t.source IN ({_DSIR_TGT_SQL}) AS tgt,
+         {sql_salted('dsirf', 'g.gram')} % {DSIR_BUCKETS} AS b
+  FROM grams g JOIN tk t ON g.doc_id = t.doc_id
+),
+model AS (
+  SELECT b,
+         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT) AS cq
+  FROM feats GROUP BY b
+),
+tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cq) AS BIGINT) AS nq FROM model
+),
+scored AS (
+  SELECT f.doc_id, count(*) AS n_feat,
+         sum(length(bin(COALESCE(m.ct, 0) + 1)) - length(bin(t.nt + {DSIR_BUCKETS}))
+             - length(bin(COALESCE(m.cq, 0) + 1)) + length(bin(t.nq + {DSIR_BUCKETS}))
+         ) AS log2_w
+  FROM feats f
+  LEFT JOIN model m ON f.b = m.b
+  CROSS JOIN tot t
+  WHERE NOT f.tgt
+  GROUP BY f.doc_id
+)
+SELECT tk.doc_id,
+       CAST(COALESCE(s.n_feat, 0) AS BIGINT) AS n_feat,
+       CAST(COALESCE(s.log2_w, 0) AS BIGINT) AS log2_w,
+       CASE WHEN COALESCE(s.n_feat, 0) = 0 THEN 0.0
+            ELSE {sql_roundn('CAST(s.log2_w AS DOUBLE) / s.n_feat', 4)} END AS avg_bits
+FROM tk
+LEFT JOIN scored s ON tk.doc_id = s.doc_id
+WHERE tk.source NOT IN ({_DSIR_TGT_SQL})
+ORDER BY tk.doc_id"""
 
 
 # --- near-duplicate split-leakage audit --------------------------------------

@@ -225,6 +225,7 @@ _LLM_PIPELINE = [
     ("contamination_bloom", curation.contamination_bloom, curation.SQL_CONTAMINATION_BLOOM),
     ("split_leakage_check", corpus.split_leakage_check, corpus.SQL_SPLIT_LEAKAGE_CHECK),
     ("lm_bigram_score_pruned", corpus.lm_bigram_score_pruned, corpus.SQL_LM_BIGRAM_SCORE_PRUNED),
+    ("dsir_importance", corpus.dsir_importance, corpus.SQL_DSIR_IMPORTANCE),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
@@ -726,6 +727,51 @@ def q_lm_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register("dsir_score_stream", corpus.SQL_DSIR_IMPORTANCE)
+def q_dsir_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DSIR importance gate (streaming/dsir_stream.py): the
+    B-row hashed-n-gram importance model is the snapshot-keyed trained
+    artifact (corpus.dsir_model — the same frame the batch selector
+    reads), the raw (non-target) slice replays as a file stream, and
+    every micro-batch is scored through corpus.dsir_score_docs
+    verbatim.
+
+    Oracle: weights reference only the frozen model, never other
+    in-flight docs, so the union over micro-batches equals scoring the
+    whole raw slice at once — which is exactly dsir_importance. Its
+    batch oracle SQL certifies the stream's full output
+    (rows+schema+hash); only emission timing is a streaming-only
+    notion."""
+    from pyspark.sql import functions as F
+
+    from .operators.corpus import DSIR_TARGET_SOURCES, dsir_model, dsir_totals
+    from .streaming import dsir_stream as DS
+
+    tmp, tag = _stream_staging_path(sf_dir, "dsir_score_in", "documents")
+    _ensure_staged(
+        tmp,
+        lambda p: load_table(spark, sf_dir, "documents")
+        .filter(~F.col("source").isin(*DSIR_TARGET_SOURCES))
+        .select("doc_id", "text")
+        .repartition(4)
+        .write.mode("overwrite")
+        .json(p),
+    )
+    # the model is a snapshot-keyed trained artifact (checkpointed —
+    # every micro-batch joins pinned blocks); totals derive from it
+    model = dsir_model(spark, sf_dir)
+    out_root, checkpoint = _stream_run_dirs(sf_dir, "dsir_score")
+    out = (
+        DS.run_dsir_score(
+            spark, tmp, out_root, model=model, totals=dsir_totals(model), checkpoint=checkpoint
+        )
+        .select("doc_id", "n_feat", "log2_w", "avg_bits")
+        .orderBy("doc_id")
+    )
+    _finish_stream_run(out_root)  # replay terminated inside run_*
+    return out
+
+
 # --- certification ledger + rotation -----------------------------------------
 #
 # The external driver records correctness entries for the FIRST 50
@@ -876,6 +922,8 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "contamination_bloom": 8,
     "split_leakage_check": 8,
     "lm_bigram_score_pruned": None,
+    "dsir_importance": None,
+    "dsir_score_stream": None,
     "kpi_daily_approx_p90": 8,
     "events_distinct_users_approx": 8,
     "customer_value_deciles_approx": 8,

@@ -1,0 +1,66 @@
+"""Streaming DSIR importance gate — the ingest-time shape of the
+hashed-n-gram data selector (operators/corpus.py::dsir_importance): the
+B-row importance model is fit ONCE per target definition + corpus
+snapshot (dsir_model), and each arriving micro-batch of documents is
+scored against it (dsir_score_docs) — per-batch cost is |batch| feature
+occurrences joined to a broadcastable fixed model, independent of how
+much has already streamed. This is the deployment DSIR describes:
+selection weights computed at ingest, resampling downstream.
+
+Weights reference ONLY the frozen model — never other in-flight
+documents — so they are per-document pure functions: the union of
+per-batch scores is byte-identical to scoring the whole raw slice at
+once, regardless of batching. That decomposability is what lets the
+registry certify this stream against dsir_importance's batch oracle SQL
+(the strongest check a stream can carry) — the same argument as
+lm_score_stream and dedup_index_probe_stream.
+
+Idempotence: foreachBatch is at-least-once, so the score sink
+overwrites its batch_id-derived partition directory — a replayed batch
+converges to identical files (the run_with_quarantine contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.corpus import dsir_score_docs
+from .lm_stream import DOC_SCHEMA, _prepped_batch
+
+
+def run_dsir_score(
+    spark: SparkSession,
+    input_path: str,
+    out_root: str,
+    *,
+    model: DataFrame,
+    totals: DataFrame,
+    checkpoint: str,
+    one_file_per_batch: bool = False,
+) -> DataFrame:
+    """Drive the document file stream to completion (availableNow),
+    scoring every micro-batch against the frozen (model, totals) frames
+    and writing scores partitioned by batch_id with idempotent
+    per-batch overwrite. The model frames should be checkpointed /
+    persisted by the caller (each micro-batch joins them). Returns the
+    read-back union (doc_id, n_feat, log2_w, avg_bits, batch_id)."""
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if one_file_per_batch:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    stream = reader.json(input_path)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        scores = dsir_score_docs(_prepped_batch(batch_df), model, totals)
+        scores.write.mode("overwrite").parquet(f"{out_root}/scores/batch_id={batch_id}")
+
+    from .tuning import stream_shuffle
+
+    with stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(f"{out_root}/scores")

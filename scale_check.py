@@ -90,12 +90,11 @@ LLM_TIER = [
     # whose scale behavior was argued but unmeasured, plus the new
     # pruned-LM tier). Expected rows_ratio: contamination_bloom ~10.0
     # (within-replica contamination preserved, renamed grams never
-    # collide across replicas); split_leakage_check ~10 in expectation
-    # only (splits are digest-keyed and renaming changes digests, so
-    # each replica re-rolls its split assignment); embedding_outliers
-    # and shingle_df_profile are fixed-size rollups (top-k per label /
-    # <=40 histogram rows) — their ratio is ~1 by design and the factor
-    # is the signal
+    # collide across replicas); split_leakage_check, embedding_outliers
+    # and shingle_df_profile are fixed-size rollups (<=6 split-pair
+    # rows / top-k per label / <=40 histogram rows) — their ratio is
+    # ~1 by design and the factor is the signal (the pair/corpus volume
+    # underneath them is what grows 10x)
     "lm_bigram_score_pruned",
     "contamination_bloom",
     "split_leakage_check",
