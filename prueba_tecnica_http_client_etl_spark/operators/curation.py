@@ -21,6 +21,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -667,7 +669,16 @@ ORDER BY funnel.source"""
 
 # --- Bloom-prescreened contamination (the Dolma/CCNet-scale shape) -----------
 
-BLOOM_BITS_LOG2 = 16  # m = 65536 bits -> 1024 packed longs of driver state
+# m = 2^16 bits -> 1024 packed longs of driver state by default. The
+# filter is LOSSLESS at any geometry (no false negatives; FPs only cost
+# verify work), so m is a pure throughput knob with a bit-identical
+# output — production sizes it to the probe-set release (~24 bits/gram)
+# and the env override lets the scale harness demonstrate exactly that
+# (BASELINE.md round-9: the fixed default saturates at 100x probe
+# volume; rescaling m restores the prescreen's kill rate). The geometry
+# is part of the trained artifact's identity, so bitmaps trained at
+# different (m, k) never serve each other.
+BLOOM_BITS_LOG2 = int(os.environ.get("SPARK_GRAFT_BLOOM_BITS_LOG2", "16"))
 BLOOM_K = 4  # hash functions; ~0.2% FP at m/n ~ 24 bits/gram (sf0.1 probe set)
 
 
@@ -729,8 +740,12 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         words = {r["word"]: r["w"] for r in packed}
         bitmap = [words.get(i, 0) for i in range(m // 64)]
-        return spark.range(1).select(
-            F.array(*[F.lit(v).cast("long") for v in bitmap]).alias("bf")
+        # the bitmap travels as DATA (one LocalTableScan row), never as
+        # m/64 literal expressions — a literal F.array at production m
+        # (2^23 -> 131k elements) would be a catastrophic plan tree,
+        # while a local row of the same longs broadcasts identically
+        return spark.createDataFrame(
+            [(bitmap,)], schema="bf array<long>"
         )
 
     # the trained bitmap is per-snapshot state (production trains it

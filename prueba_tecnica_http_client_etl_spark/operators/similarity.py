@@ -324,6 +324,25 @@ def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- IVF-style ANN (coarse quantizer + probed cells) -------------------------
 
 CENTROID_STRIDE = 97  # vec_id % 97 == 0 -> the deterministic coarse centroids
+# Seed-count BOUND (round-9, found by the 100x replica sweep): the bare
+# stride makes k = N/97 grow linearly with the corpus, so the Lloyd /
+# IVF assignment join is N x k = quadratic — at 100x sf0.1 (200k
+# vectors, 2062 seeds) one assignment pass spilled the host's disk.
+# Production k-means/IVF fixes k per deployment (nlist is a config, not
+# a fraction of N); the deterministic equivalent is the FIRST
+# CENTROID_MAX_K strided seeds: vec_id < STRIDE * MAX_K. Inactive below
+# 24832 vectors (sf0.1 tops at 2000, the 10x replica at 20k), so every
+# certified output and every recorded 10x factor is unchanged; at 100x
+# it pins k = 256 and the assignment returns to linear.
+CENTROID_MAX_K = 256
+_CENT_CAP = CENTROID_STRIDE * CENTROID_MAX_K  # 24832
+
+
+def _strided_seeds(emb):
+    # the bounded deterministic coarse-centroid seed set
+    return emb.filter(
+        (F.col("vec_id") % CENTROID_STRIDE == 0) & (F.col("vec_id") < _CENT_CAP)
+    )
 # Probed cells per query. Measured on this corpus at sf0.1 (~103 cells),
 # recall@10 vs brute force: NPROBE=2 -> 0.29, 4 -> 0.45, 8 -> 0.68 at near-
 # equal wall time locally; candidate volume (the 100 TB cost) scales as
@@ -355,7 +374,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = No
     both engines."""
     if emb is None:
         emb = managed_persist(_quantized(spark, sf_dir))
-    cents = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+    cents = _strided_seeds(emb).select(
         F.col("vec_id").alias("cent_id"), F.col("q").alias("qc"), F.col("nrm").alias("nc")
     )
     return _ivf_probe_topk(emb, cents)
@@ -447,7 +466,7 @@ ORDER BY query_id, rank"""
 
 
 SQL_ANN_IVF_TOPK = _sql_ivf_probe(
-    f"SELECT vec_id AS cent_id, q AS qc, nrm AS nc FROM qn WHERE vec_id % {CENTROID_STRIDE} = 0"
+    f"SELECT vec_id AS cent_id, q AS qc, nrm AS nc FROM qn WHERE vec_id % {CENTROID_STRIDE} = 0 AND vec_id < {_CENT_CAP}"
 )
 
 
@@ -714,7 +733,7 @@ def _trained_centroids(emb: DataFrame) -> DataFrame:
     update is posexplode + partial-aggregated component sums (shuffle =
     k x 64 partials) with the portable floor(sum/n + 0.5) integer
     rounding, so the trained state is bit-identical in both engines."""
-    cents = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+    cents = _strided_seeds(emb).select(
         F.col("vec_id").alias("cent_id"), F.col("q").alias("qc")
     )
     for _ in range(KMEANS_ITERS - 1):
@@ -804,7 +823,7 @@ def _duck_sqdist(q: str, qc: str) -> str:
 # cents0 -> one Lloyd update -> cents1: the trained-quantizer CTE chain,
 # shared by the kmeans oracle and the learned-IVF oracle.
 _SQL_TRAINED_CENTS = f"""cents0 AS (
-  SELECT vec_id AS cent_id, q AS qc FROM qn WHERE vec_id % {CENTROID_STRIDE} = 0
+  SELECT vec_id AS cent_id, q AS qc FROM qn WHERE vec_id % {CENTROID_STRIDE} = 0 AND vec_id < {_CENT_CAP}
 ),
 a0 AS (
   SELECT vec_id, q, cent_id, d2,
@@ -1076,7 +1095,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-deterministic in both engines (exact BIGINT d2 and dot products).
     """
     emb = managed_persist(_quantized(spark, sf_dir))
-    cents = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+    cents = _strided_seeds(emb).select(
         F.col("vec_id").alias("cent_id"), F.col("q").alias("qc")
     )
     w = Window.partitionBy("vec_id").orderBy("d2", "cent_id")
@@ -1110,7 +1129,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_SEMANTIC = f"""
 WITH {DUCK_QUANT_CTE},
 cents0 AS (
-  SELECT vec_id AS cent_id, q AS qc FROM qn WHERE vec_id % {CENTROID_STRIDE} = 0
+  SELECT vec_id AS cent_id, q AS qc FROM qn WHERE vec_id % {CENTROID_STRIDE} = 0 AND vec_id < {_CENT_CAP}
 ),
 a0 AS (
   SELECT vec_id, q, nrm, cent_id,

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from ..functions.portable import roundn
 from ..operators.similarity import (
     CENTROID_STRIDE,
+    _strided_seeds,
     NPROBE,
     TOPK,
     _SPARK_PAIR_DOT,
@@ -61,7 +62,7 @@ def build_ivf_index(
     for suffix in ("cents", "cells"):
         _clear_orphaned_location(spark, f"{prefix}_{suffix}")
     if cents is None:
-        cents = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        cents = _strided_seeds(emb).select(
             F.col("vec_id").alias("cent_id"),
             F.col("q").alias("qc"),
             F.col("nrm").alias("nc"),

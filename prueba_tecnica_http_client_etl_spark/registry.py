@@ -949,9 +949,25 @@ _ANCHORS = ["clean_coerce", "kpi_daily", "kpi_report_endpoint", "kpi_global"]
 # rows (staleness 4 this round) must stay <= 50.
 _TOUCHED_THIS_ROUND: list[str] = [
     # verdict r8 item 3: the exact-verify join dropped its forced
-    # F.broadcast(probes) hint (curation.py) — output unchanged (same
-    # oracle, SQL_CONTAMINATION_CHECK) but the executed plan is new
+    # F.broadcast(probes) hint (curation.py), and the Bloom bitmap row
+    # now travels as data (createDataFrame) instead of m/64 literal
+    # expressions — output unchanged (same oracle,
+    # SQL_CONTAMINATION_CHECK) but the executed plan is new
     "contamination_bloom",
+    # round-9 coarse-centroid seed BOUND (similarity.py CENTROID_MAX_K,
+    # found by the 100x replica sweep): seeds gain a vec_id < 24832 cap
+    # that is inactive at every certified scale (outputs bit-identical,
+    # oracles updated in lockstep with the same predicate) but bounds
+    # k at production scale. Inline-seed consumers re-enter the window;
+    # for the trained tiers (centroid/codebook artifacts whose BUILDER
+    # plan changed, contents unchanged) the first-trainer
+    # representatives re-enter, as in round 8.
+    "ann_ivf_topk",
+    "ann_ivf_recall",
+    "dedup_semantic",
+    "kmeans_embeddings",
+    "ann_ivf_learned_topk",
+    "ann_ivfpq_topk",
 ]
 # Round-9 projection (verdict r8 items 2 & 6, for the 124-query
 # registry): the 9 round-5 rows (contamination_check,

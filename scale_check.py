@@ -96,6 +96,9 @@ LLM_TIER = [
     # ~1 by design and the factor is the signal (the pair/corpus volume
     # underneath them is what grows 10x)
     "lm_bigram_score_pruned",
+    # DSIR: the B-row model is corpus-size-independent by construction,
+    # so the factor isolates the scoring scan; output (raw docs) 10x
+    "dsir_importance",
     "contamination_bloom",
     "split_leakage_check",
     "embedding_outliers",
@@ -196,6 +199,139 @@ def build_replica(spark) -> None:
         f.write(f"{_REPLICA_VERSION} from={SF01}\n")
 
 
+# ---- 100x tier: two decades of measured scaling for the LLM flagships ------
+#
+# The 10x replica answers "does the plan survive a decade"; the 100x
+# tier (documents + embeddings only — all ops below touch nothing else)
+# answers whether the factors keep compounding linearly. 100 replicas
+# exceed the 64 distinct cyclic rotations of a dim-64 embedding, so
+# replica i composes rotation (i mod 64) with a GLOBAL SIGN FLIP for
+# i >= 64 — both orthogonal: within-replica norms/dots stay exactly the
+# base corpus's, and the flipped twin of a rotation sits at cosine -1
+# (never a near-dup). ANN topk queries are excluded by design: their
+# strided query set grows with the corpus, so the 100x raw factor would
+# bundle |Q| x |corpus| ~ 10^4 — measured at 10x instead.
+
+SF2 = os.environ.get("SPARK_GRAFT_SF2_DIR", "/tmp/spark_graft_sf2_replica")
+HUNDRED = 100
+_HUNDRED_VERSION = f"v1 replicas={HUNDRED}"
+
+HUNDRED_TIER = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_incremental",
+    "dedup_jaccard_prefix",
+    "shingle_df_profile",
+    "split_leakage_check",
+    "lm_bigram_score",
+    "lm_bigram_score_pruned",
+    "dsir_importance",
+    "contamination_bloom",
+    "kmeans_embeddings",
+    "embedding_outliers",
+]
+
+
+def build_hundred(spark) -> None:
+    """100-replica structure-preserving documents + embeddings from
+    sf0.1 (same marker protocol as build_replica)."""
+    from pyspark.sql import functions as F
+
+    from prueba_tecnica_http_client_etl_spark.schemas import load_table
+
+    marker = os.path.join(SF2, "_REPLICA_DONE")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().startswith(_HUNDRED_VERSION):
+                return
+    os.makedirs(SF2, exist_ok=True)
+
+    docs = load_table(spark, SF01, "documents")
+    span = int(docs.agg(F.max("doc_id") + 1).collect()[0][0])
+    parts = []
+    for i in range(HUNDRED):
+        df = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * span))
+        if i > 0:
+            df = df.withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", f"$1zzr{i}")
+            ).withColumn("n_chars", F.length("text"))
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(os.path.join(SF2, "documents.parquet"))
+
+    emb = load_table(spark, SF01, "embeddings")
+    vspan = int(emb.agg(F.max("vec_id") + 1).collect()[0][0])
+    parts = []
+    for i in range(HUNDRED):
+        df = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * vspan))
+        rot = i % 64
+        if rot:
+            df = df.withColumn(
+                "embedding",
+                F.expr(
+                    f"concat(slice(embedding, {rot} + 1, size(embedding) - {rot}), "
+                    f"slice(embedding, 1, {rot}))"
+                ),
+            )
+        if i >= 64:
+            df = df.withColumn(
+                "embedding", F.expr("transform(embedding, x -> -x)")
+            )
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(os.path.join(SF2, "embeddings.parquet"))
+    with open(marker, "w") as f:
+        f.write(f"{_HUNDRED_VERSION} from={SF01}\n")
+
+
+def main_hundred(only: list[str] | None) -> int:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from prueba_tecnica_http_client_etl_spark import registry
+    from prueba_tecnica_http_client_etl_spark.functions import artifacts as A
+    from prueba_tecnica_http_client_etl_spark.operators import curation as Cu
+    from prueba_tecnica_http_client_etl_spark.operators import dedup as D
+    from prueba_tecnica_http_client_etl_spark.session import get_spark
+
+    spark = get_spark("scale-check-100x")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_hundred(spark)
+    qs = registry.queries()
+    tier = [n for n in HUNDRED_TIER if only is None or n in only]
+
+    def timed(name: str, sf_dir: str) -> tuple[float, int]:
+        best, nrows = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            nrows = len(qs[name](spark, sf_dir).collect())
+            best = min(best, time.perf_counter() - t0)
+        return best, nrows
+
+    out = {"bloom_bits_log2": Cu.BLOOM_BITS_LOG2, "replicas": HUNDRED}
+    for sf_dir, label in ((SF01, "sf0.1"), (SF2, "sf10")):
+        A.clear()
+        t0 = time.perf_counter()
+        D.lsh_bands(spark, sf_dir)
+        out.setdefault("lsh_train", {})[label] = round(time.perf_counter() - t0, 2)
+        for name in tier:
+            t, nrows = timed(name, sf_dir)
+            out.setdefault(name, {})[label] = {"s": round(t, 2), "rows": nrows}
+            print(f"{label} {name}: {t:.2f}s rows={nrows}", flush=True)
+    for name in tier:
+        s, b = out[name]["sf0.1"], out[name]["sf10"]
+        out[name]["factor"] = round(b["s"] / max(s["s"], 1e-9), 2)
+        out[name]["rows_ratio"] = round(b["rows"] / max(s["rows"], 1), 2)
+    out["lsh_train"]["factor"] = round(
+        out["lsh_train"]["sf10"] / max(out["lsh_train"]["sf0.1"], 1e-9), 2
+    )
+    print(json.dumps({"scale_check_100x": out}))
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from prueba_tecnica_http_client_etl_spark import registry
@@ -286,4 +422,10 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if "--hundred" in sys.argv:
+        _only = None
+        for a in sys.argv[1:]:
+            if a.startswith("--only="):
+                _only = a.split("=", 1)[1].split(",")
+        sys.exit(main_hundred(_only))
     sys.exit(main())

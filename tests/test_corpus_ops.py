@@ -76,6 +76,7 @@ def test_sequence_pack_window_is_per_source_not_global(spark):
 
 def test_kmeans_partitions_all_vectors_over_seed_centroids(spark):
     from prueba_tecnica_http_client_etl_spark.operators.similarity import (
+        _CENT_CAP,
         CENTROID_STRIDE,
         kmeans_embeddings,
     )
@@ -85,7 +86,8 @@ def test_kmeans_partitions_all_vectors_over_seed_centroids(spark):
     n_vec = load_table(spark, SF_SMOKE, "embeddings").count()
     assert sum(r.n_vectors for r in rows) == n_vec
     seeds = {r for (r,) in load_table(spark, SF_SMOKE, "embeddings")
-             .selectExpr("vec_id").collect() if r % CENTROID_STRIDE == 0}
+             .selectExpr("vec_id").collect()
+             if r % CENTROID_STRIDE == 0 and r < _CENT_CAP}
     assert {r.cluster_id for r in rows} <= seeds
     assert all(r.inertia >= 0 for r in rows)
 
