@@ -226,6 +226,7 @@ _LLM_PIPELINE = [
     ("split_leakage_check", corpus.split_leakage_check, corpus.SQL_SPLIT_LEAKAGE_CHECK),
     ("lm_bigram_score_pruned", corpus.lm_bigram_score_pruned, corpus.SQL_LM_BIGRAM_SCORE_PRUNED),
     ("dsir_importance", corpus.dsir_importance, corpus.SQL_DSIR_IMPORTANCE),
+    ("ann_filtered_topk", similarity.ann_filtered_topk, similarity.SQL_ANN_FILTERED_TOPK),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
@@ -924,6 +925,7 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "lm_bigram_score_pruned": None,
     "dsir_importance": None,
     "dsir_score_stream": None,
+    "ann_filtered_topk": None,
     "kpi_daily_approx_p90": 8,
     "events_distinct_users_approx": 8,
     "customer_value_deciles_approx": 8,
@@ -969,6 +971,12 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "ann_ivf_learned_topk",
     "ann_ivfpq_topk",
 ]
+# Round-9 head budget is CLOSED at 15/15: 4 anchors + 4 never
+# (lm_bigram_score_pruned, dsir_importance, dsir_score_stream,
+# ann_filtered_topk) + 7 touched. 15 head + 9 forced r5 rows leaves
+# exactly 26 fill slots = every round-6 row (the round-10 wave fully
+# pre-rotates); one more registration or touch would push an r6 row
+# out and leave it forced-at-ceiling next round. Do not add either.
 # Round-9 projection (verdict r8 items 2 & 6, for the 124-query
 # registry): the 9 round-5 rows (contamination_check,
 # corpus_length_profile, multimodal_frame_sample, multimodal_meta,

@@ -99,6 +99,10 @@ LLM_TIER = [
     # DSIR: the B-row model is corpus-size-independent by construction,
     # so the factor isolates the scoring scan; output (raw docs) 10x
     "dsir_importance",
+    # filtered ANN: like ann_pq_topk, the strided query set grows 10x
+    # with the corpus, so the raw factor bundles |Q| x |corpus| —
+    # divide by REPLICAS for the per-query serving factor
+    "ann_filtered_topk",
     "contamination_bloom",
     "split_leakage_check",
     "embedding_outliers",

@@ -165,3 +165,32 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
 
     plan = _physical(purchases_near_views_range(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ann_filtered_topk_label_contract(spark):
+    """Every neighbor shares its query's label, no self-pairs, and ranks
+    are contiguous from 1 per query (a query whose label is missing from
+    all probed cells may return < TOPK rows — the honest pre-filter
+    contract)."""
+    from collections import defaultdict
+
+    from prueba_tecnica_http_client_etl_spark.operators.similarity import (
+        TOPK,
+        ann_filtered_topk,
+    )
+    from prueba_tecnica_http_client_etl_spark.schemas import load_table
+
+    rows = ann_filtered_topk(spark, SF_SMOKE).collect()
+    assert rows
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "label").collect()
+    }
+    per_q = defaultdict(list)
+    for r in rows:
+        assert r.label == labels[r.query_id] == labels[r.neighbor_id]
+        assert r.query_id != r.neighbor_id
+        per_q[r.query_id].append(r.rank)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= TOPK

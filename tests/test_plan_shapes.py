@@ -215,3 +215,23 @@ def test_contamination_bloom_never_forces_probe_broadcast(spark):
     assert "bf#" in hinted_tail, hinted_tail
     A.clear()
     drain()
+
+
+def test_ann_filtered_topk_prefilters_via_join_key(spark):
+    """The label predicate must be PART OF THE CANDIDATE JOIN KEY
+    (cell AND label), not a post-join filter: pre-filtering is the whole
+    point of the tier (filtered-out vectors are dropped by the shuffle
+    itself and never scored). A plan where the candidate join keys on
+    cell alone and filters label afterwards has post-filter cost with
+    pre-filter recall — the worst of both."""
+    from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain
+    from prueba_tecnica_http_client_etl_spark.operators.similarity import ann_filtered_topk
+
+    plan = _physical(ann_filtered_topk(spark, SF_SMOKE))
+    joins = [
+        ln for ln in plan.splitlines()
+        if ("HashJoin" in ln or "SortMergeJoin" in ln) and "cell" in ln
+    ]
+    assert joins, plan
+    assert any("label" in ln for ln in joins), "\n".join(joins)
+    drain()
