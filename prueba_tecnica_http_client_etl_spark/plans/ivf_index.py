@@ -52,12 +52,22 @@ def _cos_to_cent() -> F.Column:
 
 
 def build_ivf_index(
-    emb: DataFrame, *, prefix: str, n_buckets: int = 8, cents: DataFrame | None = None
+    emb: DataFrame,
+    *,
+    prefix: str,
+    n_buckets: int = 8,
+    cents: DataFrame | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> None:
     """Materialize the quantizer + inverted lists for `emb`
     (vec_id, q, nrm). Default quantizer is the deterministic stride
     (same as ann_ivf_topk); pass `cents` (cent_id, qc, nc) to index under
-    a trained quantizer instead (kmeans_embeddings' centroids)."""
+    a trained quantizer instead (kmeans_embeddings' centroids).
+
+    `carry_cols` copies metadata columns (e.g. `label`) into the
+    inverted lists so filtered probes can prune at the SCAN
+    (probe_ivf_index's `label=` — the payload-filter-inside-cell-visit
+    shape production vector stores run for tenant/class predicates)."""
     spark = emb.sparkSession
     for suffix in ("cents", "cells"):
         _clear_orphaned_location(spark, f"{prefix}_{suffix}")
@@ -80,24 +90,41 @@ def build_ivf_index(
             F.col("vec_id").alias("neighbor_id"),
             F.col("q").alias("qb"),
             F.col("nrm").alias("nb"),
+            *[F.col(c) for c in carry_cols],
         )
     )
     write_bucketed(assigned, f"{prefix}_cells", bucket_cols=["cell"], n_buckets=n_buckets)
 
 
-def probe_ivf_index(spark: SparkSession, queries: DataFrame, *, prefix: str) -> DataFrame:
+def probe_ivf_index(
+    spark: SparkSession,
+    queries: DataFrame,
+    *,
+    prefix: str,
+    nprobe: int = NPROBE,
+    label: int | None = None,
+) -> DataFrame:
     """Top-k approximate cosine neighbors for `queries` (vec_id, q, nrm)
     against the persisted index: each query ranks the broadcast quantizer,
-    probes its NPROBE nearest cells' inverted lists (bucketed equi-join on
-    cell — the index never shuffles), and ranks candidates by exact
-    quantized cosine. Output schema matches ann_ivf_topk."""
+    probes its `nprobe` nearest cells' inverted lists (bucketed equi-join
+    on cell — the index never shuffles), and ranks candidates by exact
+    quantized cosine. Output schema matches ann_ivf_topk.
+
+    `label=` is the persisted-index FILTERED probe (requires the index
+    built with carry_cols=("label",)): the predicate lands on the
+    inverted-list PARQUET SCAN itself (PushedFilters — asserted in
+    tests/test_ivf_index.py), so a selective filter reduces index I/O,
+    not just candidate count. This is the scan-side complement of
+    ann_filtered_topk's join-key pre-filter; pass a wider `nprobe`
+    (FILTERED_NPROBE) to pay for the thinner cells — the measured
+    recall ladder at FILTERED_NPROBE's definition applies unchanged."""
     cents = spark.table(f"{prefix}_cents")
     w_probe = Window.partitionBy("vec_id").orderBy(F.col("cent_cos").desc(), F.col("cent_id"))
     probes = (
         queries.join(F.broadcast(cents), F.lit(True))
         .withColumn("cent_cos", _cos_to_cent() / (F.col("nrm") * F.col("nc")))
         .withColumn("cent_rank", F.row_number().over(w_probe))
-        .filter(F.col("cent_rank") <= NPROBE)
+        .filter(F.col("cent_rank") <= nprobe)
         .select(
             F.col("cent_id").alias("cell"),
             F.col("vec_id").alias("query_id"),
@@ -106,6 +133,8 @@ def probe_ivf_index(spark: SparkSession, queries: DataFrame, *, prefix: str) -> 
         )
     )
     cells = spark.table(f"{prefix}_cells")
+    if label is not None:
+        cells = cells.filter(F.col("label") == F.lit(label)).drop("label")
     cos = F.expr(_SPARK_PAIR_DOT).cast("double") / (F.col("na") * F.col("nb"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), F.col("neighbor_id"))
     return (

@@ -37,3 +37,52 @@ def test_probe_reads_bucketed_cells(spark, built):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SelectedBucketsCount" in plan, plan
     assert "t_ivfidx_cells" in plan
+
+
+@pytest.fixture(scope="module")
+def built_labeled(spark):
+    emb = _quantized(spark, SF_SMOKE).persist()
+    IVF.build_ivf_index(emb, prefix="t_ivfidx_lbl", n_buckets=4, carry_cols=("label",))
+    yield emb
+    emb.unpersist()
+
+
+def test_filtered_probe_matches_ann_filtered_topk(spark, built_labeled):
+    """Per-label scan-filtered probes over the persisted index must
+    reproduce ann_filtered_topk (the join-key pre-filter tier) exactly:
+    same quantizer, same nprobe, same label predicate — two physical
+    strategies, one answer."""
+    from prueba_tecnica_http_client_etl_spark.operators.similarity import (
+        FILTERED_NPROBE,
+        ann_filtered_topk,
+    )
+
+    inline = ann_filtered_topk(spark, SF_SMOKE)
+    expected = sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.cosine_p1) for r in inline.collect()
+    )
+    got = []
+    for (lbl,) in built_labeled.select("label").distinct().collect():
+        queries = built_labeled.filter(
+            (F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("label") == lbl)
+        )
+        probe = IVF.probe_ivf_index(
+            spark, queries, prefix="t_ivfidx_lbl", nprobe=FILTERED_NPROBE, label=lbl
+        )
+        got.extend((r.query_id, r.neighbor_id, r.rank, r.cosine_p1) for r in probe.collect())
+    assert sorted(got) == expected
+    assert expected, "no filtered results at smoke scale"
+
+
+def test_filtered_probe_pushes_label_to_cells_scan(spark, built_labeled):
+    """The label predicate must reach the inverted-list parquet scan
+    (PushedFilters) — scan-side filtering is the point of carrying the
+    payload column into the index: a selective filter cuts index I/O,
+    not just candidate count."""
+    queries = built_labeled.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    df = IVF.probe_ivf_index(spark, queries, prefix="t_ivfidx_lbl", label=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = plan.split("t_ivfidx_lbl_cells", 1)[1]
+    pushed = scan.split("PushedFilters: [", 1)[1].split("]")[0]
+    assert "label" in pushed, pushed
+    assert "SelectedBucketsCount" in plan, plan
