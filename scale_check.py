@@ -233,6 +233,24 @@ HUNDRED_TIER = [
     "contamination_bloom",
     "kmeans_embeddings",
     "embedding_outliers",
+    # second batch (round 9): the iterative, set-similarity and
+    # text-quality families — each a distinct scale shape the first
+    # batch didn't cover (convergence loops, inverted-index joins,
+    # skew-prone vocab joins, per-source windows, fixed driver state)
+    "dedup_components",
+    "dedup_survivors",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_simhash",
+    "doc_commonness",
+    "tfidf_top_terms",
+    "vocab_topk",
+    "bpe_pair_counts",
+    "repetition_score",
+    "sequence_pack",
+    "corpus_length_profile",
+    "embedding_pca_top",
+    "dedup_semantic",
 ]
 
 
