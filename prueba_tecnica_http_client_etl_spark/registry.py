@@ -802,19 +802,19 @@ def q_dsir_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #            order), which bounds staleness: the test asserts every
 #            query older than MAX_STALENESS rounds is in this window.
 
-CURRENT_ROUND = 9
+CURRENT_ROUND = 10
 MAX_STALENESS = 4  # a row certified at round R must re-enter the window
 # by round R + MAX_STALENESS (asserted in tests/test_rotation_ledger.py)
 
 LAST_CERTIFIED: dict[str, int | None] = {
-    "clean_coerce": 8,
-    "kpi_daily": 8,
-    "kpi_report_endpoint": 8,
-    "kpi_global": 8,
+    "clean_coerce": 9,
+    "kpi_daily": 9,
+    "kpi_report_endpoint": 9,
+    "kpi_global": 9,
     "kpi_global_exact": 8,
-    "kpi_anomaly_days": 6,
+    "kpi_anomaly_days": 9,
     "kpi_rollup": 8,
-    "pricing_summary": 7,
+    "pricing_summary": 9,
     "top_revenue_orders": 7,
     "region_revenue": 7,
     "customers_with_open_orders": 7,
@@ -840,12 +840,12 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "events_hourly_window": 8,
     "event_value_by_type_salted": 8,
     "purchases_near_views_range": 8,
-    "snapshot_merge": 6,
-    "user_retention_cohorts": 6,
-    "event_funnel": 6,
+    "snapshot_merge": 9,
+    "user_retention_cohorts": 9,
+    "event_funnel": 9,
     "suppliers_blocking_orders": 7,
     "rolling_active_users": 7,
-    "audio_decode_stats": 6,
+    "audio_decode_stats": 9,
     "dedup_exact": 8,
     "dedup_minhash_lsh": 8,
     "dedup_simhash": 8,
@@ -854,9 +854,9 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "dedup_embedding_cosine": 8,
     "ann_cosine_topk": 8,
     "lsh_bucket_histogram": 8,
-    "ann_ivf_topk": 8,
+    "ann_ivf_topk": 9,
     "ann_lsh_topk": 8,
-    "ann_ivf_recall": 7,
+    "ann_ivf_recall": 9,
     "ann_lsh_recall": 8,
     "embedding_centroids": 8,
     "text_stats": 8,
@@ -865,39 +865,39 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "doc_fingerprint": 8,
     "tfidf_top_terms": 8,
     "corpus_mix": 8,
-    "multimodal_meta": 5,
-    "multimodal_frame_sample": 5,
-    "pii_scrub": 5,
-    "contamination_check": 5,
-    "quality_gate": 5,
-    "kmeans_embeddings": 7,
-    "vocab_topk": 5,
-    "repetition_score": 5,
-    "sequence_pack": 5,
+    "multimodal_meta": 9,
+    "multimodal_frame_sample": 9,
+    "pii_scrub": 9,
+    "contamination_check": 9,
+    "quality_gate": 9,
+    "kmeans_embeddings": 9,
+    "vocab_topk": 9,
+    "repetition_score": 9,
+    "sequence_pack": 9,
     "dedup_containment": 8,
-    "corpus_length_profile": 5,
-    "curation_pipeline": 6,
-    "tokenize_ids": 6,
-    "embedding_center_by_label": 6,
-    "sequence_pack_manifest": 6,
+    "corpus_length_profile": 9,
+    "curation_pipeline": 9,
+    "tokenize_ids": 9,
+    "embedding_center_by_label": 9,
+    "sequence_pack_manifest": 9,
     "dedup_incremental": 8,
-    "dedup_semantic": 6,
-    "dedup_lines": 6,
-    "quality_score": 6,
-    "sequence_pack_ids": 6,
-    "dedup_substring": 6,
-    "ann_ivf_learned_topk": 7,
+    "dedup_semantic": 9,
+    "dedup_lines": 9,
+    "quality_score": 9,
+    "sequence_pack_ids": 9,
+    "dedup_substring": 9,
+    "ann_ivf_learned_topk": 9,
     "ann_ivf_learned_recall": 7,
-    "bpe_pair_counts": 6,
-    "domain_mixture_plan": 6,
+    "bpe_pair_counts": 9,
+    "domain_mixture_plan": 9,
     "dedup_survivors": 7,
-    "source_overlap_matrix": 6,
-    "doc_commonness": 6,
+    "source_overlap_matrix": 9,
+    "doc_commonness": 9,
     "duplicate_rate_by_source": 8,
     "dedup_cluster_sizes": 7,
-    "pii_stats_by_source": 6,
-    "lang_confusion": 6,
-    "image_decode_stats": 6,
+    "pii_stats_by_source": 9,
+    "lang_confusion": 9,
+    "image_decode_stats": 9,
     "dedup_lsh_capped": 8,
     "dedup_lsh_cap_audit": 8,
     "embedding_pca_top": 7,
@@ -910,29 +910,29 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "dedup_jaccard_prefix": 8,
     "corpus_sample_per_source": 7,
     "pq_quantization_error": 7,
-    "ann_ivfpq_topk": 8,
+    "ann_ivfpq_topk": 9,
     "ann_ivfpq_recall": 7,
     "ann_ivfpq_rerank": 7,
     "ann_ivfpq_rerank_recall": 7,
-    "corpus_split": 6,
-    "corpus_split_stats": 6,
+    "corpus_split": 9,
+    "corpus_split_stats": 9,
     "lm_bigram_score": 8,
     "embedding_outliers": 8,
     "shingle_df_profile": 8,
     "lm_score_stream": 8,
-    "contamination_bloom": 8,
+    "contamination_bloom": 9,
     "split_leakage_check": 8,
-    "lm_bigram_score_pruned": None,
-    "dsir_importance": None,
-    "dsir_score_stream": None,
-    "ann_filtered_topk": None,
+    "lm_bigram_score_pruned": 9,
+    "dsir_importance": 9,
+    "dsir_score_stream": 9,
+    "ann_filtered_topk": 9,
     "kpi_daily_approx_p90": 8,
     "events_distinct_users_approx": 8,
     "customer_value_deciles_approx": 8,
-    "kpi_daily_stream": 6,
+    "kpi_daily_stream": 9,
     "sessionize_stream": 7,
-    "dedup_stream": 6,
-    "quality_gate_stream": 6,
+    "dedup_stream": 9,
+    "quality_gate_stream": 9,
     "dedup_index_probe_stream": 8,
     "range_join_stream": 7,
 }
@@ -944,51 +944,20 @@ _ANCHORS = ["clean_coerce", "kpi_daily", "kpi_report_endpoint", "kpi_global"]
 # or oracle) without being never-certified: they re-enter the window
 # right after the never-certified block, regardless of ledger age —
 # a green row from a previous round does not certify this round's code.
-# Round 9: starts empty after the ledger refresh; queries re-enter here
-# as their executed plans change during the round (e.g. the
-# contamination_bloom verify-join hint fix — verdict r8 item 3).
-# Window budget: 4 anchors + |never| + touched + the 9 forced round-5
-# rows (staleness 4 this round) must stay <= 50.
-_TOUCHED_THIS_ROUND: list[str] = [
-    # verdict r8 item 3: the exact-verify join dropped its forced
-    # F.broadcast(probes) hint (curation.py), and the Bloom bitmap row
-    # now travels as data (createDataFrame) instead of m/64 literal
-    # expressions — output unchanged (same oracle,
-    # SQL_CONTAMINATION_CHECK) but the executed plan is new
-    "contamination_bloom",
-    # round-9 coarse-centroid seed BOUND (similarity.py CENTROID_MAX_K,
-    # found by the 100x replica sweep): seeds gain a vec_id < 24832 cap
-    # that is inactive at every certified scale (outputs bit-identical,
-    # oracles updated in lockstep with the same predicate) but bounds
-    # k at production scale. Inline-seed consumers re-enter the window;
-    # for the trained tiers (centroid/codebook artifacts whose BUILDER
-    # plan changed, contents unchanged) the first-trainer
-    # representatives re-enter, as in round 8.
-    "ann_ivf_topk",
-    "ann_ivf_recall",
-    "dedup_semantic",
-    "kmeans_embeddings",
-    "ann_ivf_learned_topk",
-    "ann_ivfpq_topk",
-]
-# Round-9 head budget is CLOSED at 15/15: 4 anchors + 4 never
-# (lm_bigram_score_pruned, dsir_importance, dsir_score_stream,
-# ann_filtered_topk) + 7 touched. 15 head + 9 forced r5 rows leaves
-# exactly 26 fill slots = every round-6 row (the round-10 wave fully
-# pre-rotates); one more registration or touch would push an r6 row
-# out and leave it forced-at-ceiling next round. Do not add either.
-# Round-9 projection (verdict r8 items 2 & 6, for the 124-query
-# registry): the 9 round-5 rows (contamination_check,
-# corpus_length_profile, multimodal_frame_sample, multimodal_meta,
-# pii_scrub, quality_gate, repetition_score, sequence_pack, vocab_topk)
-# reach staleness 4 and are FORCED into this window; minimum load is
-# 4 anchors + 0 never + 9 forced = 13, leaving ~37 slots for touched +
-# oldest-first fill. Round-10 wave: 26 rows sit at round 6 and all hit
-# the ceiling at round 10 — the oldest-first fill must pre-rotate at
-# least 13 of them through round 9's spare slots so round 10's forced
-# set fits (verified by the projection check in
-# tests/test_rotation_ledger.py-adjacent planning, and mechanically by
-# _build_window's raise if it ever overflows).
+# Round 10: starts empty after the ledger refresh; queries re-enter here
+# as their executed plans change during the round.
+# Window budget: 4 anchors + |never| + touched + forced-stale rows
+# must stay <= 50.
+_TOUCHED_THIS_ROUND: list[str] = []
+# Round-10 projection (after the r9 ledger refresh): 0 never-certified,
+# 0 forced (the oldest rows sit at round 6 — staleness 4 — and round 6
+# rows were fully pre-rotated through round 9's fill, so none remain;
+# verify with _build_window()). Minimum head = 4 anchors, leaving ~46
+# fill slots. Oldest-first fill takes all 35 round-7 rows (they hit the
+# MAX_STALENESS ceiling at round 11 otherwise — verdict r9 item 2) plus
+# the head of the 40-row round-8 wave. Keep |touched| + new
+# registrations small (<= ~11) so the full r7 wave stays inside the
+# window.
 
 _WINDOW_SIZE = 50
 
