@@ -227,6 +227,7 @@ _LLM_PIPELINE = [
     ("lm_bigram_score_pruned", corpus.lm_bigram_score_pruned, corpus.SQL_LM_BIGRAM_SCORE_PRUNED),
     ("dsir_importance", corpus.dsir_importance, corpus.SQL_DSIR_IMPORTANCE),
     ("ann_filtered_topk", similarity.ann_filtered_topk, similarity.SQL_ANN_FILTERED_TOPK),
+    ("ann_filtered_learned_topk", similarity.ann_filtered_learned_topk, similarity.SQL_ANN_FILTERED_LEARNED_TOPK),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
@@ -802,53 +803,53 @@ def q_dsir_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #            order), which bounds staleness: the test asserts every
 #            query older than MAX_STALENESS rounds is in this window.
 
-CURRENT_ROUND = 10
+CURRENT_ROUND = 11
 MAX_STALENESS = 4  # a row certified at round R must re-enter the window
 # by round R + MAX_STALENESS (asserted in tests/test_rotation_ledger.py)
 
 LAST_CERTIFIED: dict[str, int | None] = {
-    "clean_coerce": 9,
-    "kpi_daily": 9,
-    "kpi_report_endpoint": 9,
-    "kpi_global": 9,
-    "kpi_global_exact": 8,
+    "clean_coerce": 10,
+    "kpi_daily": 10,
+    "kpi_report_endpoint": 10,
+    "kpi_global": 10,
+    "kpi_global_exact": 10,
     "kpi_anomaly_days": 9,
-    "kpi_rollup": 8,
+    "kpi_rollup": 10,
     "pricing_summary": 9,
-    "top_revenue_orders": 7,
-    "region_revenue": 7,
-    "customers_with_open_orders": 7,
-    "customers_without_orders": 7,
-    "top_orders_per_customer": 7,
-    "supplier_running_revenue": 8,
-    "nation_presence": 7,
-    "orders_cube": 7,
-    "events_daily_pivot": 7,
-    "sessionize_events": 8,
-    "purchase_after_view_asof": 8,
-    "shipped_within_30_days": 7,
-    "events_json_stats": 7,
-    "events_distinct_users": 7,
-    "small_quantity_revenue": 7,
-    "supplier_trailing_revenue": 7,
-    "latest_event_per_user": 7,
-    "user_daily_gapfill": 7,
-    "top_supplier_per_quarter": 7,
-    "high_balance_idle_customers": 7,
-    "stratified_event_sample": 7,
-    "customer_value_deciles": 7,
-    "events_hourly_window": 8,
-    "event_value_by_type_salted": 8,
-    "purchases_near_views_range": 8,
+    "top_revenue_orders": 10,
+    "region_revenue": 10,
+    "customers_with_open_orders": 10,
+    "customers_without_orders": 10,
+    "top_orders_per_customer": 10,
+    "supplier_running_revenue": 10,
+    "nation_presence": 10,
+    "orders_cube": 10,
+    "events_daily_pivot": 10,
+    "sessionize_events": 10,
+    "purchase_after_view_asof": 10,
+    "shipped_within_30_days": 10,
+    "events_json_stats": 10,
+    "events_distinct_users": 10,
+    "small_quantity_revenue": 10,
+    "supplier_trailing_revenue": 10,
+    "latest_event_per_user": 10,
+    "user_daily_gapfill": 10,
+    "top_supplier_per_quarter": 10,
+    "high_balance_idle_customers": 10,
+    "stratified_event_sample": 10,
+    "customer_value_deciles": 10,
+    "events_hourly_window": 10,
+    "event_value_by_type_salted": 10,
+    "purchases_near_views_range": 10,
     "snapshot_merge": 9,
     "user_retention_cohorts": 9,
     "event_funnel": 9,
-    "suppliers_blocking_orders": 7,
-    "rolling_active_users": 7,
+    "suppliers_blocking_orders": 10,
+    "rolling_active_users": 10,
     "audio_decode_stats": 9,
-    "dedup_exact": 8,
-    "dedup_minhash_lsh": 8,
-    "dedup_simhash": 8,
+    "dedup_exact": 10,
+    "dedup_minhash_lsh": 10,
+    "dedup_simhash": 10,
     "dedup_ngram_jaccard": 8,
     "dedup_components": 8,
     "dedup_embedding_cosine": 8,
@@ -887,33 +888,33 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "sequence_pack_ids": 9,
     "dedup_substring": 9,
     "ann_ivf_learned_topk": 9,
-    "ann_ivf_learned_recall": 7,
+    "ann_ivf_learned_recall": 10,
     "bpe_pair_counts": 9,
     "domain_mixture_plan": 9,
-    "dedup_survivors": 7,
+    "dedup_survivors": 10,
     "source_overlap_matrix": 9,
     "doc_commonness": 9,
     "duplicate_rate_by_source": 8,
-    "dedup_cluster_sizes": 7,
+    "dedup_cluster_sizes": 10,
     "pii_stats_by_source": 9,
     "lang_confusion": 9,
     "image_decode_stats": 9,
     "dedup_lsh_capped": 8,
     "dedup_lsh_cap_audit": 8,
-    "embedding_pca_top": 7,
+    "embedding_pca_top": 10,
     "ann_pq_topk": 8,
-    "ann_pq_rerank": 7,
-    "ann_pq_recall": 7,
-    "ann_pq_rerank_recall": 7,
+    "ann_pq_rerank": 10,
+    "ann_pq_recall": 10,
+    "ann_pq_rerank_recall": 10,
     "minhash_calibration": 8,
     "dedup_lsh_recall": 8,
     "dedup_jaccard_prefix": 8,
-    "corpus_sample_per_source": 7,
-    "pq_quantization_error": 7,
+    "corpus_sample_per_source": 10,
+    "pq_quantization_error": 10,
     "ann_ivfpq_topk": 9,
-    "ann_ivfpq_recall": 7,
-    "ann_ivfpq_rerank": 7,
-    "ann_ivfpq_rerank_recall": 7,
+    "ann_ivfpq_recall": 10,
+    "ann_ivfpq_rerank": 10,
+    "ann_ivfpq_rerank_recall": 10,
     "corpus_split": 9,
     "corpus_split_stats": 9,
     "lm_bigram_score": 8,
@@ -926,15 +927,16 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "dsir_importance": 9,
     "dsir_score_stream": 9,
     "ann_filtered_topk": 9,
+    "ann_filtered_learned_topk": None,
     "kpi_daily_approx_p90": 8,
     "events_distinct_users_approx": 8,
     "customer_value_deciles_approx": 8,
     "kpi_daily_stream": 9,
-    "sessionize_stream": 7,
+    "sessionize_stream": 10,
     "dedup_stream": 9,
     "quality_gate_stream": 9,
     "dedup_index_probe_stream": 8,
-    "range_join_stream": 7,
+    "range_join_stream": 10,
 }
 
 # the reference-surface anchor: always driver-certified (VERDICT r5 item 1)
@@ -944,20 +946,19 @@ _ANCHORS = ["clean_coerce", "kpi_daily", "kpi_report_endpoint", "kpi_global"]
 # or oracle) without being never-certified: they re-enter the window
 # right after the never-certified block, regardless of ledger age —
 # a green row from a previous round does not certify this round's code.
-# Round 10: starts empty after the ledger refresh; queries re-enter here
+# Round 11: starts empty after the ledger refresh; queries re-enter here
 # as their executed plans change during the round.
 # Window budget: 4 anchors + |never| + touched + forced-stale rows
 # must stay <= 50.
 _TOUCHED_THIS_ROUND: list[str] = []
-# Round-10 projection (after the r9 ledger refresh): 0 never-certified,
-# 0 forced (the oldest rows sit at round 6 — staleness 4 — and round 6
-# rows were fully pre-rotated through round 9's fill, so none remain;
-# verify with _build_window()). Minimum head = 4 anchors, leaving ~46
-# fill slots. Oldest-first fill takes all 35 round-7 rows (they hit the
-# MAX_STALENESS ceiling at round 11 otherwise — verdict r9 item 2) plus
-# the head of the 40-row round-8 wave. Keep |touched| + new
-# registrations small (<= ~11) so the full r7 wave stays inside the
-# window.
+# Round-11 projection (after the r10 ledger refresh: 50 rows @r10,
+# 46 @r9, 32 @r8 — the r10 verdict's "29 @r8" undercounted; the
+# CORRECTNESS files are the ground truth the ledger test recomputes).
+# 0 never-certified, 0 forced. Minimum head = 4 anchors, leaving 46
+# fill slots: oldest-first takes all 32 round-8 rows (their staleness
+# ceiling is round 12, so clearing them now leaves round 12 slack)
+# plus 14 round-9 rows. Keep |touched| + new registrations <= 14 so
+# the full r8 wave stays inside this window.
 
 _WINDOW_SIZE = 50
 

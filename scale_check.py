@@ -251,6 +251,16 @@ HUNDRED_TIER = [
     "corpus_length_profile",
     "embedding_pca_top",
     "dedup_semantic",
+    # third batch (round 11, verdict r10 item 5): the curation and
+    # tokenizer flagships that until now had only 10x numbers.
+    # quality_score / quality-gated curation_pipeline are per-doc
+    # rule cascades + an exact-dedup window (linear shapes);
+    # tokenize_ids / sequence_pack_ids are the per-token explode ->
+    # per-doc reassembly paths whose shuffle volume is the token count
+    "quality_score",
+    "curation_pipeline",
+    "tokenize_ids",
+    "sequence_pack_ids",
 ]
 
 

@@ -235,3 +235,25 @@ def test_ann_filtered_topk_prefilters_via_join_key(spark):
     assert joins, plan
     assert any("label" in ln for ln in joins), "\n".join(joins)
     drain()
+
+
+def test_ann_filtered_learned_topk_prefilters_via_join_key(spark):
+    """The learned-quantizer filtered tier must keep the strided tier's
+    plan shape: label as part of the candidate equi-join key, never a
+    post-join filter — swapping the quantizer must not change the
+    pre-filter strategy."""
+    from prueba_tecnica_http_client_etl_spark.functions import artifacts as A
+    from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain
+    from prueba_tecnica_http_client_etl_spark.operators.similarity import (
+        ann_filtered_learned_topk,
+    )
+
+    plan = _physical(ann_filtered_learned_topk(spark, SF_SMOKE))
+    joins = [
+        ln for ln in plan.splitlines()
+        if ("HashJoin" in ln or "SortMergeJoin" in ln) and "cell" in ln
+    ]
+    assert joins, plan
+    assert any("label" in ln for ln in joins), "\n".join(joins)
+    A.clear()
+    drain()
