@@ -669,17 +669,40 @@ ORDER BY funnel.source"""
 
 # --- Bloom-prescreened contamination (the Dolma/CCNet-scale shape) -----------
 
-# m = 2^16 bits -> 1024 packed longs of driver state by default. The
-# filter is LOSSLESS at any geometry (no false negatives; FPs only cost
-# verify work), so m is a pure throughput knob with a bit-identical
-# output — production sizes it to the probe-set release (~24 bits/gram)
-# and the env override lets the scale harness demonstrate exactly that
-# (BASELINE.md round-9: the fixed default saturates at 100x probe
-# volume; rescaling m restores the prescreen's kill rate). The geometry
-# is part of the trained artifact's identity, so bitmaps trained at
-# different (m, k) never serve each other.
-BLOOM_BITS_LOG2 = int(os.environ.get("SPARK_GRAFT_BLOOM_BITS_LOG2", "16"))
-BLOOM_K = 4  # hash functions; ~0.2% FP at m/n ~ 24 bits/gram (sf0.1 probe set)
+# Bloom geometry AUTO-SIZES to the trained probe set (verdict r10 item
+# 3): the round-9 100x sweep measured that a fixed m silently saturates
+# at production probe volumes (m/n fell to ~0.24 bits/gram and the
+# prescreen passed ~everything — still correct, the filter is LOSSLESS
+# at any geometry, but the kill rate it exists for was forfeited).
+# Production sizes m to the probe-set release; here the bitmap builder
+# already materializes the distinct probe grams, so m derives from
+# their count: next power of two of BLOOM_BITS_PER_GRAM * n, floored at
+# BLOOM_MIN_BITS_LOG2. Auto keeps m/n in [24, 48) bits/gram at ANY
+# probe volume above the floor (2^23 at the 100x sweep's probe volume —
+# the exact geometry the round-9 env-override rescue demonstrated by
+# hand; at every certified gate scale the auto size lands ON the 2^16
+# floor, so the executed plans there are bit-identical to the
+# previously-certified fixed default).
+# The env pin still wins when set (the scale harness uses it to
+# demonstrate geometry effects at a held geometry), and the geometry
+# stays part of the trained artifact's identity either way, so bitmaps
+# trained at different (m, k) never serve each other.
+BLOOM_BITS_PER_GRAM = 24  # target density; ~0.2% FP at k=4
+_BLOOM_ENV = os.environ.get("SPARK_GRAFT_BLOOM_BITS_LOG2", "")
+BLOOM_BITS_LOG2: int | None = int(_BLOOM_ENV) if _BLOOM_ENV else None  # None = auto
+BLOOM_MIN_BITS_LOG2 = 16  # floor: 1024 packed longs — the r8-certified
+# default geometry; tiny probe sets gain nothing from a smaller bitmap
+BLOOM_K = 4  # hash functions
+
+
+def bloom_bits_log2(n_probe_grams: int) -> int:
+    """log2(m) for the prescreen bitmap: the env pin wins; otherwise
+    the next power of two of BLOOM_BITS_PER_GRAM * n_probe_grams,
+    floored at BLOOM_MIN_BITS_LOG2 — so bits/gram lands in [24, 48)
+    whenever auto sizing is above the floor."""
+    if BLOOM_BITS_LOG2 is not None:
+        return BLOOM_BITS_LOG2
+    return max(BLOOM_MIN_BITS_LOG2, (max(1, n_probe_grams) * BLOOM_BITS_PER_GRAM - 1).bit_length())
 
 
 def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -702,24 +725,50 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     test kills ~all non-contaminated grams map-side, and the exact join
     then touches only (true hits + FP) rows. The bitmap here travels as
     a broadcast 1-row array<long> built by a bit_or aggregate — the
-    driver holds m/64 longs (1024; bounded like embedding_pca_top's
-    64-int state); at larger m hand the same longs to a broadcast
-    variable instead of a literal row.
+    driver holds m/64 longs (bounded like embedding_pca_top's 64-int
+    state); at larger m hand the same longs to a broadcast variable
+    instead of a literal row.
+
+    Geometry is AUTO-SIZED per probe-set release (bloom_bits_log2): m
+    tracks the distinct probe-gram count at ~BLOOM_BITS_PER_GRAM bits
+    each, so the prescreen keeps its kill rate at any probe volume
+    instead of silently saturating at a fixed default (the failure the
+    round-9 100x sweep measured). Output is byte-identical at every
+    geometry — sizing only moves work between the prescreen and the
+    exact verify join.
 
     The prescreen uses engine-specific hashing (xxhash64), which is
     certifiable ONLY because it cannot change the output — the lossless
     two-tier pattern this repo uses everywhere (LSH banding -> exact
     Jaccard, PQ ADC -> exact rerank, prefix filter -> exact count)."""
+    bf_row, probes, m_log2 = bloom_trained_state(spark, sf_dir)
+    d = docs_normalized(spark, sf_dir).withColumn("grams", F.expr(_SPARK_GRAMS))
+    return bloom_score_docs(
+        d.filter(F.col("doc_id") % PROBE_STRIDE != 0), bf_row, probes, m_log2
+    )
+
+
+def bloom_trained_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, int]:
+    """(bf_row, probes, m_log2): the frozen per-snapshot decontamination
+    state — the pooled distinct probe-gram relation, its geometry-keyed
+    Bloom bitmap (a trained artifact), and the auto-sized geometry.
+    Shared by the batch operator and the streaming ingest gate."""
     from ..functions.artifacts import artifact_key, trained_artifact
     from ..functions.cachepool import managed_persist
 
-    m = 1 << BLOOM_BITS_LOG2
     d = docs_normalized(spark, sf_dir).withColumn("grams", F.expr(_SPARK_GRAMS))
     probes = managed_persist(
         d.filter(F.col("doc_id") % PROBE_STRIDE == 0)
         .select(F.explode_outer("grams").alias("gram"))
         .distinct()
     )
+    # sizing pass (verdict r10 item 3): count the distinct probe grams
+    # the fold is about to consume and derive m from them. The count
+    # materializes the pooled probe frame the exact verify join reuses,
+    # so it is the same single probe pass as before, not an extra one —
+    # and a bounded driver action (one long), like the bitmap itself.
+    m_log2 = bloom_bits_log2(probes.count())
+    m = 1 << m_log2
 
     def build_bitmap() -> DataFrame:
         pos = [
@@ -758,15 +807,27 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must never serve a run configured for another
     bf_row = trained_artifact(
         artifact_key(
-            f"contamination_bloom_bitmap_m{BLOOM_BITS_LOG2}_k{BLOOM_K}",
+            f"contamination_bloom_bitmap_m{m_log2}_k{BLOOM_K}",
             spark,
             sf_dir,
             "documents",
         ),
         build_bitmap,
     )
+    return bf_row, probes, m_log2
 
-    corpus = d.filter(F.col("doc_id") % PROBE_STRIDE != 0).select(
+
+def bloom_score_docs(
+    d_grams: DataFrame, bf_row: DataFrame, probes: DataFrame, m_log2: int
+) -> DataFrame:
+    """(doc_id, n_grams, n_overlap, contamination) for a (doc_id, grams)
+    frame against the frozen (bitmap, probe-gram) state — the prescreen
+    + exact verify chain shared verbatim by contamination_bloom and the
+    streaming ingest gate (streaming/contamination_stream.py). Per-doc
+    output references only the frozen probe set, which is what makes the
+    stream's per-batch union byte-identical to the batch check."""
+    m = 1 << m_log2
+    corpus = d_grams.select(
         "doc_id",
         F.size("grams").cast("long").alias("n_grams"),
         F.explode_outer("grams").alias("gram"),
@@ -802,6 +863,21 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _bloom_auto_geometry(spark: SparkSession, sf_dir: str) -> int:
+    """The m_log2 contamination_bloom derives for this corpus — for
+    tests/harnesses that reconstruct the artifact key or assert the
+    bits-per-gram band. Runs its own probe-count pass (test-path only;
+    the operator itself counts the pooled frame its fold consumes)."""
+    d = docs_normalized(spark, sf_dir).withColumn("grams", F.expr(_SPARK_GRAMS))
+    n = (
+        d.filter(F.col("doc_id") % PROBE_STRIDE == 0)
+        .select(F.explode_outer("grams").alias("gram"))
+        .distinct()
+        .count()
+    )
+    return bloom_bits_log2(n)
 
 
 # the prescreen is lossless, so the exact check's SQL certifies it

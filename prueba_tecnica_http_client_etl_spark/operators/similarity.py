@@ -701,6 +701,14 @@ def _recall_vs_exact(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
     approx = approx_fn(spark, sf_dir, emb=emb, _canonical_emb=True).select(
         "query_id", "neighbor_id"
     )
+    return _recall_frame(exact, approx)
+
+
+def _recall_frame(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """The per-query recall arithmetic shared by every gate: hits =
+    |exact ∩ approx| per query, denominator = |exact| per query. A pure
+    extraction of _recall_vs_exact's tail (identical plan), shared with
+    the filtered gates whose ground truth differs."""
     hits = (
         exact.join(approx, ["query_id", "neighbor_id"])
         .groupBy("query_id")
@@ -734,10 +742,13 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(spark, sf_dir, ann_lsh_topk)
 
 
-def _sql_recall(approx_sql: str) -> str:
+def _sql_recall(approx_sql: str, exact_sql: str | None = None) -> str:
+    """Recall-gate SQL twin. exact_sql overrides the unfiltered
+    brute-force ground truth (the filtered gates measure against the
+    same-label brute force — the only correct yardstick for them)."""
     return f"""
 WITH exact AS (
-  SELECT query_id, neighbor_id FROM ({SQL_ANN_COSINE_TOPK})
+  SELECT query_id, neighbor_id FROM ({exact_sql if exact_sql is not None else SQL_ANN_COSINE_TOPK})
 ),
 approx AS (
   SELECT query_id, neighbor_id FROM ({approx_sql})
@@ -1033,6 +1044,98 @@ SQL_ANN_FILTERED_LEARNED_TOPK = _sql_ivf_probe(
     extra_ctes=f"\n{_SQL_TRAINED_CENTS},",
     nprobe=FILTERED_NPROBE,
     same_label=True,
+)
+
+
+# --- filtered-ANN recall gates ------------------------------------------------
+#
+# The unfiltered brute force is the WRONG yardstick for a filtered
+# tier (a filtered result can never contain a cross-label neighbor, so
+# its "recall" against unfiltered exact is bounded by label purity,
+# not search quality). These gates measure against the same-label
+# brute force — the yardstick the FILTERED_NPROBE ladder was tuned on
+# (ladders at the constant and at ann_filtered_learned_topk).
+
+
+def _filtered_exact_topk(emb: DataFrame) -> DataFrame:
+    """Brute-force SAME-LABEL top-k — the filtered gates' ground truth:
+    per strided query, exact quantized cosine over every vector sharing
+    the query's label (the label equi-join is the same blocking
+    dedup_embedding_cosine uses; per-query work is |corpus| x label
+    selectivity, and at 100 TB the gate runs on a sampled query set
+    exactly like the unfiltered one)."""
+    probes = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        "label", F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), F.col("nrm").alias("na")
+    )
+    corpus = emb.select(
+        "label", F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"), F.col("nrm").alias("nb")
+    )
+    cos = F.expr(_SPARK_PAIR_DOT).cast("double") / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), F.col("neighbor_id"))
+    return (
+        F.broadcast(probes)
+        .join(corpus, "label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_raw", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _recall_vs_filtered_exact(
+    spark: SparkSession, sf_dir: str, approx_fn, **approx_kwargs
+) -> DataFrame:
+    """_recall_vs_exact's twin with the same-label ground truth. The
+    filtered exact top-k is its own trained artifact (a production
+    recall audit versions one ground-truth table per (query set,
+    filter) pair), separate from the unfiltered one."""
+    emb = managed_persist(_quantized(spark, sf_dir))
+    exact = trained_artifact(
+        artifact_key("ann_filtered_ground_truth_topk", spark, sf_dir, "embeddings"),
+        lambda: _filtered_exact_topk(emb),
+    )
+    approx = approx_fn(spark, sf_dir, emb=emb, **approx_kwargs).select("query_id", "neighbor_id")
+    return _recall_frame(exact, approx)
+
+
+def ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10 of the strided filtered tier against the
+    same-label brute force (0.8975 mean at sf0.1 / FILTERED_NPROBE=16,
+    the pinned ladder rung)."""
+    return _recall_vs_filtered_exact(spark, sf_dir, ann_filtered_topk)
+
+
+def ann_filtered_learned_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10 of the learned-quantizer filtered tier
+    (0.9125 mean at sf0.1 — the strided-vs-trained comparison is the
+    two gates' outputs side by side, same pattern as
+    ann_ivf_recall / ann_ivf_learned_recall)."""
+    return _recall_vs_filtered_exact(
+        spark, sf_dir, ann_filtered_learned_topk, _canonical_emb=True
+    )
+
+
+SQL_ANN_FILTERED_EXACT_TOPK = f"""
+WITH {DUCK_QUANT_CTE},
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.q, b.q) / (a.nrm * b.nrm) AS cosine_raw
+  FROM qn a JOIN qn b ON a.label = b.label AND b.vec_id <> a.vec_id
+  WHERE a.vec_id % {QUERY_STRIDE} = 0
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id FROM ranked WHERE rank <= {TOPK}"""
+
+SQL_ANN_FILTERED_RECALL = _sql_recall(
+    SQL_ANN_FILTERED_TOPK, exact_sql=SQL_ANN_FILTERED_EXACT_TOPK
+)
+SQL_ANN_FILTERED_LEARNED_RECALL = _sql_recall(
+    SQL_ANN_FILTERED_LEARNED_TOPK, exact_sql=SQL_ANN_FILTERED_EXACT_TOPK
 )
 
 

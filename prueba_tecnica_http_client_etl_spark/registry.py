@@ -228,6 +228,8 @@ _LLM_PIPELINE = [
     ("dsir_importance", corpus.dsir_importance, corpus.SQL_DSIR_IMPORTANCE),
     ("ann_filtered_topk", similarity.ann_filtered_topk, similarity.SQL_ANN_FILTERED_TOPK),
     ("ann_filtered_learned_topk", similarity.ann_filtered_learned_topk, similarity.SQL_ANN_FILTERED_LEARNED_TOPK),
+    ("ann_filtered_recall", similarity.ann_filtered_recall, similarity.SQL_ANN_FILTERED_RECALL),
+    ("ann_filtered_learned_recall", similarity.ann_filtered_learned_recall, similarity.SQL_ANN_FILTERED_LEARNED_RECALL),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
@@ -774,6 +776,52 @@ def q_dsir_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register("contamination_bloom_stream", curation.SQL_CONTAMINATION_CHECK)
+def q_contamination_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom-prescreened decontamination
+    (streaming/contamination_stream.py): the probe-set bitmap + exact
+    probe-gram relation are frozen once per snapshot
+    (curation.bloom_trained_state — the auto-sized geometry-keyed
+    trained artifact the batch operator shares), the corpus slice
+    replays as a file stream, and every micro-batch runs
+    curation.bloom_score_docs verbatim: grams die against the broadcast
+    bitmap map-side, survivors verify against the exact probe relation.
+
+    Oracle: per-doc contamination references only the frozen probe set,
+    never other in-flight docs, so the union over micro-batches equals
+    checking the whole corpus slice at once — which (prescreen being
+    lossless) is exactly contamination_check. Its batch oracle SQL
+    certifies the stream's full output (rows+schema+hash), the
+    strongest check a stream can carry — the ninth hash-certified
+    stream."""
+    from pyspark.sql import functions as F
+
+    from .operators.curation import PROBE_STRIDE, bloom_trained_state
+    from .streaming import contamination_stream as CS
+
+    tmp, tag = _stream_staging_path(sf_dir, "contamination_in", "documents")
+    _ensure_staged(
+        tmp,
+        lambda p: load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % PROBE_STRIDE != 0)
+        .select("doc_id", "text")
+        .repartition(4)
+        .write.mode("overwrite")
+        .json(p),
+    )
+    bf_row, probes, m_log2 = bloom_trained_state(spark, sf_dir)
+    out_root, checkpoint = _stream_run_dirs(sf_dir, "contamination")
+    out = (
+        CS.run_contamination(
+            spark, tmp, out_root, bf_row=bf_row, probes=probes, m_log2=m_log2, checkpoint=checkpoint
+        )
+        .select("doc_id", "n_grams", "n_overlap", "contamination")
+        .orderBy("doc_id")
+    )
+    _finish_stream_run(out_root)  # replay terminated inside run_*
+    return out
+
+
 # --- certification ledger + rotation -----------------------------------------
 #
 # The external driver records correctness entries for the FIRST 50
@@ -928,6 +976,8 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "dsir_score_stream": 9,
     "ann_filtered_topk": 9,
     "ann_filtered_learned_topk": None,
+    "ann_filtered_recall": None,
+    "ann_filtered_learned_recall": None,
     "kpi_daily_approx_p90": 8,
     "events_distinct_users_approx": 8,
     "customer_value_deciles_approx": 8,
@@ -937,6 +987,7 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "quality_gate_stream": 9,
     "dedup_index_probe_stream": 8,
     "range_join_stream": 10,
+    "contamination_bloom_stream": None,
 }
 
 # the reference-surface anchor: always driver-certified (VERDICT r5 item 1)
@@ -950,7 +1001,12 @@ _ANCHORS = ["clean_coerce", "kpi_daily", "kpi_report_endpoint", "kpi_global"]
 # as their executed plans change during the round.
 # Window budget: 4 anchors + |never| + touched + forced-stale rows
 # must stay <= 50.
-_TOUCHED_THIS_ROUND: list[str] = []
+_TOUCHED_THIS_ROUND: list[str] = [
+    # Bloom geometry auto-sizing (verdict r10 item 3): the executed plan
+    # at the gate scales is bit-identical (auto lands on the 2^16 floor
+    # there), but the sizing code path is new — certify it this round
+    "contamination_bloom",
+]
 # Round-11 projection (after the r10 ledger refresh: 50 rows @r10,
 # 46 @r9, 32 @r8 — the r10 verdict's "29 @r8" undercounted; the
 # CORRECTNESS files are the ground truth the ledger test recomputes).

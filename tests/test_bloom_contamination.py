@@ -33,7 +33,7 @@ def test_bitmap_is_memoized_trained_state(spark):
     from prueba_tecnica_http_client_etl_spark.operators import curation as Cu
 
     key = A.artifact_key(
-        f"contamination_bloom_bitmap_m{Cu.BLOOM_BITS_LOG2}_k{Cu.BLOOM_K}",
+        f"contamination_bloom_bitmap_m{Cu._bloom_auto_geometry(spark, SF_SMOKE)}_k{Cu.BLOOM_K}",
         spark,
         SF_SMOKE,
         "documents",
@@ -64,6 +64,58 @@ def test_prescreen_filter_sits_below_exact_join(spark):
     # tree) the join that brings in the probe grams on 'gram'
     join_at = plan.index("Join")
     assert plan.index("shiftright") > join_at, plan
+    A.clear()
+    drain()
+
+
+def test_bloom_auto_geometry_tracks_probe_volume(spark, monkeypatch):
+    """Auto-sized geometry (verdict r10 item 3): m derives from the
+    distinct probe-gram count, so bits/gram stays >= BLOOM_BITS_PER_GRAM
+    at every probe volume (and < 2x it whenever the size is above the
+    BLOOM_MIN_BITS_LOG2 floor), the output stays byte-identical to the
+    exact check at BOTH probe scales, and the two scales' bitmaps live
+    under DISTINCT geometry-keyed artifacts."""
+    from pyspark.sql import functions as F
+
+    from prueba_tecnica_http_client_etl_spark.operators import curation as Cu
+
+    monkeypatch.setattr(Cu, "BLOOM_BITS_LOG2", None)  # force auto even if env-pinned
+    geoms = {}
+    # stride 97 is the production probe split (lands on the floor at
+    # this corpus); stride 3 probes ~32x the docs, pushing the auto
+    # size above the floor — two genuinely different probe volumes
+    for stride in (97, 3):
+        # cleared per scale: PROBE_STRIDE is a fixed constant in
+        # production (the artifact key deliberately identifies only the
+        # corpus snapshot + geometry), so a monkeypatched stride must
+        # not serve bitmaps across this test's scales
+        A.clear()
+        drain()
+        monkeypatch.setattr(Cu, "PROBE_STRIDE", stride)
+        got = sorted(tuple(r) for r in Cu.contamination_bloom(spark, SF_SMOKE).collect())
+        drain()
+        want = sorted(tuple(r) for r in Cu.contamination_check(spark, SF_SMOKE).collect())
+        assert got == want and len(got) > 0
+        drain()
+        d = Cu.docs_normalized(spark, SF_SMOKE).withColumn("grams", F.expr(Cu._SPARK_GRAMS))
+        n = (
+            d.filter(F.col("doc_id") % stride == 0)
+            .select(F.explode_outer("grams").alias("g"))
+            .distinct()
+            .count()
+        )
+        m_log2 = Cu.bloom_bits_log2(n)
+        assert m_log2 == Cu._bloom_auto_geometry(spark, SF_SMOKE)
+        key = A.artifact_key(
+            f"contamination_bloom_bitmap_m{m_log2}_k{Cu.BLOOM_K}", spark, SF_SMOKE, "documents"
+        )
+        assert key in A._STORE, (stride, m_log2, list(A._STORE))
+        bits_per_gram = (1 << m_log2) / max(n, 1)
+        assert bits_per_gram >= Cu.BLOOM_BITS_PER_GRAM, (stride, n, m_log2)
+        if m_log2 > Cu.BLOOM_MIN_BITS_LOG2:
+            assert bits_per_gram < 2 * Cu.BLOOM_BITS_PER_GRAM, (stride, n, m_log2)
+        geoms[stride] = m_log2
+    assert geoms[3] > geoms[97] == Cu.BLOOM_MIN_BITS_LOG2, geoms
     A.clear()
     drain()
 

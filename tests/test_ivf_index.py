@@ -86,3 +86,49 @@ def test_filtered_probe_pushes_label_to_cells_scan(spark, built_labeled):
     pushed = scan.split("PushedFilters: [", 1)[1].split("]")[0]
     assert "label" in pushed, pushed
     assert "SelectedBucketsCount" in plan, plan
+
+
+def test_trained_filtered_probe_matches_ann_filtered_learned_topk(spark):
+    """Trained quantizer + scan-side label filter over the persisted
+    index must reproduce ann_filtered_learned_topk exactly — the full
+    production composition (train once, persist the index, serve
+    filtered probes from it) against the inline join-key tier: two
+    physical strategies, one answer, now for the learned quantizer
+    too."""
+    from prueba_tecnica_http_client_etl_spark.functions import artifacts as A
+    from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain
+    from prueba_tecnica_http_client_etl_spark.operators.similarity import (
+        FILTERED_NPROBE,
+        _coarse_centroids,
+        ann_filtered_learned_topk,
+    )
+
+    emb = _quantized(spark, SF_SMOKE).persist()
+    cents = _coarse_centroids(spark, SF_SMOKE, emb, canonical=False).select(
+        "cent_id",
+        "qc",
+        F.sqrt(
+            F.expr("aggregate(qc, cast(0 as bigint), (acc, v) -> acc + v * v)").cast("double")
+        ).alias("nc"),
+    )
+    IVF.build_ivf_index(
+        emb, prefix="t_ivfidx_lrn", n_buckets=4, cents=cents, carry_cols=("label",)
+    )
+    inline = ann_filtered_learned_topk(spark, SF_SMOKE)
+    expected = sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.cosine_p1) for r in inline.collect()
+    )
+    got = []
+    for (lbl,) in emb.select("label").distinct().collect():
+        queries = emb.filter(
+            (F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("label") == lbl)
+        )
+        probe = IVF.probe_ivf_index(
+            spark, queries, prefix="t_ivfidx_lrn", nprobe=FILTERED_NPROBE, label=lbl
+        )
+        got.extend((r.query_id, r.neighbor_id, r.rank, r.cosine_p1) for r in probe.collect())
+    assert sorted(got) == expected
+    assert expected, "no filtered results at smoke scale"
+    emb.unpersist()
+    A.clear()
+    drain()
