@@ -395,6 +395,114 @@ SELECT * FROM packed
 ORDER BY source, doc_id"""
 
 
+def sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCUMENT-BOUNDARY packing audit: greedy next-fit packing of whole
+    documents into CONTEXT_TOKENS bins, per source shard, with the
+    padding tax quantified against the EOD-concat baseline
+    (sequence_pack). The two are the real packing choices a pretraining
+    loader makes: concat-then-chunk wastes zero tokens but splits
+    documents across training sequences (attention spans unrelated
+    tails), while boundary packing never splits a document but pays
+    padding for every partially-filled bin. This operator prices that
+    tradeoff per shard: greedy bins vs the concat bin count, wasted
+    tokens, utilization. Docs longer than the context are truncated to
+    it for packing (the loader rule) and the truncated token count is
+    reported, not hidden.
+
+    Next-fit (close the bin on first overflow, never reopen) is the
+    one-pass streaming discipline with O(1) state per shard — the same
+    sequential scan a loader's packer runs, which is why the operator
+    executes it as a per-shard Arrow-batched applyInPandas pass in
+    doc_id order (bounded: one shard's (doc_id, n_tokens) list) rather
+    than pretending a window function can express a non-associative
+    recurrence. The oracle replays the identical recurrence as a
+    recursive CTE (the dedup_components precedent). At 100 TB the shape
+    is unchanged: one sequential pass per shard, shuffle keyed on
+    source only; a source outgrowing a task sub-shards to
+    (source, doc_id div N) exactly like sequence_pack.
+
+    All accounting is exact integers; utilization is one double
+    division of two exact integers (portable-rounded), so the output
+    hash-certifies."""
+    import math
+
+    import pandas as pd
+
+    cap = CONTEXT_TOKENS
+    d = docs_normalized(spark, sf_dir).select(
+        "source", "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    schema = (
+        "source string, n_docs long, n_tokens long, n_trunc_tokens long, "
+        "n_bins long, n_bins_concat long, waste_tokens long, utilization double"
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        n = pdf["n_tokens"].to_numpy()
+        m = [min(int(x), cap) for x in n]
+        fill, bins = 0, 0
+        for x in m:
+            if bins == 0 or fill + x > cap:
+                bins, fill = bins + 1, x
+            else:
+                fill += x
+        total_m = sum(m)
+        total_n = int(n.sum())
+        concat_bins = (total_m + cap - 1) // cap
+        waste = bins * cap - total_m
+        util = math.floor(total_m / (bins * cap) * 1e6 + 0.5) / 1e6 if bins else 0.0
+        return pd.DataFrame(
+            [
+                {
+                    "source": pdf["source"].iloc[0],
+                    "n_docs": len(m),
+                    "n_tokens": total_n,
+                    "n_trunc_tokens": total_n - total_m,
+                    "n_bins": bins,
+                    "n_bins_concat": concat_bins,
+                    "waste_tokens": waste,
+                    "utilization": util,
+                }
+            ]
+        )
+
+    return d.groupBy("source").applyInPandas(pack, schema).orderBy("source")
+
+
+SQL_SEQUENCE_PACK_GREEDY = f"""
+WITH RECURSIVE {DUCK_DOCS_CTE},
+d AS (
+  SELECT source, doc_id,
+         CAST(len(toks) AS BIGINT) AS n,
+         CAST(LEAST(len(toks), {CONTEXT_TOKENS}) AS BIGINT) AS m,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS i
+  FROM sh_t
+),
+rec AS (
+  SELECT source, i, m AS fill, CAST(1 AS BIGINT) AS bins FROM d WHERE i = 1
+  UNION ALL
+  SELECT d.source, d.i,
+         CASE WHEN r.fill + d.m <= {CONTEXT_TOKENS} THEN r.fill + d.m ELSE d.m END,
+         CASE WHEN r.fill + d.m <= {CONTEXT_TOKENS} THEN r.bins ELSE r.bins + 1 END
+  FROM rec r JOIN d ON d.source = r.source AND d.i = r.i + 1
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS n_tokens,
+         CAST(sum(n - m) AS BIGINT) AS n_trunc_tokens,
+         CAST(sum(m) AS BIGINT) AS total_m
+  FROM d GROUP BY source
+),
+b AS (SELECT source, CAST(max(bins) AS BIGINT) AS n_bins FROM rec GROUP BY source)
+SELECT a.source, a.n_docs, a.n_tokens, a.n_trunc_tokens, b.n_bins,
+       CAST((a.total_m + {CONTEXT_TOKENS} - 1) // {CONTEXT_TOKENS} AS BIGINT) AS n_bins_concat,
+       CAST(b.n_bins * {CONTEXT_TOKENS} - a.total_m AS BIGINT) AS waste_tokens,
+       {sql_roundn(f'CAST(a.total_m AS DOUBLE) / (b.n_bins * {CONTEXT_TOKENS})', 6)} AS utilization
+FROM agg a JOIN b ON a.source = b.source
+ORDER BY a.source"""
+
+
 def sequence_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bin packing manifests: for every (source, bin) the ordered
     'doc_id@start_off' span list of documents whose first token lands in
@@ -1293,6 +1401,117 @@ def dsir_score_docs(docs: DataFrame, model: DataFrame, totals: DataFrame) -> Dat
     )
 
 
+# Importance-resampling plan: keep this fraction of the raw slice,
+# weighted by the DSIR importance weights (w = 2^log2_w exactly — the
+# integer-bitlen scorer makes every weight a power of two, which is
+# what lets the waterfilling solve below stay in exact BIGINTs).
+DSIR_RESAMPLE_NUM, DSIR_RESAMPLE_DEN = 1, 4  # target = floor(n/4) docs
+
+
+def dsir_resample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESAMPLING step DSIR runs after scoring (Xie et al., NeurIPS
+    2023, §2: select examples with probability proportional to their
+    importance weight): given the per-doc weights from dsir_importance,
+    compute the per-weight-bucket acceptance plan that draws an expected
+    floor(n_total * DSIR_RESAMPLE_NUM / DSIR_RESAMPLE_DEN) docs with
+    P(keep doc) = min(1, w / theta) — the standard waterfilling form:
+    docs at or above the threshold are kept outright, below it
+    proportionally to weight.
+
+    Exact-arithmetic scheme: every weight is 2^log2_w (integer
+    exponent), so restricting theta to powers of two (theta = 2^t)
+    makes every acceptance probability a dyadic rational
+    2^(log2_w - t), and the expected-kept sum at scale 2^sb an exact
+    BIGINT: kept_scaled(t) = sum_l n_l * 2^(sb - max(0, t - l)), terms
+    deeper than sb bits below the threshold truncated to 0 (each such
+    bucket contributes < n_l/2^sb expected docs — deterministically
+    dropped by the SAME rule in both engines). t* = the smallest t with
+    kept_scaled(t) <= target_scaled, i.e. the largest expected sample
+    that does not exceed the budget. The scale auto-sizes to the corpus
+    (sb = least(40, 62 - bitlen(n_total))) so n_total * 2^sb never
+    overflows int64 — the same derive-from-data rule as the Bloom
+    geometry.
+
+    Scale shape: the per-doc scoring reuses dsir_importance's plan (the
+    memoized B-row model; one corpus scan); everything after is
+    arithmetic over the <=|distinct log2_w| bucket rows (~60 here) and
+    a ~120-row candidate grid — broadcast cross joins of two
+    driver-bounded relations, no corpus-sized shuffle. At 100 TB the
+    plan is the same one scan plus kilobytes of solver state.
+
+    Output per bucket: n_docs, the exact acceptance numerator at scale
+    2^sb (accept_num; rate = accept_num/2^sb), the rounded rate, the
+    expected kept count, and the solved threshold t* (constant across
+    rows, kept visible for the audit trail).
+
+    Reference: no counterpart (no selection ops); first-class
+    LLM-pipeline tier alongside dsir_importance, closing its loop —
+    score -> plan -> (downstream) sample."""
+    scores = dsir_importance(spark, sf_dir)
+    w = scores.groupBy("log2_w").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tot = (
+        w.agg(
+            F.sum("n_docs").cast("long").alias("n_total"),
+            F.min("log2_w").alias("l_min"),
+            F.max("log2_w").alias("l_max"),
+        )
+        .withColumn("sb", F.expr("least(40, 62 - length(bin(n_total)))").cast("int"))
+        .withColumn(
+            "target_scaled",
+            F.expr(
+                f"((n_total * {DSIR_RESAMPLE_NUM}) div {DSIR_RESAMPLE_DEN})"
+                " * shiftleft(cast(1 as bigint), sb)"
+            ),
+        )
+    )
+    # candidate thresholds: kept_scaled halves at most per unit t, so
+    # t* <= l_max + 64 for any target >= n_total/2^63; at t = l_max + 64
+    # every term truncates (t - l > sb) and kept_scaled = 0 <= target,
+    # so the filter below is never empty
+    cand = tot.select(
+        "sb",
+        "target_scaled",
+        F.explode(F.expr("sequence(l_min, l_max + 64)")).alias("t"),
+    )
+    term = F.expr(
+        "n_docs * (CASE WHEN log2_w >= t THEN shiftleft(cast(1 as bigint), sb) "
+        "WHEN t - log2_w <= sb THEN shiftleft(cast(1 as bigint), sb - (t - log2_w)) "
+        "ELSE cast(0 as bigint) END)"
+    )
+    kept = (
+        cand.crossJoin(F.broadcast(w))
+        .withColumn("term", term)
+        .groupBy("t", "sb", "target_scaled")
+        .agg(F.sum("term").alias("kept_scaled"))
+    )
+    t_star = (
+        kept.filter(F.col("kept_scaled") <= F.col("target_scaled"))
+        .agg(F.min("t").cast("long").alias("threshold_log2"), F.min("sb").alias("sb"))
+    )
+    accept_num = F.expr(
+        "CASE WHEN log2_w >= threshold_log2 THEN shiftleft(cast(1 as bigint), sb) "
+        "WHEN threshold_log2 - log2_w <= sb THEN "
+        "shiftleft(cast(1 as bigint), cast(sb - (threshold_log2 - log2_w) as int)) "
+        "ELSE cast(0 as bigint) END"
+    )
+    scale = F.expr("shiftleft(cast(1 as bigint), sb)").cast("double")
+    return (
+        w.crossJoin(F.broadcast(t_star))
+        .withColumn("accept_num", accept_num)
+        .select(
+            "log2_w",
+            "n_docs",
+            "accept_num",
+            roundn(F.col("accept_num").cast("double") / scale, 6).alias("accept_rate"),
+            roundn(F.col("n_docs").cast("double") * F.col("accept_num").cast("double") / scale, 4).alias(
+                "exp_kept"
+            ),
+            "threshold_log2",
+        )
+        .orderBy("log2_w")
+    )
+
+
 _DSIR_TGT_SQL = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
 
 SQL_DSIR_IMPORTANCE = f"""
@@ -1343,6 +1562,59 @@ FROM tk
 LEFT JOIN scored s ON tk.doc_id = s.doc_id
 WHERE tk.source NOT IN ({_DSIR_TGT_SQL})
 ORDER BY tk.doc_id"""
+
+
+SQL_DSIR_RESAMPLE_PLAN = f"""
+WITH w AS (
+  SELECT log2_w, CAST(count(*) AS BIGINT) AS n_docs
+  FROM ({SQL_DSIR_IMPORTANCE}) GROUP BY log2_w
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+         min(log2_w) AS l_min, max(log2_w) AS l_max,
+         LEAST(40, 62 - length(bin(CAST(sum(n_docs) AS BIGINT)))) AS sb
+  FROM w
+),
+tot2 AS (
+  SELECT sb, l_min, l_max,
+         ((n_total * {DSIR_RESAMPLE_NUM}) // {DSIR_RESAMPLE_DEN})
+           * (CAST(1 AS BIGINT) << sb) AS target_scaled
+  FROM tot
+),
+cand AS (
+  -- fixed-width grid + bound filter: DuckDB's range() cannot take
+  -- lateral column endpoints; 4096 safely exceeds any reachable
+  -- log2_w spread and the filter reproduces Spark's
+  -- sequence(l_min, l_max + 64) candidate set exactly
+  SELECT t2.sb, t2.target_scaled, t2.l_min + r.i AS t
+  FROM tot2 t2 JOIN range(0, 4096) r(i) ON r.i <= t2.l_max - t2.l_min + 64
+),
+kept AS (
+  SELECT c.t, c.sb, c.target_scaled,
+         CAST(sum(w.n_docs * (CASE WHEN w.log2_w >= c.t THEN (CAST(1 AS BIGINT) << c.sb)
+              WHEN c.t - w.log2_w <= c.sb THEN (CAST(1 AS BIGINT) << (c.sb - (c.t - w.log2_w)))
+              ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS kept_scaled
+  FROM cand c CROSS JOIN w
+  GROUP BY c.t, c.sb, c.target_scaled
+),
+tstar AS (
+  SELECT CAST(min(t) AS BIGINT) AS threshold_log2, min(sb) AS sb
+  FROM kept WHERE kept_scaled <= target_scaled
+),
+planned AS (
+  SELECT w.log2_w, w.n_docs, s.threshold_log2, s.sb,
+         CAST(CASE WHEN w.log2_w >= s.threshold_log2 THEN (CAST(1 AS BIGINT) << s.sb)
+              WHEN s.threshold_log2 - w.log2_w <= s.sb
+                THEN (CAST(1 AS BIGINT) << (s.sb - (s.threshold_log2 - w.log2_w)))
+              ELSE CAST(0 AS BIGINT) END AS BIGINT) AS accept_num
+  FROM w CROSS JOIN tstar s
+)
+SELECT log2_w, n_docs, accept_num,
+       {sql_roundn('CAST(accept_num AS DOUBLE) / CAST(CAST(1 AS BIGINT) << sb AS DOUBLE)', 6)} AS accept_rate,
+       {sql_roundn('CAST(n_docs AS DOUBLE) * CAST(accept_num AS DOUBLE) / CAST(CAST(1 AS BIGINT) << sb AS DOUBLE)', 4)} AS exp_kept,
+       threshold_log2
+FROM planned
+ORDER BY log2_w"""
 
 
 # --- near-duplicate split-leakage audit --------------------------------------

@@ -230,6 +230,8 @@ _LLM_PIPELINE = [
     ("ann_filtered_learned_topk", similarity.ann_filtered_learned_topk, similarity.SQL_ANN_FILTERED_LEARNED_TOPK),
     ("ann_filtered_recall", similarity.ann_filtered_recall, similarity.SQL_ANN_FILTERED_RECALL),
     ("ann_filtered_learned_recall", similarity.ann_filtered_learned_recall, similarity.SQL_ANN_FILTERED_LEARNED_RECALL),
+    ("dsir_resample_plan", corpus.dsir_resample_plan, corpus.SQL_DSIR_RESAMPLE_PLAN),
+    ("sequence_pack_greedy", corpus.sequence_pack_greedy, corpus.SQL_SEQUENCE_PACK_GREEDY),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
@@ -978,6 +980,8 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "ann_filtered_learned_topk": None,
     "ann_filtered_recall": None,
     "ann_filtered_learned_recall": None,
+    "dsir_resample_plan": None,
+    "sequence_pack_greedy": None,
     "kpi_daily_approx_p90": 8,
     "events_distinct_users_approx": 8,
     "customer_value_deciles_approx": 8,

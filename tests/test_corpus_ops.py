@@ -194,3 +194,91 @@ def test_ann_filtered_topk_label_contract(spark):
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= TOPK
+
+
+def test_dsir_resample_plan_waterfill_contract(spark):
+    """The resampling plan must honor the waterfilling semantics: rates
+    are min(1, 2^(log2_w - t*)) — exactly 1 at/above the threshold,
+    halving per weight octave below it; the total expected sample is
+    the LARGEST power-of-two-threshold draw that does not exceed the
+    floor(n * NUM/DEN) budget (one threshold step down must overshoot);
+    and accounting conserves the bucket counts against dsir_importance."""
+    from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain
+    from prueba_tecnica_http_client_etl_spark.operators.corpus import (
+        DSIR_RESAMPLE_DEN,
+        DSIR_RESAMPLE_NUM,
+        dsir_importance,
+        dsir_resample_plan,
+    )
+
+    rows = dsir_resample_plan(spark, SF_SMOKE).collect()
+    drain()
+    assert rows
+    t_star = rows[0].threshold_log2
+    n_total = sum(r.n_docs for r in rows)
+    target = (n_total * DSIR_RESAMPLE_NUM) // DSIR_RESAMPLE_DEN
+    exp_kept = sum(r.exp_kept for r in rows)
+    assert exp_kept <= target + 1e-6
+    # one threshold step looser must overshoot the budget (t* minimal)
+    overshoot = sum(r.n_docs * min(1.0, 2.0 ** (r.log2_w - (t_star - 1))) for r in rows)
+    assert overshoot > target
+    for r in rows:
+        assert r.threshold_log2 == t_star
+        want = min(1.0, 2.0 ** (r.log2_w - t_star))
+        # truncated tail: buckets deeper than the scale are planned at 0
+        if r.accept_num == 0:
+            assert want < 2.0 ** -39
+        else:
+            assert abs(r.accept_rate - want) < 1e-6
+        assert (r.accept_rate == 1.0) == (r.log2_w >= t_star)
+    # bucket counts conserve the scored docs
+    scored = dsir_importance(spark, SF_SMOKE).count()
+    drain()
+    assert n_total == scored
+
+
+def test_sequence_pack_greedy_truncation_and_next_fit(spark, monkeypatch):
+    """With the context shrunk below the longest doc, the truncation
+    path must engage and the per-shard next-fit recurrence must match a
+    pure-Python replay of the same rule (the oracle SQL bakes the
+    production constant, so this adversarial geometry is asserted
+    against the reference replay instead)."""
+    import math
+
+    from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain
+    from prueba_tecnica_http_client_etl_spark.operators import corpus as Co
+    from pyspark.sql import functions as F
+
+    cap = 64
+    monkeypatch.setattr(Co, "CONTEXT_TOKENS", cap)
+    rows = {r.source: r for r in Co.sequence_pack_greedy(spark, SF_SMOKE).collect()}
+    drain()
+    assert rows
+    raw = (
+        Co.docs_normalized(spark, SF_SMOKE)
+        .select("source", "doc_id", F.size("toks").alias("n"))
+        .collect()
+    )
+    drain()
+    by_src = {}
+    for r in sorted(raw, key=lambda r: (r.source, r.doc_id)):
+        by_src.setdefault(r.source, []).append(int(r.n))
+    truncated_somewhere = False
+    for src, ns in by_src.items():
+        m = [min(x, cap) for x in ns]
+        fill, bins = 0, 0
+        for x in m:
+            if bins == 0 or fill + x > cap:
+                bins, fill = bins + 1, x
+            else:
+                fill += x
+        got = rows[src]
+        assert got.n_docs == len(ns)
+        assert got.n_tokens == sum(ns)
+        assert got.n_trunc_tokens == sum(ns) - sum(m)
+        truncated_somewhere = truncated_somewhere or got.n_trunc_tokens > 0
+        assert got.n_bins == bins
+        assert got.n_bins_concat == (sum(m) + cap - 1) // cap
+        assert got.waste_tokens == bins * cap - sum(m)
+        assert got.utilization == math.floor(sum(m) / (bins * cap) * 1e6 + 0.5) / 1e6
+    assert truncated_somewhere, "shrunken context must exercise truncation"
