@@ -107,6 +107,15 @@ LLM_TIER = [
     "split_leakage_check",
     "embedding_outliers",
     "shingle_df_profile",
+    # round-11 additions: the learned filtered tier (same |Q| x |corpus|
+    # caveat as ann_filtered_topk — divide by REPLICAS for per-query
+    # serving), the DSIR waterfilling plan (rides the dsir_importance
+    # scan; solver state is corpus-size-independent), and the
+    # next-fit packing audit (one sequential Arrow pass per shard;
+    # fixed |sources|-row output, scan volume is what grows)
+    "ann_filtered_learned_topk",
+    "dsir_resample_plan",
+    "sequence_pack_greedy",
 ]
 
 # bump when the replica construction changes: a marker whose content
@@ -261,6 +270,10 @@ HUNDRED_TIER = [
     "curation_pipeline",
     "tokenize_ids",
     "sequence_pack_ids",
+    # round-11 late additions (measured alongside their registration):
+    # solver state corpus-size-independent / per-shard sequential pass
+    "dsir_resample_plan",
+    "sequence_pack_greedy",
 ]
 
 
@@ -364,7 +377,7 @@ def main_hundred(only: list[str] | None) -> int:
     return 0
 
 
-def main() -> int:
+def main(only: list[str] | None = None) -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from prueba_tecnica_http_client_etl_spark import registry
     from prueba_tecnica_http_client_etl_spark.session import get_spark
@@ -374,6 +387,8 @@ def main() -> int:
     build_replica(spark)
 
     qs = registry.queries()
+    flagships = [n for n in FLAGSHIPS if only is None or n in only]
+    llm_tier = [n for n in LLM_TIER if only is None or n in only]
 
     def timed(name: str, sf_dir: str) -> tuple[float, int]:
         # min of 2: the second shot sheds plan-compile cost
@@ -387,7 +402,7 @@ def main() -> int:
     # warm workers / footers outside the timed region (bench.py convention)
     qs["dedup_exact"](spark, SF01).collect()
     results = {}
-    for name in FLAGSHIPS:
+    for name in flagships:
         t_small, _ = timed(name, SF01)
         t_big, _ = timed(name, SF1)
         results[name] = {
@@ -414,7 +429,7 @@ def main() -> int:
         D.lsh_bands(spark, sf_dir)  # eager: builds the full chain
         train_s = time.perf_counter() - t0
         out = {"lsh_train_s": round(train_s, 2)}
-        for name in LLM_TIER:
+        for name in llm_tier:
             t, nrows = timed(name, sf_dir)
             out[name] = {"s": round(t, 2), "rows": nrows}
         return out
@@ -430,7 +445,7 @@ def main() -> int:
         f"  x{llm['lsh_train']['factor']:.2f}",
         flush=True,
     )
-    for name in LLM_TIER:
+    for name in llm_tier:
         s, b = small[name], big[name]
         llm[name] = {
             "sf0.1_s": s["s"],
@@ -460,4 +475,8 @@ if __name__ == "__main__":
             if a.startswith("--only="):
                 _only = a.split("=", 1)[1].split(",")
         sys.exit(main_hundred(_only))
-    sys.exit(main())
+    _only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            _only = a.split("=", 1)[1].split(",")
+    sys.exit(main(_only))
