@@ -1447,8 +1447,16 @@ def dsir_resample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: no counterpart (no selection ops); first-class
     LLM-pipeline tier alongside dsir_importance, closing its loop —
     score -> plan -> (downstream) sample."""
+    from ..functions.cachepool import managed_persist
+
     scores = dsir_importance(spark, sf_dir)
-    w = scores.groupBy("log2_w").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    # pooled: the bucket table feeds the solver (kept), the threshold
+    # pick and the final projection — without the persist each branch
+    # would re-run the corpus scoring scan (3 scans instead of 1; the
+    # frame itself is <= |distinct log2_w| rows, trivially cached)
+    w = managed_persist(
+        scores.groupBy("log2_w").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
     tot = (
         w.agg(
             F.sum("n_docs").cast("long").alias("n_total"),
