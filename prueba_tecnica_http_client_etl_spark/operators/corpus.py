@@ -424,14 +424,22 @@ def sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     All accounting is exact integers; utilization is one double
     division of two exact integers (portable-rounded), so the output
     hash-certifies."""
-    import math
-
-    import pandas as pd
-
     cap = CONTEXT_TOKENS
     d = docs_normalized(spark, sf_dir).select(
         "source", "doc_id", F.size("toks").cast("long").alias("n_tokens")
     )
+    return _next_fit_audit(d, cap)
+
+
+def _next_fit_audit(d: DataFrame, cap: int) -> DataFrame:
+    """The per-shard next-fit packing audit over a
+    (source, doc_id, n_tokens) frame — the injectable core of
+    sequence_pack_greedy (property tests feed synthetic shards through
+    the identical applyInPandas pass)."""
+    import math
+
+    import pandas as pd
+
     schema = (
         "source string, n_docs long, n_tokens long, n_trunc_tokens long, "
         "n_bins long, n_bins_concat long, waste_tokens long, utilization double"
@@ -1457,6 +1465,14 @@ def dsir_resample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = managed_persist(
         scores.groupBy("log2_w").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+    return _waterfill_plan(w)
+
+
+def _waterfill_plan(w: DataFrame) -> DataFrame:
+    """The exact-integer power-of-two waterfilling solve over a
+    (log2_w, n_docs) bucket frame — the injectable core of
+    dsir_resample_plan (property tests feed synthetic bucket
+    distributions through the identical plan)."""
     tot = (
         w.agg(
             F.sum("n_docs").cast("long").alias("n_total"),

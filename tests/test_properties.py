@@ -136,3 +136,99 @@ def test_overlap_pair_expr_equals_combinations(spark, srcs):
         for a, b in itertools.combinations(sorted(s), 2)
     }
     assert got == want
+
+
+_bucket = st.tuples(st.integers(min_value=-80, max_value=10), st.integers(min_value=1, max_value=500))
+
+
+@given(buckets=st.lists(_bucket, min_size=1, max_size=25, unique_by=lambda b: b[0]))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_waterfill_plan_invariants(spark, buckets):
+    """Random weight-bucket distributions through _waterfill_plan: the
+    expected sample must never exceed the floor(n * NUM/DEN) budget,
+    the threshold must be MINIMAL (one step looser overshoots), rates
+    must be exactly min(1, 2^(l - t*)) modulo the documented 2^-sb
+    truncation, and bucket accounting must conserve the input."""
+    from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain
+    from prueba_tecnica_http_client_etl_spark.operators.corpus import (
+        DSIR_RESAMPLE_DEN,
+        DSIR_RESAMPLE_NUM,
+        _waterfill_plan,
+    )
+
+    w = spark.createDataFrame(buckets, "log2_w long, n_docs long")
+    rows = _waterfill_plan(w).collect()
+    drain()
+    assert sorted(r.log2_w for r in rows) == sorted(b[0] for b in buckets)
+    got = {r.log2_w: r for r in rows}
+    n_total = sum(n for _, n in buckets)
+    sb = min(40, 62 - len(bin(n_total)) + 2)  # bitlen via bin() minus '0b'
+    target = (n_total * DSIR_RESAMPLE_NUM) // DSIR_RESAMPLE_DEN
+    t_star = rows[0].threshold_log2
+
+    def kept_scaled(t: int) -> int:
+        tot = 0
+        for l, n in buckets:
+            if l >= t:
+                tot += n << sb
+            elif t - l <= sb:
+                tot += n << (sb - (t - l))
+        return tot
+
+    assert kept_scaled(t_star) <= target << sb
+    assert kept_scaled(t_star - 1) > target << sb  # minimality
+    for l, n in buckets:
+        r = got[l]
+        assert r.n_docs == n and r.threshold_log2 == t_star
+        if l >= t_star:
+            assert r.accept_num == 1 << sb and r.accept_rate == 1.0
+        elif t_star - l <= sb:
+            assert r.accept_num == 1 << (sb - (t_star - l))
+        else:
+            assert r.accept_num == 0
+
+
+@given(
+    shards=st.lists(
+        st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=30),
+        min_size=1,
+        max_size=4,
+    ),
+    cap=st.integers(min_value=1, max_value=300),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_next_fit_audit_matches_sequential_replay(spark, shards, cap):
+    """Random shards of random doc lengths through _next_fit_audit at a
+    random context size: per-shard results must equal a pure-Python
+    replay of the same truncate-then-next-fit rule, and the greedy bin
+    count must sit between the concat lower bound and docs-per-bin
+    upper bound."""
+    import math
+
+    from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain
+    from prueba_tecnica_http_client_etl_spark.operators.corpus import _next_fit_audit
+
+    data = [
+        (f"s{si}", di, n)
+        for si, ns in enumerate(shards)
+        for di, n in enumerate(ns)
+    ]
+    d = spark.createDataFrame(data, "source string, doc_id long, n_tokens long")
+    rows = {r.source: r for r in _next_fit_audit(d, cap).collect()}
+    drain()
+    assert len(rows) == len(shards)
+    for si, ns in enumerate(shards):
+        m = [min(x, cap) for x in ns]
+        fill, bins = 0, 0
+        for x in m:
+            if bins == 0 or fill + x > cap:
+                bins, fill = bins + 1, x
+            else:
+                fill += x
+        r = rows[f"s{si}"]
+        assert (r.n_docs, r.n_tokens, r.n_trunc_tokens) == (len(ns), sum(ns), sum(ns) - sum(m))
+        assert r.n_bins == bins
+        assert r.n_bins_concat == (sum(m) + cap - 1) // cap
+        assert r.n_bins_concat <= r.n_bins <= len(ns)
+        assert r.waste_tokens == bins * cap - sum(m)
+        assert r.utilization == math.floor(sum(m) / (bins * cap) * 1e6 + 0.5) / 1e6
