@@ -552,6 +552,43 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DS.run_files_to_memory(spark, tmp, table_name=tag).select("norm_md5")
 
 
+@register(
+    "dedup_stream_ttl",
+    f"""
+WITH {dedup.DUCK_DOCS_CTE}
+SELECT DISTINCT md5(norm) AS norm_md5
+FROM sh_t
+ORDER BY norm_md5""",
+)
+def q_dedup_stream_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-STATE streaming dedup (dropDuplicatesWithinWatermark):
+    the 100 TB retention answer to dedup_stream's exact-global state
+    store — digests are held only within the event-time dedup horizon,
+    so state is O(|digests in window|) regardless of how long the
+    stream has run (tests/test_dedup_stream.py measures the eviction
+    via stateOperators.numRowsTotal). For the certified replay the
+    delay (10 years) exceeds any reachable synthesized event-time span,
+    so nothing is evicted and the emitted digest set deterministically
+    equals the batch dedup_exact group keys — the same certified
+    projection and oracle as dedup_stream; which doc_id survives stays
+    a batch-order streaming-only notion."""
+    from .streaming import dedup_stream as DS
+
+    tmp, tag = _stream_staging_path(sf_dir, "dedup_ttl_in", "documents")
+    _ensure_staged(
+        tmp,
+        lambda p: load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(4)
+        .write.mode("overwrite")
+        .json(p),
+    )
+    out, _ = DS.run_files_to_memory_ttl(
+        spark, tmp, table_name=tag, delay="3650 days"
+    )
+    return out.select("norm_md5")
+
+
 def _stream_run_dirs(sf_dir: str, kind: str) -> tuple[str, str]:
     """(output, checkpoint) dirs for a streaming query run: a UNIQUE
     per-invocation subdir under a root keyed by (kind, realpath-hash of
@@ -992,6 +1029,7 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "dedup_index_probe_stream": 8,
     "range_join_stream": 10,
     "contamination_bloom_stream": None,
+    "dedup_stream_ttl": None,
 }
 
 # the reference-surface anchor: always driver-certified (VERDICT r5 item 1)

@@ -42,3 +42,52 @@ def test_cross_batch_duplicate_suppression(spark, tmp_path):
     assert len(by_doc & {1, 3}) == 1
     assert {2, 4} <= by_doc
     assert len(got) == 3
+
+
+def _ttl_corpus(tmp_path, n_per_file=10):
+    """Three time-clustered files of DISTINCT texts: event times are
+    synthesized from doc_id (timestamp_seconds), so the clusters sit
+    ~11 days apart — far beyond a 1-second dedup horizon."""
+    d = tmp_path / "ttl_in"
+    d.mkdir()
+    for fi, base in enumerate([0, 1_000_000, 2_000_000]):
+        (d / f"f{fi}.jsonl").write_text(
+            "\n".join(
+                json.dumps({"doc_id": base + i, "text": f"unique text {base + i}"})
+                for i in range(n_per_file)
+            )
+        )
+    return str(d), 3 * n_per_file
+
+
+def test_ttl_dedup_matches_batch_when_window_covers_replay(spark, tmp_path):
+    """With the delay exceeding the replay's whole event-time span the
+    TTL variant must behave exactly like the unbounded one: nothing
+    evicted (state rows == distinct digests), every digest emitted
+    once."""
+    path, n_digests = _ttl_corpus(tmp_path)
+    got, progress = DS.run_files_to_memory_ttl(
+        spark, path, table_name="ttl_wide_test", delay="3650 days", one_file_per_batch=True
+    )
+    assert got.count() == n_digests
+    assert progress["stateOperators"][0]["numRowsTotal"] == n_digests
+
+
+def test_ttl_dedup_actually_evicts_state(spark, tmp_path):
+    """With a 1-second horizon over clusters ~11 days apart, the
+    watermark must evict expired digests between micro-batches: the
+    final state store holds strictly fewer rows than the digests seen —
+    the boundedness that makes this variant deployable on an unbounded
+    stream (the exact-global variant's state only ever grows). All
+    texts are distinct, so the emitted set is still complete regardless
+    of batch order."""
+    path, n_digests = _ttl_corpus(tmp_path)
+    got, progress = DS.run_files_to_memory_ttl(
+        spark, path, table_name="ttl_tight_test", delay="1 second", one_file_per_batch=True
+    )
+    assert got.count() == n_digests
+    state_rows = progress["stateOperators"][0]["numRowsTotal"]
+    # any batch order leaves at most the last batch's cluster plus the
+    # tail of the max-time cluster alive; never the full digest set
+    assert state_rows < n_digests, progress["stateOperators"][0]
+    assert state_rows >= 1
