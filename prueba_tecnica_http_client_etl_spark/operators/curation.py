@@ -227,6 +227,96 @@ GROUP BY doc_id, n_grams
 ORDER BY doc_id"""
 
 
+def contamination_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingest-feed decontamination exposure — the dashboard row a
+    decontamination review reads ("feed X holds benchmark text at 5x
+    the corpus rate") and the trigger for feed-level excision or
+    re-crawl: for every source, how many screened docs overlap the
+    held-out probe set, at what rate, and how contaminated the worst
+    one is. The per-feed twin of pii_stats_by_source, over
+    contamination_check's per-doc output.
+
+    Plan shape at 100 TB: the per-doc check is contamination_check's
+    plan verbatim (broadcast probe grams, map-side prescreenable); its
+    flagged output is tiny (|overlapping docs|), the screened-doc
+    denominator is a map-side |sources|-row count, and the final join
+    is |sources| x |sources|. Exact BIGINT counts up to the two final
+    divisions.
+
+    Reference: no counterpart (SURVEY.md §2.6); audit tier over
+    contamination_check."""
+    flagged = contamination_check(spark, sf_dir)
+    src = docs_normalized(spark, sf_dir).filter(
+        F.col("doc_id") % PROBE_STRIDE != 0
+    ).select("doc_id", "source")
+    screened = src.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs_screened"))
+    per_src = (
+        flagged.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_flagged"),
+            F.sum("n_overlap").alias("n_overlap_grams"),
+            F.max("contamination").alias("max_contamination"),
+        )
+    )
+    return (
+        screened.join(per_src, "source", "left")
+        .select(
+            "source",
+            "n_docs_screened",
+            F.coalesce(F.col("n_docs_flagged"), F.lit(0)).cast("long").alias("n_docs_flagged"),
+            F.coalesce(F.col("n_overlap_grams"), F.lit(0)).cast("long").alias("n_overlap_grams"),
+            roundn(
+                F.coalesce(F.col("n_docs_flagged"), F.lit(0)).cast("double")
+                / F.col("n_docs_screened"),
+                6,
+            ).alias("flag_rate"),
+            F.coalesce(F.col("max_contamination"), F.lit(0.0)).alias("max_contamination"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_CONTAMINATION_STATS_BY_SOURCE = f"""
+WITH {DUCK_DOCS_CTE},
+g AS (
+  SELECT doc_id, source, {_DUCK_GRAMS} AS grams FROM sh_t
+),
+probe AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % {PROBE_STRIDE} = 0
+),
+corpus AS (
+  SELECT doc_id, source, len(grams)::BIGINT AS n_grams, unnest(grams) AS gram
+  FROM g WHERE doc_id % {PROBE_STRIDE} <> 0
+),
+flagged AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap,
+         {sql_roundn('count(*)::DOUBLE / n_grams', 4)} AS contamination
+  FROM corpus JOIN probe USING (gram)
+  GROUP BY doc_id, n_grams
+),
+src AS (
+  SELECT doc_id, source FROM sh_t WHERE doc_id % {PROBE_STRIDE} <> 0
+),
+screened AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_screened FROM src GROUP BY source
+),
+per_src AS (
+  SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs_flagged,
+         CAST(sum(f.n_overlap) AS BIGINT) AS n_overlap_grams,
+         max(f.contamination) AS max_contamination
+  FROM flagged f JOIN src s ON f.doc_id = s.doc_id
+  GROUP BY s.source
+)
+SELECT sc.source, sc.n_docs_screened,
+       CAST(COALESCE(p.n_docs_flagged, 0) AS BIGINT) AS n_docs_flagged,
+       CAST(COALESCE(p.n_overlap_grams, 0) AS BIGINT) AS n_overlap_grams,
+       {sql_roundn('CAST(COALESCE(p.n_docs_flagged, 0) AS DOUBLE) / sc.n_docs_screened', 6)} AS flag_rate,
+       COALESCE(p.max_contamination, 0.0) AS max_contamination
+FROM screened sc LEFT JOIN per_src p ON sc.source = p.source
+ORDER BY sc.source"""
+
+
 # --- composed quality gate ---------------------------------------------------
 
 MIN_TOKENS = 24

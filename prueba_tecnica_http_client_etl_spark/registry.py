@@ -232,6 +232,7 @@ _LLM_PIPELINE = [
     ("ann_filtered_learned_recall", similarity.ann_filtered_learned_recall, similarity.SQL_ANN_FILTERED_LEARNED_RECALL),
     ("dsir_resample_plan", corpus.dsir_resample_plan, corpus.SQL_DSIR_RESAMPLE_PLAN),
     ("sequence_pack_greedy", corpus.sequence_pack_greedy, corpus.SQL_SEQUENCE_PACK_GREEDY),
+    ("contamination_stats_by_source", curation.contamination_stats_by_source, curation.SQL_CONTAMINATION_STATS_BY_SOURCE),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
@@ -1019,6 +1020,7 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "ann_filtered_learned_recall": None,
     "dsir_resample_plan": None,
     "sequence_pack_greedy": None,
+    "contamination_stats_by_source": None,
     "kpi_daily_approx_p90": 8,
     "events_distinct_users_approx": 8,
     "customer_value_deciles_approx": 8,
