@@ -274,6 +274,9 @@ HUNDRED_TIER = [
     # solver state corpus-size-independent / per-shard sequential pass
     "dsir_resample_plan",
     "sequence_pack_greedy",
+    # rides contamination_check's broadcast-probe plan; the audit join
+    # adds only |flagged| x |sources| work on top
+    "contamination_stats_by_source",
 ]
 
 

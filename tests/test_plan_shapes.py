@@ -257,3 +257,19 @@ def test_ann_filtered_learned_topk_prefilters_via_join_key(spark):
     assert any("label" in ln for ln in joins), "\n".join(joins)
     A.clear()
     drain()
+
+
+def test_contamination_stats_rollup_adds_no_corpus_join(spark):
+    """The per-source exposure rollup must ride contamination_check's
+    plan: probe grams broadcast (inherited), and the flagged->source
+    attribution join must not be a cartesian/nested-loop — the audit
+    adds only |flagged| x |sources|-scale work."""
+    from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain
+    from prueba_tecnica_http_client_etl_spark.operators.curation import (
+        contamination_stats_by_source,
+    )
+
+    plan = _physical(contamination_stats_by_source(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    drain()
