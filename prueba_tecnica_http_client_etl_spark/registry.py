@@ -1059,6 +1059,17 @@ _TOUCHED_THIS_ROUND: list[str] = [
 # ceiling is round 12, so clearing them now leaves round 12 slack)
 # plus 14 round-9 rows. Keep |touched| + new registrations <= 14 so
 # the full r8 wave stays inside this window.
+# Round-11 CLOSED at head 13/14: 8 new registrations
+# (ann_filtered_learned_topk, ann_filtered_recall,
+# ann_filtered_learned_recall, contamination_bloom_stream,
+# dsir_resample_plan, sequence_pack_greedy, dedup_stream_ttl,
+# contamination_stats_by_source) + contamination_bloom touched; the
+# r11 window = those 13 + 4 anchors' re-cert + all 32 r8 + 6 r9.
+# Round-12 projection (verify after the r11 ledger refresh): the ~40
+# remaining r9 rows hit their staleness ceiling at round 13, so r12
+# can take most of them as fill and leave the tail to r13's window —
+# budget roughly head <= 10 to keep >= 36 r9 rows in; nothing is
+# FORCED in r12 itself.
 
 _WINDOW_SIZE = 50
 
