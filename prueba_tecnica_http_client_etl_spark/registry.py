@@ -891,19 +891,19 @@ def q_contamination_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #            order), which bounds staleness: the test asserts every
 #            query older than MAX_STALENESS rounds is in this window.
 
-CURRENT_ROUND = 11
+CURRENT_ROUND = 12
 MAX_STALENESS = 4  # a row certified at round R must re-enter the window
 # by round R + MAX_STALENESS (asserted in tests/test_rotation_ledger.py)
 
 LAST_CERTIFIED: dict[str, int | None] = {
-    "clean_coerce": 10,
-    "kpi_daily": 10,
-    "kpi_report_endpoint": 10,
-    "kpi_global": 10,
+    "clean_coerce": 11,
+    "kpi_daily": 11,
+    "kpi_report_endpoint": 11,
+    "kpi_global": 11,
     "kpi_global_exact": 10,
-    "kpi_anomaly_days": 9,
+    "kpi_anomaly_days": 11,
     "kpi_rollup": 10,
-    "pricing_summary": 9,
+    "pricing_summary": 11,
     "top_revenue_orders": 10,
     "region_revenue": 10,
     "customers_with_open_orders": 10,
@@ -929,31 +929,31 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "events_hourly_window": 10,
     "event_value_by_type_salted": 10,
     "purchases_near_views_range": 10,
-    "snapshot_merge": 9,
-    "user_retention_cohorts": 9,
-    "event_funnel": 9,
+    "snapshot_merge": 11,
+    "user_retention_cohorts": 11,
+    "event_funnel": 11,
     "suppliers_blocking_orders": 10,
     "rolling_active_users": 10,
     "audio_decode_stats": 9,
     "dedup_exact": 10,
     "dedup_minhash_lsh": 10,
     "dedup_simhash": 10,
-    "dedup_ngram_jaccard": 8,
-    "dedup_components": 8,
-    "dedup_embedding_cosine": 8,
-    "ann_cosine_topk": 8,
-    "lsh_bucket_histogram": 8,
+    "dedup_ngram_jaccard": 11,
+    "dedup_components": 11,
+    "dedup_embedding_cosine": 11,
+    "ann_cosine_topk": 11,
+    "lsh_bucket_histogram": 11,
     "ann_ivf_topk": 9,
-    "ann_lsh_topk": 8,
+    "ann_lsh_topk": 11,
     "ann_ivf_recall": 9,
-    "ann_lsh_recall": 8,
-    "embedding_centroids": 8,
-    "text_stats": 8,
-    "token_counts": 8,
-    "lang_id": 8,
-    "doc_fingerprint": 8,
-    "tfidf_top_terms": 8,
-    "corpus_mix": 8,
+    "ann_lsh_recall": 11,
+    "embedding_centroids": 11,
+    "text_stats": 11,
+    "token_counts": 11,
+    "lang_id": 11,
+    "doc_fingerprint": 11,
+    "tfidf_top_terms": 11,
+    "corpus_mix": 11,
     "multimodal_meta": 9,
     "multimodal_frame_sample": 9,
     "pii_scrub": 9,
@@ -963,13 +963,13 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "vocab_topk": 9,
     "repetition_score": 9,
     "sequence_pack": 9,
-    "dedup_containment": 8,
+    "dedup_containment": 11,
     "corpus_length_profile": 9,
     "curation_pipeline": 9,
     "tokenize_ids": 9,
     "embedding_center_by_label": 9,
     "sequence_pack_manifest": 9,
-    "dedup_incremental": 8,
+    "dedup_incremental": 11,
     "dedup_semantic": 9,
     "dedup_lines": 9,
     "quality_score": 9,
@@ -982,21 +982,21 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "dedup_survivors": 10,
     "source_overlap_matrix": 9,
     "doc_commonness": 9,
-    "duplicate_rate_by_source": 8,
+    "duplicate_rate_by_source": 11,
     "dedup_cluster_sizes": 10,
     "pii_stats_by_source": 9,
     "lang_confusion": 9,
     "image_decode_stats": 9,
-    "dedup_lsh_capped": 8,
-    "dedup_lsh_cap_audit": 8,
+    "dedup_lsh_capped": 11,
+    "dedup_lsh_cap_audit": 11,
     "embedding_pca_top": 10,
-    "ann_pq_topk": 8,
+    "ann_pq_topk": 11,
     "ann_pq_rerank": 10,
     "ann_pq_recall": 10,
     "ann_pq_rerank_recall": 10,
-    "minhash_calibration": 8,
-    "dedup_lsh_recall": 8,
-    "dedup_jaccard_prefix": 8,
+    "minhash_calibration": 11,
+    "dedup_lsh_recall": 11,
+    "dedup_jaccard_prefix": 11,
     "corpus_sample_per_source": 10,
     "pq_quantization_error": 10,
     "ann_ivfpq_topk": 9,
@@ -1005,33 +1005,33 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "ann_ivfpq_rerank_recall": 10,
     "corpus_split": 9,
     "corpus_split_stats": 9,
-    "lm_bigram_score": 8,
-    "embedding_outliers": 8,
-    "shingle_df_profile": 8,
-    "lm_score_stream": 8,
-    "contamination_bloom": 9,
-    "split_leakage_check": 8,
+    "lm_bigram_score": 11,
+    "embedding_outliers": 11,
+    "shingle_df_profile": 11,
+    "lm_score_stream": 11,
+    "contamination_bloom": 11,
+    "split_leakage_check": 11,
     "lm_bigram_score_pruned": 9,
     "dsir_importance": 9,
     "dsir_score_stream": 9,
     "ann_filtered_topk": 9,
-    "ann_filtered_learned_topk": None,
-    "ann_filtered_recall": None,
-    "ann_filtered_learned_recall": None,
-    "dsir_resample_plan": None,
-    "sequence_pack_greedy": None,
-    "contamination_stats_by_source": None,
-    "kpi_daily_approx_p90": 8,
-    "events_distinct_users_approx": 8,
-    "customer_value_deciles_approx": 8,
+    "ann_filtered_learned_topk": 11,
+    "ann_filtered_recall": 11,
+    "ann_filtered_learned_recall": 11,
+    "dsir_resample_plan": 11,
+    "sequence_pack_greedy": 11,
+    "contamination_stats_by_source": 11,
+    "kpi_daily_approx_p90": 11,
+    "events_distinct_users_approx": 11,
+    "customer_value_deciles_approx": 11,
     "kpi_daily_stream": 9,
     "sessionize_stream": 10,
     "dedup_stream": 9,
     "quality_gate_stream": 9,
-    "dedup_index_probe_stream": 8,
+    "dedup_index_probe_stream": 11,
     "range_join_stream": 10,
-    "contamination_bloom_stream": None,
-    "dedup_stream_ttl": None,
+    "contamination_bloom_stream": 11,
+    "dedup_stream_ttl": 11,
 }
 
 # the reference-surface anchor: always driver-certified (VERDICT r5 item 1)
@@ -1041,35 +1041,19 @@ _ANCHORS = ["clean_coerce", "kpi_daily", "kpi_report_endpoint", "kpi_global"]
 # or oracle) without being never-certified: they re-enter the window
 # right after the never-certified block, regardless of ledger age —
 # a green row from a previous round does not certify this round's code.
-# Round 11: starts empty after the ledger refresh; queries re-enter here
+# Round 12: starts empty after the ledger refresh; queries re-enter here
 # as their executed plans change during the round.
 # Window budget: 4 anchors + |never| + touched + forced-stale rows
 # must stay <= 50.
-_TOUCHED_THIS_ROUND: list[str] = [
-    # Bloom geometry auto-sizing (verdict r10 item 3): the executed plan
-    # at the gate scales is bit-identical (auto lands on the 2^16 floor
-    # there), but the sizing code path is new — certify it this round
-    "contamination_bloom",
-]
-# Round-11 projection (after the r10 ledger refresh: 50 rows @r10,
-# 46 @r9, 32 @r8 — the r10 verdict's "29 @r8" undercounted; the
-# CORRECTNESS files are the ground truth the ledger test recomputes).
-# 0 never-certified, 0 forced. Minimum head = 4 anchors, leaving 46
-# fill slots: oldest-first takes all 32 round-8 rows (their staleness
-# ceiling is round 12, so clearing them now leaves round 12 slack)
-# plus 14 round-9 rows. Keep |touched| + new registrations <= 14 so
-# the full r8 wave stays inside this window.
-# Round-11 CLOSED at head 13/14: 8 new registrations
-# (ann_filtered_learned_topk, ann_filtered_recall,
-# ann_filtered_learned_recall, contamination_bloom_stream,
-# dsir_resample_plan, sequence_pack_greedy, dedup_stream_ttl,
-# contamination_stats_by_source) + contamination_bloom touched; the
-# r11 window = those 13 + 4 anchors' re-cert + all 32 r8 + 6 r9.
-# Round-12 projection (verify after the r11 ledger refresh): the ~40
-# remaining r9 rows hit their staleness ceiling at round 13, so r12
-# can take most of them as fill and leave the tail to r13's window —
-# budget roughly head <= 10 to keep >= 36 r9 rows in; nothing is
-# FORCED in r12 itself.
+_TOUCHED_THIS_ROUND: list[str] = []
+# Round-12 projection (after the r11 ledger refresh, verified against
+# the CORRECTNESS files: 50 rows @r11, 46 @r10, 40 @r9). 0
+# never-certified, 0 forced this round — but the 40 r9 rows hit their
+# MAX_STALENESS ceiling at round 13. Head = 4 anchors + new + touched:
+# at head <= 10 the fill keeps >= 36 r9 rows in this window; at head
+# = 10 exactly 4 r9 rows spill to r13 (where they become forced but
+# fit trivially). Sweet spot: keep new registrations + touched <= 6
+# so ALL 40 r9 rows rotate now and r13 opens unconstrained.
 
 _WINDOW_SIZE = 50
 
