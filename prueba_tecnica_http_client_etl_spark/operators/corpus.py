@@ -1641,6 +1641,74 @@ FROM planned
 ORDER BY log2_w"""
 
 
+def dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final leg of the DSIR loop — score -> plan -> SAMPLE: apply
+    dsir_resample_plan's per-bucket acceptance numerators as a
+    deterministic per-document keep/drop. Doc d (weight 2^log2_w) is
+    kept iff its salted-hash draw over the plan's dyadic scale falls
+    under the bucket's numerator:
+
+        keep(d)  <=>  salted('dsirsmp', doc_id) mod 2^sb  <  accept_num
+
+    which realizes P(keep) = accept_num / 2^sb = min(1, w/theta*)
+    exactly (truncated buckets drop everything, at-or-above-threshold
+    buckets keep everything) — the same pure-row-hash Bernoulli the
+    engine already uses for corpus_split and corpus_sample_per_source:
+    no sampling state, identical under any partitioning, task retry, or
+    engine, and repeatable against a later corpus snapshot. The compare
+    is BIGINT-vs-BIGINT at the plan's own scale 2^sb (sb <= 40 < the
+    60 hash bits), so no floats enter the decision.
+
+    Scale shape: one corpus scoring scan (dsir_importance's plan),
+    persisted so the bucket rollup and the final filter share it — the
+    materialize-once a production pipeline does by writing scores to a
+    snapshot table; the waterfilling solve is arithmetic over the
+    ~|distinct log2_w| bucket rows; the keep/drop is a broadcast join
+    of those plan rows back onto the scored frame. At 100 TB: one scan
+    + kilobytes of solver state + a map-side filter.
+
+    Reference: no counterpart (no selection ops); Xie et al., NeurIPS
+    2023, §2 (the resampling draw itself)."""
+    from ..functions.cachepool import managed_persist
+    from ..functions.portable import salted
+
+    scores = managed_persist(dsir_importance(spark, sf_dir).select("doc_id", "log2_w"))
+    w = managed_persist(
+        scores.groupBy("log2_w").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    plan = _waterfill_plan(w).select("log2_w", "accept_num")
+    # the plan rows don't carry sb; re-derive it from the bucket table
+    # by the same rule the solver used (exact, data-derived)
+    sbf = w.agg(
+        F.expr("least(40, 62 - length(bin(sum(n_docs))))").cast("int").alias("sb")
+    )
+    draw = salted("dsirsmp", F.col("doc_id")) % F.expr(
+        "shiftleft(cast(1 as bigint), sb)"
+    )
+    return (
+        scores.join(F.broadcast(plan), "log2_w")
+        .crossJoin(F.broadcast(sbf))
+        .filter(draw < F.col("accept_num"))
+        .select("doc_id", "log2_w", "accept_num")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DSIR_SAMPLE = f"""
+WITH imp AS ({SQL_DSIR_IMPORTANCE}),
+plan AS ({SQL_DSIR_RESAMPLE_PLAN}),
+sbf AS (
+  SELECT LEAST(40, 62 - length(bin(CAST(sum(n_docs) AS BIGINT)))) AS sb
+  FROM plan
+)
+SELECT i.doc_id, i.log2_w, p.accept_num
+FROM imp i
+JOIN plan p ON i.log2_w = p.log2_w
+CROSS JOIN sbf
+WHERE {sql_salted('dsirsmp', 'i.doc_id')} % (CAST(1 AS BIGINT) << sbf.sb) < p.accept_num
+ORDER BY i.doc_id"""
+
+
 # --- near-duplicate split-leakage audit --------------------------------------
 
 

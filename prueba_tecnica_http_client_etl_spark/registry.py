@@ -231,6 +231,7 @@ _LLM_PIPELINE = [
     ("ann_filtered_recall", similarity.ann_filtered_recall, similarity.SQL_ANN_FILTERED_RECALL),
     ("ann_filtered_learned_recall", similarity.ann_filtered_learned_recall, similarity.SQL_ANN_FILTERED_LEARNED_RECALL),
     ("dsir_resample_plan", corpus.dsir_resample_plan, corpus.SQL_DSIR_RESAMPLE_PLAN),
+    ("dsir_sample", corpus.dsir_sample, corpus.SQL_DSIR_SAMPLE),
     ("sequence_pack_greedy", corpus.sequence_pack_greedy, corpus.SQL_SEQUENCE_PACK_GREEDY),
     ("contamination_stats_by_source", curation.contamination_stats_by_source, curation.SQL_CONTAMINATION_STATS_BY_SOURCE),
 ]
@@ -1019,6 +1020,7 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "ann_filtered_recall": 11,
     "ann_filtered_learned_recall": 11,
     "dsir_resample_plan": 11,
+    "dsir_sample": None,
     "sequence_pack_greedy": 11,
     "contamination_stats_by_source": 11,
     "kpi_daily_approx_p90": 11,

@@ -9,12 +9,16 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+import hashlib
+
 from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain
 from prueba_tecnica_http_client_etl_spark.operators.corpus import (
     DSIR_BUCKETS,
     DSIR_TARGET_SOURCES,
     dsir_importance,
     dsir_model,
+    dsir_resample_plan,
+    dsir_sample,
 )
 
 TGT = DSIR_TARGET_SOURCES[0]
@@ -65,6 +69,35 @@ def test_dsir_ranks_target_like_above_off_target(spark, dsir_corpus_dir):
     # the target model); disjoint-inventory docs are pulled negative by
     # the raw-model mass they alone carry
     assert all(out[d]["log2_w"] > 0 for d in target_like)
+
+
+def test_dsir_sample_is_the_plan_applied(spark, dsir_corpus_dir):
+    """dsir_sample must be EXACTLY the resample plan's Bernoulli rule —
+    recomputed here from first principles (python md5, no Spark
+    expressions): keep doc d iff
+    u60('dsirsmp:' + doc_id) mod 2^sb < accept_num[log2_w(d)]."""
+    sf_dir, _, _ = dsir_corpus_dir
+    scores = {r["doc_id"]: r["log2_w"] for r in dsir_importance(spark, sf_dir).collect()}
+    plan = {r["log2_w"]: r for r in dsir_resample_plan(spark, sf_dir).collect()}
+    n_total = sum(r["n_docs"] for r in plan.values())
+    sb = min(40, 62 - n_total.bit_length())
+    expected = set()
+    for d, lw in scores.items():
+        draw = int(hashlib.md5(f"dsirsmp:{d}".encode()).hexdigest()[:15], 16) % (1 << sb)
+        if draw < plan[lw]["accept_num"]:
+            expected.add(d)
+    out = dsir_sample(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in out} == expected
+    # waterfilling semantics carried through: at-or-above-threshold
+    # buckets keep every doc (accept_num == 2^sb), and the per-row
+    # accept_num column matches the doc's bucket in the plan
+    thr = next(iter(plan.values()))["threshold_log2"]
+    kept = {r["doc_id"] for r in out}
+    assert {d for d, lw in scores.items() if lw >= thr} <= kept
+    assert all(r["accept_num"] == plan[r["log2_w"]]["accept_num"] for r in out)
+    # the plan's own budget contract: expected kept never exceeds target
+    exp_total = sum(r["n_docs"] * r["accept_num"] for r in plan.values()) / (1 << sb)
+    assert exp_total <= n_total // 4 + 1e-9
 
 
 def test_dsir_model_is_bounded(spark, dsir_corpus_dir):
