@@ -232,6 +232,7 @@ _LLM_PIPELINE = [
     ("ann_filtered_learned_recall", similarity.ann_filtered_learned_recall, similarity.SQL_ANN_FILTERED_LEARNED_RECALL),
     ("dsir_resample_plan", corpus.dsir_resample_plan, corpus.SQL_DSIR_RESAMPLE_PLAN),
     ("dsir_sample", corpus.dsir_sample, corpus.SQL_DSIR_SAMPLE),
+    ("sequence_pack_ffd", corpus.sequence_pack_ffd, corpus.SQL_SEQUENCE_PACK_FFD),
     ("sequence_pack_greedy", corpus.sequence_pack_greedy, corpus.SQL_SEQUENCE_PACK_GREEDY),
     ("contamination_stats_by_source", curation.contamination_stats_by_source, curation.SQL_CONTAMINATION_STATS_BY_SOURCE),
 ]
@@ -569,11 +570,17 @@ def q_dedup_stream_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     so state is O(|digests in window|) regardless of how long the
     stream has run (tests/test_dedup_stream.py measures the eviction
     via stateOperators.numRowsTotal). For the certified replay the
-    delay (10 years) exceeds any reachable synthesized event-time span,
-    so nothing is evicted and the emitted digest set deterministically
-    equals the batch dedup_exact group keys — the same certified
-    projection and oracle as dedup_stream; which doc_id survives stays
-    a batch-order streaming-only notion."""
+    delay DERIVES FROM THE DATA (round-11 ADVICE: a fixed constant
+    merely assumed the span stayed under it): event times are
+    synthesized as doc_id + 86400 seconds, so a delay of
+    max(doc_id) + 2*86400 seconds exceeds the replay's event-time span
+    for ANY corpus snapshot by construction — nothing is evicted and
+    the emitted digest set deterministically equals the batch
+    dedup_exact group keys — the same certified projection and oracle
+    as dedup_stream; which doc_id survives stays a batch-order
+    streaming-only notion. (The no-eviction precondition is thereby
+    checked, not assumed; the bounded-state behavior under a SHORT
+    horizon is what tests/test_dedup_stream.py exercises.)"""
     from .streaming import dedup_stream as DS
 
     tmp, tag = _stream_staging_path(sf_dir, "dedup_ttl_in", "documents")
@@ -585,8 +592,9 @@ def q_dedup_stream_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .json(p),
     )
+    max_id = load_table(spark, sf_dir, "documents").selectExpr("max(doc_id)").first()[0]
     out, _ = DS.run_files_to_memory_ttl(
-        spark, tmp, table_name=tag, delay="3650 days"
+        spark, tmp, table_name=tag, delay=f"{int(max_id) + 2 * 86400} seconds"
     )
     return out.select("norm_md5")
 
@@ -1021,6 +1029,7 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "ann_filtered_learned_recall": 11,
     "dsir_resample_plan": 11,
     "dsir_sample": None,
+    "sequence_pack_ffd": None,
     "sequence_pack_greedy": 11,
     "contamination_stats_by_source": 11,
     "kpi_daily_approx_p90": 11,
@@ -1047,7 +1056,12 @@ _ANCHORS = ["clean_coerce", "kpi_daily", "kpi_report_endpoint", "kpi_global"]
 # as their executed plans change during the round.
 # Window budget: 4 anchors + |never| + touched + forced-stale rows
 # must stay <= 50.
-_TOUCHED_THIS_ROUND: list[str] = []
+_TOUCHED_THIS_ROUND: list[str] = [
+    # delay now derives from max(doc_id) instead of a fixed 3650-day
+    # constant (round-11 ADVICE item 1): emitted set identical (both
+    # delays exceed the span), but the executed streaming plan changed
+    "dedup_stream_ttl",
+]
 # Round-12 projection (after the r11 ledger refresh, verified against
 # the CORRECTNESS files: 50 rows @r11, 46 @r10, 40 @r9). 0
 # never-certified, 0 forced this round — but the 40 r9 rows hit their

@@ -116,6 +116,13 @@ LLM_TIER = [
     "ann_filtered_learned_topk",
     "dsir_resample_plan",
     "sequence_pack_greedy",
+    # round-12 additions: the DSIR selection leg (per-doc broadcast-
+    # join filter over the scoring scan — output ~n/4 of raw docs, so
+    # rows_ratio ~10 and the factor isolates the scan + filter), and
+    # the FFD packing audit (same per-shard Arrow pass as the next-fit
+    # tier plus an in-shard sort; fixed |sources|-row output)
+    "dsir_sample",
+    "sequence_pack_ffd",
 ]
 
 # bump when the replica construction changes: a marker whose content
@@ -277,6 +284,10 @@ HUNDRED_TIER = [
     # rides contamination_check's broadcast-probe plan; the audit join
     # adds only |flagged| x |sources| work on top
     "contamination_stats_by_source",
+    # round-12 additions (measured alongside their registration): the
+    # DSIR selection leg and the FFD packing audit — see LLM_TIER notes
+    "dsir_sample",
+    "sequence_pack_ffd",
 ]
 
 

@@ -47,16 +47,30 @@ def test_cross_batch_duplicate_suppression(spark, tmp_path):
 def _ttl_corpus(tmp_path, n_per_file=10):
     """Three time-clustered files of DISTINCT texts: event times are
     synthesized from doc_id (timestamp_seconds), so the clusters sit
-    ~11 days apart — far beyond a 1-second dedup horizon."""
+    ~11 days apart — far beyond a 1-second dedup horizon.
+
+    ORDERING IS LOAD-BEARING (round-11 ADVICE): the tight-horizon
+    test's completeness assertion (every digest emitted) holds only if
+    FileStreamSource batches these files oldest-event-time-first — a
+    later-time file processed first would advance the watermark past
+    the earlier clusters and their rows would be dropped as late. The
+    source picks files by modification time (default latestFirst=false
+    = oldest mtime first), so we pin STRICTLY INCREASING mtimes in
+    event-time order instead of relying on write-speed timing."""
+    import os
+
     d = tmp_path / "ttl_in"
     d.mkdir()
     for fi, base in enumerate([0, 1_000_000, 2_000_000]):
-        (d / f"f{fi}.jsonl").write_text(
+        f = d / f"f{fi}.jsonl"
+        f.write_text(
             "\n".join(
                 json.dumps({"doc_id": base + i, "text": f"unique text {base + i}"})
                 for i in range(n_per_file)
             )
         )
+        t = 1_700_000_000 + fi * 10
+        os.utime(f, (t, t))
     return str(d), 3 * n_per_file
 
 
@@ -79,8 +93,9 @@ def test_ttl_dedup_actually_evicts_state(spark, tmp_path):
     final state store holds strictly fewer rows than the digests seen —
     the boundedness that makes this variant deployable on an unbounded
     stream (the exact-global variant's state only ever grows). All
-    texts are distinct, so the emitted set is still complete regardless
-    of batch order."""
+    texts are distinct, so with the oldest-first batch order pinned by
+    _ttl_corpus's mtimes no row is ever late and the emitted set is
+    complete."""
     path, n_digests = _ttl_corpus(tmp_path)
     got, progress = DS.run_files_to_memory_ttl(
         spark, path, table_name="ttl_tight_test", delay="1 second", one_file_per_batch=True

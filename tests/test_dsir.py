@@ -100,6 +100,24 @@ def test_dsir_sample_is_the_plan_applied(spark, dsir_corpus_dir):
     assert exp_total <= n_total // 4 + 1e-9
 
 
+def test_dsir_waterfill_oracle_grid_covers_observed_spread(spark):
+    """Round-11 ADVICE: SQL_DSIR_RESAMPLE_PLAN's DuckDB twin uses a
+    fixed range(0, 4096) candidate grid (DuckDB's range() cannot take
+    lateral column endpoints) while Spark sizes the grid from the data
+    as sequence(l_min, l_max + 64) — they silently diverge if the
+    log2_w spread ever exceeds 4096 - 64. Guard the precondition on
+    every corpus the oracle actually runs against (the sf0.01 gate and
+    the sf0.1 parity-sweep scale)."""
+    from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain
+
+    for sf in ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]:
+        lo, hi = (
+            dsir_importance(spark, sf).agg(F.min("log2_w"), F.max("log2_w")).first()
+        )
+        assert hi - lo + 64 < 4096, f"{sf}: spread {hi - lo} outgrew the oracle grid"
+        drain()
+
+
 def test_dsir_model_is_bounded(spark, dsir_corpus_dir):
     """The scale story: the model is <= DSIR_BUCKETS rows no matter the
     corpus, every bucket in range, and totals are consistent with one

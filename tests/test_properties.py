@@ -232,3 +232,61 @@ def test_next_fit_audit_matches_sequential_replay(spark, shards, cap):
         assert r.n_bins_concat <= r.n_bins <= len(ns)
         assert r.waste_tokens == bins * cap - sum(m)
         assert r.utilization == math.floor(sum(m) / (bins * cap) * 1e6 + 0.5) / 1e6
+
+
+@given(
+    shards=st.lists(
+        st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=30),
+        min_size=1,
+        max_size=4,
+    ),
+    cap=st.integers(min_value=1, max_value=300),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ffd_audit_matches_sequential_replay(spark, shards, cap):
+    """Random shards through _ffd_audit at a random context size: the
+    per-shard FFD bin count must equal a pure-Python replay of the
+    truncate-then-first-fit-decreasing rule, the embedded next-fit
+    column must replay the streaming rule, and the ordering invariant
+    concat lower bound <= FFD <= next-fit <= docs must hold (FFD never
+    loses to the streaming baseline)."""
+    import math
+
+    from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain
+    from prueba_tecnica_http_client_etl_spark.operators.corpus import _ffd_audit
+
+    data = [
+        (f"s{si}", di, n)
+        for si, ns in enumerate(shards)
+        for di, n in enumerate(ns)
+    ]
+    d = spark.createDataFrame(data, "source string, doc_id long, n_tokens long")
+    rows = {r.source: r for r in _ffd_audit(d, cap).collect()}
+    drain()
+    assert len(rows) == len(shards)
+    for si, ns in enumerate(shards):
+        m = [min(x, cap) for x in ns]
+        fill, nf = 0, 0
+        for x in m:
+            if nf == 0 or fill + x > cap:
+                nf, fill = nf + 1, x
+            else:
+                fill += x
+        fills: list[int] = []
+        for x in sorted(m, reverse=True):
+            for i, f in enumerate(fills):
+                if f + x <= cap:
+                    fills[i] = f + x
+                    break
+            else:
+                fills.append(x)
+        r = rows[f"s{si}"]
+        assert (r.n_docs, r.n_tokens, r.n_trunc_tokens) == (len(ns), sum(ns), sum(ns) - sum(m))
+        assert (r.n_bins_ffd, r.n_bins_nextfit, r.bins_saved) == (
+            len(fills),
+            nf,
+            nf - len(fills),
+        )
+        assert r.n_bins_concat <= r.n_bins_ffd <= r.n_bins_nextfit <= len(ns)
+        assert r.waste_tokens == len(fills) * cap - sum(m)
+        assert r.utilization == math.floor(sum(m) / (len(fills) * cap) * 1e6 + 0.5) / 1e6
