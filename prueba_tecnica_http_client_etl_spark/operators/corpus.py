@@ -1828,28 +1828,74 @@ def dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: no counterpart (no selection ops); Xie et al., NeurIPS
     2023, §2 (the resampling draw itself)."""
-    from ..functions.cachepool import managed_persist
+    scores = dsir_importance(spark, sf_dir).select("doc_id", "log2_w")
+    return dsir_select_docs(scores, dsir_accept_plan(spark, sf_dir)).orderBy("doc_id")
+
+
+def dsir_accept_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frozen per-snapshot DSIR selection state: (log2_w,
+    accept_num, sb) — dsir_resample_plan's acceptance numerators with
+    the dyadic scale folded in as a column — memoized in the artifact
+    store (production solves the waterfilling once per snapshot when
+    the resampling budget is set, persists the plan table, and serves
+    every selection pass — batch or ingest-time — from it). Building
+    it costs one scoring scan (the same corpus pass dsir_importance
+    runs); thereafter dsir_sample and the streaming sampling gate read
+    the checkpointed rows. ~|distinct log2_w| rows: unhinted, its
+    broadcast in the selection join is wanted.
+
+    NOT read by dsir_resample_plan itself — that query's contract is
+    to COMPUTE the plan (the store never serves a query its own
+    output); this artifact serves the downstream selectors."""
+    from ..functions.artifacts import artifact_key, trained_artifact
+
+    def build() -> DataFrame:
+        from ..functions.cachepool import managed_persist
+
+        w = managed_persist(
+            dsir_importance(spark, sf_dir)
+            .groupBy("log2_w")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        )
+        plan = _waterfill_plan(w).select("log2_w", "accept_num")
+        # the plan rows don't carry sb; re-derive it from the bucket
+        # table by the same rule the solver used (exact, data-derived)
+        sbf = w.agg(
+            F.expr("least(40, 62 - length(bin(sum(n_docs))))").cast("int").alias("sb")
+        )
+        return plan.crossJoin(F.broadcast(sbf))
+
+    tag = "-".join(DSIR_TARGET_SOURCES)
+    return trained_artifact(
+        artifact_key(
+            f"dsir_accept_plan_{DSIR_RESAMPLE_NUM}of{DSIR_RESAMPLE_DEN}_t{tag}",
+            spark,
+            sf_dir,
+            "documents",
+        ),
+        build,
+    )
+
+
+def dsir_select_docs(scores: DataFrame, plan: DataFrame) -> DataFrame:
+    """Apply a frozen (log2_w, accept_num, sb) acceptance plan to a
+    (doc_id, log2_w) scored frame: keep doc iff
+    salted('dsirsmp', doc_id) mod 2^sb < accept_num. Pure per-doc
+    function of (plan, doc) — no cross-doc state — so the union of
+    per-batch selections equals selecting over the whole scored set at
+    once: the decomposability argument that certifies the streaming
+    sampling gate against dsir_sample's batch oracle (same contract as
+    dsir_score_docs)."""
     from ..functions.portable import salted
 
-    scores = managed_persist(dsir_importance(spark, sf_dir).select("doc_id", "log2_w"))
-    w = managed_persist(
-        scores.groupBy("log2_w").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    )
-    plan = _waterfill_plan(w).select("log2_w", "accept_num")
-    # the plan rows don't carry sb; re-derive it from the bucket table
-    # by the same rule the solver used (exact, data-derived)
-    sbf = w.agg(
-        F.expr("least(40, 62 - length(bin(sum(n_docs))))").cast("int").alias("sb")
-    )
     draw = salted("dsirsmp", F.col("doc_id")) % F.expr(
         "shiftleft(cast(1 as bigint), sb)"
     )
     return (
-        scores.join(F.broadcast(plan), "log2_w")
-        .crossJoin(F.broadcast(sbf))
+        scores.select("doc_id", "log2_w")
+        .join(F.broadcast(plan), "log2_w")
         .filter(draw < F.col("accept_num"))
         .select("doc_id", "log2_w", "accept_num")
-        .orderBy("doc_id")
     )
 
 

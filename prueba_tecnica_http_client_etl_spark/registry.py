@@ -825,6 +825,62 @@ def q_dsir_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register("dsir_sample_stream", corpus.SQL_DSIR_SAMPLE)
+def q_dsir_sample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DSIR SELECTION gate (streaming/dsir_stream.py) — the
+    eleventh hash-certified stream, closing the score -> plan -> sample
+    loop in the ingest path: the B-row model and the per-snapshot
+    acceptance plan are snapshot-keyed trained artifacts (corpus.
+    dsir_model / dsir_accept_plan — the same frames the batch selector
+    reads), the raw slice replays as a file stream, and every
+    micro-batch is scored AND filtered through corpus.dsir_select_docs
+    verbatim.
+
+    Oracle: weight and keep/drop are per-doc pure functions of frozen
+    state, so the union over micro-batches equals batch dsir_sample —
+    its oracle SQL certifies the stream's full output
+    (rows+schema+hash); only emission timing is a streaming-only
+    notion."""
+    from pyspark.sql import functions as F
+
+    from .operators.corpus import (
+        DSIR_TARGET_SOURCES,
+        dsir_accept_plan,
+        dsir_model,
+        dsir_totals,
+    )
+    from .streaming import dsir_stream as DS
+
+    tmp, tag = _stream_staging_path(sf_dir, "dsir_score_in", "documents")
+    _ensure_staged(
+        tmp,
+        lambda p: load_table(spark, sf_dir, "documents")
+        .filter(~F.col("source").isin(*DSIR_TARGET_SOURCES))
+        .select("doc_id", "text")
+        .repartition(4)
+        .write.mode("overwrite")
+        .json(p),
+    )
+    model = dsir_model(spark, sf_dir)
+    plan = dsir_accept_plan(spark, sf_dir)
+    out_root, checkpoint = _stream_run_dirs(sf_dir, "dsir_sample")
+    out = (
+        DS.run_dsir_sample(
+            spark,
+            tmp,
+            out_root,
+            model=model,
+            totals=dsir_totals(model),
+            plan=plan,
+            checkpoint=checkpoint,
+        )
+        .select("doc_id", "log2_w", "accept_num")
+        .orderBy("doc_id")
+    )
+    _finish_stream_run(out_root)  # replay terminated inside run_*
+    return out
+
+
 @register("contamination_bloom_stream", curation.SQL_CONTAMINATION_CHECK)
 def q_contamination_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Bloom-prescreened decontamination
@@ -1030,6 +1086,7 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "dsir_resample_plan": 11,
     "dsir_sample": None,
     "sequence_pack_ffd": None,
+    "dsir_sample_stream": None,
     "sequence_pack_greedy": 11,
     "contamination_stats_by_source": 11,
     "kpi_daily_approx_p90": 11,

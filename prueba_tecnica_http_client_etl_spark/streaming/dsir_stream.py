@@ -64,3 +64,55 @@ def run_dsir_score(
         )
         q.awaitTermination()
     return spark.read.parquet(f"{out_root}/scores")
+
+
+def run_dsir_sample(
+    spark: SparkSession,
+    input_path: str,
+    out_root: str,
+    *,
+    model: DataFrame,
+    totals: DataFrame,
+    plan: DataFrame,
+    checkpoint: str,
+    one_file_per_batch: bool = False,
+) -> DataFrame:
+    """The ingest-time SELECTION gate — the streaming leg of the full
+    DSIR loop (score -> plan -> sample): every arriving micro-batch is
+    scored against the frozen (model, totals) and immediately filtered
+    through the frozen acceptance plan (corpus.dsir_select_docs — the
+    deterministic salted-hash Bernoulli dsir_sample applies in batch).
+    Per-batch cost is |batch| feature occurrences joined to the
+    broadcastable model plus a broadcast plan-row filter; accepted docs
+    flow on, rejected docs stop here — the bandwidth-saving shape a
+    production ingest pipeline wants (score AND select at the edge,
+    ship only the kept quarter).
+
+    Both the weight and the keep/drop are per-document pure functions
+    of frozen state, so the union of per-batch selections is
+    byte-identical to batch dsir_sample over the same raw slice —
+    certified against its oracle SQL verbatim."""
+    from ..operators.corpus import dsir_score_docs, dsir_select_docs
+
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if one_file_per_batch:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    stream = reader.json(input_path)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kept = dsir_select_docs(
+            dsir_score_docs(_prepped_batch(batch_df), model, totals), plan
+        )
+        kept.write.mode("overwrite").parquet(f"{out_root}/kept/batch_id={batch_id}")
+
+    from .tuning import stream_shuffle
+
+    with stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(f"{out_root}/kept")

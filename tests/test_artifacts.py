@@ -32,7 +32,10 @@ def test_memoized_equals_fresh(spark):
     labels; coarse centroids + ground truth via the recall gate; PQ
     codebook + codes via the ADC tier; LSH shingles/signatures/bands via
     the pair finder and the incremental prober)."""
-    from prueba_tecnica_http_client_etl_spark.operators.corpus import lm_bigram_score
+    from prueba_tecnica_http_client_etl_spark.operators.corpus import (
+        dsir_sample,
+        lm_bigram_score,
+    )
 
     for fn in (
         dedup_components,
@@ -41,6 +44,8 @@ def test_memoized_equals_fresh(spark):
         dedup_minhash_lsh,
         dedup_incremental,
         lm_bigram_score,
+        # the DSIR acceptance-plan artifact via the batch selector
+        dsir_sample,
     ):
         A.clear()
         drain()

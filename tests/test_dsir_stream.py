@@ -56,6 +56,38 @@ def test_multi_batch_weights_equal_batch_selector(spark, tmp_path):
     drain()
 
 
+def test_multi_batch_selection_equals_batch_sampler(spark, tmp_path):
+    """The streaming SELECTION gate: scored + plan-filtered per
+    micro-batch, the kept union must be byte-identical to the one-shot
+    dsir_sample — keep/drop is a per-doc function of the FROZEN
+    (model, plan) only, and no rejected doc may leak through."""
+    from prueba_tecnica_http_client_etl_spark.operators.corpus import (
+        dsir_accept_plan,
+        dsir_sample,
+    )
+    from prueba_tecnica_http_client_etl_spark.streaming.dsir_stream import run_dsir_sample
+
+    model = dsir_model(spark, SF_SMOKE)
+    inp = _stage_raw(spark, tmp_path)
+    out = run_dsir_sample(
+        spark,
+        inp,
+        str(tmp_path / "out"),
+        model=model,
+        totals=dsir_totals(model),
+        plan=dsir_accept_plan(spark, SF_SMOKE),
+        checkpoint=str(tmp_path / "ckpt"),
+        one_file_per_batch=True,
+    )
+    assert out.select("batch_id").distinct().count() > 1, "stream must run multi-batch"
+    got = sorted(tuple(r) for r in out.select("doc_id", "log2_w", "accept_num").collect())
+    want = sorted(tuple(r) for r in dsir_sample(spark, SF_SMOKE).collect())
+    assert got == want
+    # and the gate actually rejects: kept is a strict subset of scored
+    assert len(got) < dsir_importance(spark, SF_SMOKE).count()
+    drain()
+
+
 def test_replay_is_idempotent(spark, tmp_path):
     """A second availableNow run over the same input and a FRESH
     checkpoint must converge to the identical score files (foreachBatch

@@ -273,3 +273,31 @@ def test_contamination_stats_rollup_adds_no_corpus_join(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastExchange" in plan, plan
     drain()
+
+
+def test_dsir_sample_broadcasts_plan_not_corpus(spark):
+    """The selection join's build side must be the ~|buckets|-row
+    acceptance-plan artifact, never the corpus-sized scored frame: the
+    plan (a checkpointed LogicalRDD) joins broadcast, and the only
+    SortMergeJoins allowed in the query are the ones inside the scoring
+    subtree (grams x model attribution), whose probe sides are the
+    corpus scans. A plan where the scored frame itself feeds a
+    BroadcastExchange is the round-8 corpus-broadcast trap resurfacing
+    on a new consumer."""
+    from prueba_tecnica_http_client_etl_spark.functions import artifacts as A
+    from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain
+    from prueba_tecnica_http_client_etl_spark.operators.corpus import dsir_sample
+
+    import re
+
+    plan = _physical(dsir_sample(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    # every broadcast must be rooted on a bounded checkpointed relation
+    # (the plan artifact / the B-row model — ExistingRDD scans), never
+    # on a corpus parquet scan (documents is the only parquet relation
+    # in this query, so any BroadcastExchange sitting on a FileScan is
+    # a corpus broadcast)
+    corpus_broadcast = re.compile(r"BroadcastExchange[\s\S]{0,400}?FileScan parquet")
+    assert not corpus_broadcast.search(plan), plan
+    drain()
+    A.clear()
