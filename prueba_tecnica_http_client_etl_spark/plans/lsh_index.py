@@ -139,6 +139,70 @@ def build_lsh_index(docs: DataFrame, *, prefix: str, n_buckets: int = 8) -> None
         d.unpersist()
 
 
+def append_to_lsh_index(batch: DataFrame, *, prefix: str, n_buckets: int = 8) -> None:
+    """ACCEPT a probed batch into the index — the ingest-loop step
+    between probe and the next batch: the crawler probes arrivals,
+    keeps the novel ones, and appends their (digest, bands, shingles)
+    so every LATER batch is deduplicated against them too. Signatures
+    are derived here once — the sign-once-at-ingest event the round-12
+    probe-memo adjudication describes — and never again (the stored
+    band rows ARE the signature state).
+
+    Appends write additional bucketed files into the existing catalog
+    tables (same bucket spec, so bucket pruning and the shuffle-free
+    probe joins keep holding); per-append cost is |batch| x bands rows,
+    independent of index size — no rebuild, no read-modify-write.
+
+    Equivalence contract (tests/test_lsh_index.py): probing after
+    append(B) is byte-identical to probing against an index BUILT from
+    corpus + B in one shot, as long as B introduces no hot bucket —
+    appends don't re-evaluate the build-time hot-bucket cap (that
+    would need the appended buckets' full membership). Hot buckets
+    accumulated across appends are re-capped by compact_lsh_index_bands
+    — the build/append/compact split production LSH services run."""
+    d = _prepped(batch).persist()
+    try:
+        d.select("digest", "doc_id").write.mode("append").format("parquet").bucketBy(
+            n_buckets, "digest"
+        ).saveAsTable(f"{prefix}_digests")
+        band_table(_minhash_signatures(d)).write.mode("append").format(
+            "parquet"
+        ).bucketBy(n_buckets, "band_hash").saveAsTable(f"{prefix}_bands")
+        d.select("doc_id", "sh").write.mode("append").format("parquet").bucketBy(
+            n_buckets, "doc_id"
+        ).saveAsTable(f"{prefix}_shingles")
+    finally:
+        d.unpersist()
+
+
+def compact_lsh_index_bands(spark: SparkSession, *, prefix: str, n_buckets: int = 8) -> int:
+    """Re-apply the hot-bucket cap over the accumulated band table —
+    the periodic maintenance that keeps every future probe's fan-out
+    bounded after appends have grown some bucket past LSH_MAX_BUCKET
+    (append_to_lsh_index deliberately defers the cap; see its
+    docstring). Rewrites only the bands table (digests/shingles are
+    cap-independent) from its own stored rows — one scan of the index
+    state, never of the corpus. Returns the number of hot buckets
+    dropped."""
+    bands = spark.table(f"{prefix}_bands")
+    hot = lsh_hot_buckets(bands, max_bucket_size=LSH_MAX_BUCKET).collect()
+    if not hot:
+        return 0
+    hot_df = spark.createDataFrame(hot)
+    kept = bands.join(
+        F.broadcast(hot_df.select("band_idx", "band_hash")),
+        ["band_idx", "band_hash"],
+        "left_anti",
+    )
+    # a table cannot be overwritten from a plan that reads it — stage
+    # the survivors through a checkpoint (pinned blocks), then rewrite
+    staged = kept.localCheckpoint(eager=True)
+    staged.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, "band_hash"
+    ).saveAsTable(f"{prefix}_bands")
+    return len(hot)
+
+
 def probe_lsh_index(spark: SparkSession, batch: DataFrame, *, prefix: str) -> DataFrame:
     """Verdict per batch doc against the persisted index: `exact_dup`
     (digest already indexed), `near_dup` (banded candidate verified at
