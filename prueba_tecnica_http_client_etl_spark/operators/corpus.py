@@ -735,6 +735,87 @@ GROUP BY source, bin_id
 ORDER BY source, bin_id"""
 
 
+TRAIN_EPOCHS = 2  # epochs the order plan emits (decorrelation visible)
+TRAIN_SHARDS = 8  # loader worker shards per epoch
+
+
+def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORDER-GENERATION step between packing and serving: a
+    deterministic per-epoch global shuffle of the packed training bins,
+    assigning every (source, bin_id) sequence an (epoch, shard, pos) —
+    the work order each loader worker replays. The permutation is a
+    pure salted-hash sort (salt = the epoch), so it is STATELESS and
+    COORDINATION-FREE: any worker derives its own shard's order from
+    the bin manifest alone — no central permutation array, no RNG
+    state to checkpoint, bit-reproducible across engines, restarts and
+    partitionings (the property a resumable 100 TB training run
+    needs); re-shuffling for the next epoch is just the next salt.
+    Same engine-invariant-draw family as corpus_split /
+    corpus_sample_per_source / dsir_sample.
+
+    Scale shape: one scan of the per-source packed-bin manifest
+    (distinct (source, bin_id) from the running-sum layout — no token
+    data touched), epoch fan-out by a bounded explode (TRAIN_EPOCHS
+    rows per bin), then ONE shuffle keyed (epoch, shard) whose
+    partition size is |bins| / TRAIN_SHARDS — sized by the shard
+    count exactly like a loader's worker split. The within-shard
+    row_number is the only window, over that bounded partition.
+
+    Reference: no counterpart (no ordering concept); first-class
+    LLM-pipeline tier — the deterministic data-ordering component of
+    a training loader (cf. Megatron-style sample orderings)."""
+    from ..functions.portable import salted
+
+    bins = (
+        _packed_docs(spark, sf_dir)
+        .select("source", "bin_id")
+        .distinct()
+        .select(
+            "source",
+            "bin_id",
+            F.explode(F.expr(f"sequence(0, {TRAIN_EPOCHS - 1})")).alias("epoch"),
+        )
+    )
+    key = salted(
+        "trainord",
+        F.concat_ws("#", F.col("epoch"), F.col("source"), F.col("bin_id")),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("hk", "source", "bin_id")
+    return (
+        bins.withColumn("hk", key)
+        .withColumn("shard", (F.col("hk") % TRAIN_SHARDS).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(
+            F.col("epoch").cast("int").alias("epoch"),
+            "shard",
+            "pos",
+            "source",
+            "bin_id",
+        )
+        .orderBy("epoch", "shard", "pos")
+    )
+
+
+SQL_TRAINING_ORDER = f"""
+WITH {DUCK_DOCS_CTE},
+{_SQL_PACKED_CTE},
+bins AS (SELECT DISTINCT source, bin_id FROM packed),
+eb AS (
+  SELECT b.source, b.bin_id, e.epoch,
+         {sql_salted('trainord', "CAST(e.epoch AS VARCHAR) || '#' || b.source || '#' || CAST(b.bin_id AS VARCHAR)")} AS hk
+  FROM bins b CROSS JOIN (SELECT CAST(range AS BIGINT) AS epoch FROM range(0, {TRAIN_EPOCHS})) e
+)
+SELECT CAST(epoch AS INT) AS epoch,
+       CAST(hk % {TRAIN_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY epoch, hk % {TRAIN_SHARDS}
+         ORDER BY hk, source, bin_id
+       ) AS BIGINT) AS pos,
+       source, bin_id
+FROM eb
+ORDER BY epoch, shard, pos"""
+
+
 # --- packed id content (tokenize -> pack fusion on real vocabulary ids) ------
 
 IDS_HEAD = 16  # leading ids emitted per bin; counts cover the whole bin

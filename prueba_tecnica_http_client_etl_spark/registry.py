@@ -233,6 +233,7 @@ _LLM_PIPELINE = [
     ("dsir_resample_plan", corpus.dsir_resample_plan, corpus.SQL_DSIR_RESAMPLE_PLAN),
     ("dsir_sample", corpus.dsir_sample, corpus.SQL_DSIR_SAMPLE),
     ("sequence_pack_ffd", corpus.sequence_pack_ffd, corpus.SQL_SEQUENCE_PACK_FFD),
+    ("training_order", corpus.training_order, corpus.SQL_TRAINING_ORDER),
     ("sequence_pack_greedy", corpus.sequence_pack_greedy, corpus.SQL_SEQUENCE_PACK_GREEDY),
     ("contamination_stats_by_source", curation.contamination_stats_by_source, curation.SQL_CONTAMINATION_STATS_BY_SOURCE),
 ]
@@ -1086,6 +1087,7 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "dsir_resample_plan": 11,
     "dsir_sample": None,
     "sequence_pack_ffd": None,
+    "training_order": None,
     "dsir_sample_stream": None,
     "sequence_pack_greedy": 11,
     "contamination_stats_by_source": 11,
@@ -1127,6 +1129,13 @@ _TOUCHED_THIS_ROUND: list[str] = [
 # = 10 exactly 4 r9 rows spill to r13 (where they become forced but
 # fit trivially). Sweet spot: keep new registrations + touched <= 6
 # so ALL 40 r9 rows rotate now and r13 opens unconstrained.
+# Round-12 CLOSED at head 9/10: 4 new registrations (dsir_sample,
+# sequence_pack_ffd, dsir_sample_stream, training_order) +
+# dedup_stream_ttl touched; fill = all 40 r9 rows + 1 r10 — FROZEN,
+# no further registrations or touches this round. Round-13
+# projection: ledger after r12 becomes 50@r12 / 45@r11 / 45@r10 —
+# nothing forced (r10 rows' ceiling is r14), minimum head 4; wide
+# open, but rotating the 45 r11 rows early keeps r14 unconstrained.
 
 _WINDOW_SIZE = 50
 

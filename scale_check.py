@@ -123,6 +123,9 @@ LLM_TIER = [
     # tier plus an in-shard sort; fixed |sources|-row output)
     "dsir_sample",
     "sequence_pack_ffd",
+    # the order-generation plan: one manifest scan + an (epoch, shard)
+    # shuffle; output rows = bins x epochs, so rows_ratio ~10
+    "training_order",
 ]
 
 # bump when the replica construction changes: a marker whose content
@@ -288,6 +291,7 @@ HUNDRED_TIER = [
     # DSIR selection leg and the FFD packing audit — see LLM_TIER notes
     "dsir_sample",
     "sequence_pack_ffd",
+    "training_order",
 ]
 
 

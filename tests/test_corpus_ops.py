@@ -282,3 +282,40 @@ def test_sequence_pack_greedy_truncation_and_next_fit(spark, monkeypatch):
         assert got.waste_tokens == bins * cap - sum(m)
         assert got.utilization == math.floor(sum(m) / (bins * cap) * 1e6 + 0.5) / 1e6
     assert truncated_somewhere, "shrunken context must exercise truncation"
+
+
+def test_training_order_is_a_per_epoch_permutation(spark):
+    """Order-generation semantics: every packed bin appears EXACTLY once
+    per epoch (a permutation, not a sample), positions are contiguous
+    1..|shard| within every (epoch, shard), and the two epochs'
+    placements are genuinely decorrelated (most bins land on a
+    different (shard, pos) — the whole point of re-salting per epoch)."""
+    from collections import Counter
+
+    from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain
+    from prueba_tecnica_http_client_etl_spark.operators.corpus import (
+        TRAIN_EPOCHS,
+        training_order,
+    )
+
+    rows = training_order(spark, SF_SMOKE).collect()
+    per_epoch = Counter(r.epoch for r in rows)
+    assert set(per_epoch) == set(range(TRAIN_EPOCHS))
+    n_bins = per_epoch[0]
+    assert all(c == n_bins for c in per_epoch.values())
+    for e in per_epoch:
+        assert Counter((r.source, r.bin_id) for r in rows if r.epoch == e) == Counter(
+            (r.source, r.bin_id) for r in rows if r.epoch == 0
+        )
+    shard_pos = Counter()
+    for r in rows:
+        shard_pos[(r.epoch, r.shard)] = max(shard_pos[(r.epoch, r.shard)], r.pos)
+    for (e, s), mx in shard_pos.items():
+        got = sorted(r.pos for r in rows if (r.epoch, r.shard) == (e, s))
+        assert got == list(range(1, mx + 1)), (e, s)
+    place = {}
+    for r in rows:
+        place.setdefault((r.source, r.bin_id), {})[r.epoch] = (r.shard, r.pos)
+    moved = sum(1 for p in place.values() if p[0] != p[1])
+    assert moved > 0.5 * n_bins, f"epochs look correlated: {moved}/{n_bins} moved"
+    drain()
