@@ -79,8 +79,17 @@ def build_ivf_index(
         )
     cents.write.mode("overwrite").format("parquet").saveAsTable(f"{prefix}_cents")
     cents_t = emb.sparkSession.table(f"{prefix}_cents")
+    assigned = _assign_cells(emb, cents_t, carry_cols)
+    write_bucketed(assigned, f"{prefix}_cells", bucket_cols=["cell"], n_buckets=n_buckets)
+
+
+def _assign_cells(emb: DataFrame, cents_t: DataFrame, carry_cols: tuple[str, ...]) -> DataFrame:
+    """Nearest-centroid cell assignment of (vec_id, q, nrm) vectors under
+    a broadcast quantizer — shared by the one-shot build and the ingest
+    append (both must place a vector identically for the
+    append == rebuild contract to hold)."""
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("cent_cos").desc(), F.col("cent_id"))
-    assigned = (
+    return (
         emb.join(F.broadcast(cents_t), F.lit(True))
         .withColumn("cent_cos", _cos_to_cent() / (F.col("nrm") * F.col("nc")))
         .withColumn("cent_rank", F.row_number().over(w_assign))
@@ -93,7 +102,32 @@ def build_ivf_index(
             *[F.col(c) for c in carry_cols],
         )
     )
-    write_bucketed(assigned, f"{prefix}_cells", bucket_cols=["cell"], n_buckets=n_buckets)
+
+
+def append_to_ivf_index(
+    emb: DataFrame, *, prefix: str, n_buckets: int = 8, carry_cols: tuple[str, ...] = ()
+) -> None:
+    """ACCEPT a vector batch into the persisted index — the ingest step
+    a production vector store runs between (re)trains: assign the new
+    vectors under the FROZEN quantizer already in `{prefix}_cents`
+    (never retrain at ingest; drifting centroids would silently split
+    cells between old and new residents) and append their inverted-list
+    rows as additional bucketed files. Per-append cost is
+    |batch| x |cents| assignment work + a bucketed write — independent
+    of index size, no rebuild, bucket pruning preserved.
+
+    Equivalence contract (tests/test_ivf_index.py): probing after
+    append(B) is byte-identical to probing an index BUILT from
+    corpus + B in one shot under the SAME quantizer — assignment is a
+    per-vector function of the frozen centroids, so append-grown and
+    rebuilt indexes are interchangeable until the next re-train (cell
+    balance after drift is the re-train/compaction trigger, exactly
+    like the LSH cap)."""
+    spark = emb.sparkSession
+    assigned = _assign_cells(emb, spark.table(f"{prefix}_cents"), carry_cols)
+    assigned.write.mode("append").format("parquet").bucketBy(
+        n_buckets, "cell"
+    ).saveAsTable(f"{prefix}_cells")
 
 
 def probe_ivf_index(

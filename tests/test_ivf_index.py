@@ -132,3 +132,45 @@ def test_trained_filtered_probe_matches_ann_filtered_learned_topk(spark):
     emb.unpersist()
     A.clear()
     drain()
+
+
+def test_append_then_probe_equals_one_shot_build(spark):
+    """The ingest ACCEPT step: after append(B) under the frozen
+    quantizer, probing must be byte-identical to probing an index built
+    from A union B in one shot under the SAME quantizer — assignment is
+    a per-vector function of the centroids, so append-grown and rebuilt
+    indexes are interchangeable. The appended vectors must actually be
+    reachable (some appear as neighbors), and the probe must still read
+    the cells bucketed after the append."""
+    emb = _quantized(spark, SF_SMOKE).persist()
+    try:
+        part = F.col("vec_id") % 5
+        a, b = emb.filter(part != 1), emb.filter(part == 1)
+        queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        # freeze the quantizer on the BASE corpus and reuse it for the
+        # one-shot rebuild (the default strided seeds over A union B
+        # would differ — the contract is same-quantizer equivalence)
+        IVF.build_ivf_index(a, prefix="t_ivfapp", n_buckets=4)
+        cents = [tuple(r) for r in spark.table("t_ivfapp_cents").collect()]
+        IVF.append_to_ivf_index(b, prefix="t_ivfapp", n_buckets=4)
+        got = IVF.probe_ivf_index(spark, queries, prefix="t_ivfapp").collect()
+
+        cents_df = spark.createDataFrame(cents, spark.table("t_ivfapp_cents").schema)
+        IVF.build_ivf_index(
+            a.unionByName(b), prefix="t_ivfapp2", n_buckets=4, cents=cents_df
+        )
+        want = IVF.probe_ivf_index(spark, queries, prefix="t_ivfapp2").collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        appended_ids = {r.vec_id for r in b.select("vec_id").collect()}
+        assert any(r.neighbor_id in appended_ids for r in got), (
+            "appended vectors never surface as neighbors"
+        )
+        plan = (
+            IVF.probe_ivf_index(spark, queries, prefix="t_ivfapp")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SelectedBucketsCount" in plan, plan
+    finally:
+        emb.unpersist()
