@@ -1734,11 +1734,15 @@ def dsir_resample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _waterfill_plan(w)
 
 
-def _waterfill_plan(w: DataFrame) -> DataFrame:
+def _waterfill_plan(w: DataFrame, *, keep_sb: bool = False) -> DataFrame:
     """The exact-integer power-of-two waterfilling solve over a
     (log2_w, n_docs) bucket frame — the injectable core of
     dsir_resample_plan (property tests feed synthetic bucket
-    distributions through the identical plan)."""
+    distributions through the identical plan). `keep_sb=True` appends
+    the solved dyadic scale as an `sb` column (the acceptance-plan
+    artifact needs it; the certified dsir_resample_plan output keeps
+    its schema) — consumers must read sb from HERE, never re-derive
+    the scale rule, so the solve and its scale cannot drift apart."""
     tot = (
         w.agg(
             F.sum("n_docs").cast("long").alias("n_total"),
@@ -1785,19 +1789,20 @@ def _waterfill_plan(w: DataFrame) -> DataFrame:
         "ELSE cast(0 as bigint) END"
     )
     scale = F.expr("shiftleft(cast(1 as bigint), sb)").cast("double")
+    cols = [
+        "log2_w",
+        "n_docs",
+        "accept_num",
+        roundn(F.col("accept_num").cast("double") / scale, 6).alias("accept_rate"),
+        roundn(
+            F.col("n_docs").cast("double") * F.col("accept_num").cast("double") / scale, 4
+        ).alias("exp_kept"),
+        "threshold_log2",
+    ] + ([F.col("sb").cast("int").alias("sb")] if keep_sb else [])
     return (
         w.crossJoin(F.broadcast(t_star))
         .withColumn("accept_num", accept_num)
-        .select(
-            "log2_w",
-            "n_docs",
-            "accept_num",
-            roundn(F.col("accept_num").cast("double") / scale, 6).alias("accept_rate"),
-            roundn(F.col("n_docs").cast("double") * F.col("accept_num").cast("double") / scale, 4).alias(
-                "exp_kept"
-            ),
-            "threshold_log2",
-        )
+        .select(*cols)
         .orderBy("log2_w")
     )
 
@@ -1925,13 +1930,15 @@ def dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     is BIGINT-vs-BIGINT at the plan's own scale 2^sb (sb <= 40 < the
     60 hash bits), so no floats enter the decision.
 
-    Scale shape: one corpus scoring scan (dsir_importance's plan),
-    persisted so the bucket rollup and the final filter share it — the
-    materialize-once a production pipeline does by writing scores to a
-    snapshot table; the waterfilling solve is arithmetic over the
-    ~|distinct log2_w| bucket rows; the keep/drop is a broadcast join
-    of those plan rows back onto the scored frame. At 100 TB: one scan
-    + kilobytes of solver state + a map-side filter.
+    Scale shape: the acceptance plan is a per-snapshot trained
+    artifact (dsir_accept_plan) — its build runs one scoring scan to
+    solve the waterfilling (the plan-at-budget-set-time cost, paid
+    once per snapshot); each SELECTION pass then runs one scoring scan
+    of its own with the keep/drop applied as a broadcast join of the
+    ~|distinct log2_w| plan rows — the score-and-filter pass a
+    production pipeline runs per snapshot (or per batch, in the
+    streaming gate). At 100 TB: one training scan per snapshot, one
+    scan per selection pass, kilobytes of solver state in between.
 
     Reference: no counterpart (no selection ops); Xie et al., NeurIPS
     2023, §2 (the resampling draw itself)."""
@@ -1964,13 +1971,10 @@ def dsir_accept_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("log2_w")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         )
-        plan = _waterfill_plan(w).select("log2_w", "accept_num")
-        # the plan rows don't carry sb; re-derive it from the bucket
-        # table by the same rule the solver used (exact, data-derived)
-        sbf = w.agg(
-            F.expr("least(40, 62 - length(bin(sum(n_docs))))").cast("int").alias("sb")
-        )
-        return plan.crossJoin(F.broadcast(sbf))
+        # sb comes FROM the solver (keep_sb) — never re-derive the
+        # scale rule here, or the numerators and the scale could be
+        # computed at different scales if the rule is ever tuned
+        return _waterfill_plan(w, keep_sb=True).select("log2_w", "accept_num", "sb")
 
     tag = "-".join(DSIR_TARGET_SOURCES)
     return trained_artifact(

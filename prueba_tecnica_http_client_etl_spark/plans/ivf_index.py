@@ -105,7 +105,7 @@ def _assign_cells(emb: DataFrame, cents_t: DataFrame, carry_cols: tuple[str, ...
 
 
 def append_to_ivf_index(
-    emb: DataFrame, *, prefix: str, n_buckets: int = 8, carry_cols: tuple[str, ...] = ()
+    emb: DataFrame, *, prefix: str, carry_cols: tuple[str, ...] = ()
 ) -> None:
     """ACCEPT a vector batch into the persisted index — the ingest step
     a production vector store runs between (re)trains: assign the new
@@ -122,11 +122,16 @@ def append_to_ivf_index(
     per-vector function of the frozen centroids, so append-grown and
     rebuilt indexes are interchangeable until the next re-train (cell
     balance after drift is the re-train/compaction trigger, exactly
-    like the LSH cap)."""
+    like the LSH cap). The bucket spec is read from the catalog and a
+    missing cents OR cells table fails loudly (mode('append') would
+    silently create a parallel cells table nothing probes)."""
+    from .lsh_index import _require_index, _table_n_buckets
+
     spark = emb.sparkSession
+    _require_index(spark, prefix, ("cents", "cells"))
     assigned = _assign_cells(emb, spark.table(f"{prefix}_cents"), carry_cols)
     assigned.write.mode("append").format("parquet").bucketBy(
-        n_buckets, "cell"
+        _table_n_buckets(spark, f"{prefix}_cells"), "cell"
     ).saveAsTable(f"{prefix}_cells")
 
 

@@ -91,7 +91,7 @@ def build_lsh_index(docs: DataFrame, *, prefix: str, n_buckets: int = 8) -> None
     so overwrite has nothing to overwrite and refuses the non-empty dir)
     is detected and cleared first."""
     spark = docs.sparkSession
-    for suffix in ("digests", "bands", "shingles"):
+    for suffix in ("digests", "bands", "shingles", "hotdrops"):
         _clear_orphaned_location(spark, f"{prefix}_{suffix}")
     d = _prepped(docs).persist()
     bands = None
@@ -117,9 +117,18 @@ def build_lsh_index(docs: DataFrame, *, prefix: str, n_buckets: int = 8) -> None
         # finding class, flagged here by the round-8 ADVICE)
         bands = band_table(_minhash_signatures(d)).persist()
         hot = lsh_hot_buckets(bands, max_bucket_size=LSH_MAX_BUCKET)
+        # TOMBSTONE the dropped keys: a bucket capped away at build must
+        # STAY away — later appends anti-join this table, so an append
+        # re-populating a once-hot bucket below the cap cannot resurrect
+        # it (that would diverge from a one-shot capped rebuild, whose
+        # hotness is computed over the full membership). Tiny: one row
+        # per dropped (band_idx, band_hash).
+        hot.select("band_idx", "band_hash").write.mode("overwrite").format(
+            "parquet"
+        ).saveAsTable(f"{prefix}_hotdrops")
         write_bucketed(
             bands.join(
-                F.broadcast(hot.select("band_idx", "band_hash")),
+                F.broadcast(spark.table(f"{prefix}_hotdrops")),
                 ["band_idx", "band_hash"],
                 "left_anti",
             ),
@@ -139,7 +148,31 @@ def build_lsh_index(docs: DataFrame, *, prefix: str, n_buckets: int = 8) -> None
         d.unpersist()
 
 
-def append_to_lsh_index(batch: DataFrame, *, prefix: str, n_buckets: int = 8) -> None:
+def _table_n_buckets(spark: SparkSession, table: str) -> int:
+    """Bucket count of a catalog table, read from DESCRIBE FORMATTED —
+    appends and compaction must reuse the spec the table was BUILT
+    with (a caller-supplied count that disagrees would either fail the
+    append or silently rebucket on overwrite)."""
+    for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if row.col_name.strip() == "Num Buckets":
+            return int(row.data_type.strip())
+    raise ValueError(f"{table} is not bucketed — not an index table")
+
+
+def _require_index(spark: SparkSession, prefix: str, suffixes: tuple[str, ...]) -> None:
+    """Fail loudly when the index doesn't exist: mode('append') would
+    silently CREATE missing tables, so a typo'd or never-built prefix
+    would swallow the batch into a parallel index nothing ever probes."""
+    missing = [
+        s for s in suffixes if not spark.catalog.tableExists(f"`default`.`{prefix}_{s}`")
+    ]
+    if missing:
+        raise ValueError(
+            f"index '{prefix}' is missing tables {missing} — build the index first"
+        )
+
+
+def append_to_lsh_index(batch: DataFrame, *, prefix: str) -> None:
     """ACCEPT a probed batch into the index — the ingest-loop step
     between probe and the next batch: the crawler probes arrivals,
     keeps the novel ones, and appends their (digest, bands, shingles)
@@ -149,57 +182,92 @@ def append_to_lsh_index(batch: DataFrame, *, prefix: str, n_buckets: int = 8) ->
     band rows ARE the signature state).
 
     Appends write additional bucketed files into the existing catalog
-    tables (same bucket spec, so bucket pruning and the shuffle-free
-    probe joins keep holding); per-append cost is |batch| x bands rows,
-    independent of index size — no rebuild, no read-modify-write.
+    tables (bucket spec read FROM the catalog, so pruning and the
+    shuffle-free probe joins keep holding); a missing table fails
+    loudly instead of mode('append') silently creating a parallel
+    index nothing probes. New band rows anti-join the build-time
+    tombstones ({prefix}_hotdrops): a bucket capped away at build
+    stays away, so append-grown and one-shot-rebuilt indexes keep
+    agreeing. Per-append cost is |batch| x bands rows, independent of
+    index size — no rebuild, no read-modify-write.
+
+    Delivery is at-least-once, NOT atomic: three table appends with no
+    transaction, so a mid-append failure + retry can duplicate rows.
+    Duplicates never flip a verdict to dup/novel wrongly (the digest
+    tier is distinct; band candidates are distinct pairs) but they
+    inflate n_near_candidates and bucket_size counts —
+    compact_lsh_index dedups all three tables, which is the heal step
+    after any suspected partial append (the same compaction window
+    that re-caps hot buckets).
 
     Equivalence contract (tests/test_lsh_index.py): probing after
     append(B) is byte-identical to probing against an index BUILT from
-    corpus + B in one shot, as long as B introduces no hot bucket —
-    appends don't re-evaluate the build-time hot-bucket cap (that
-    would need the appended buckets' full membership). Hot buckets
-    accumulated across appends are re-capped by compact_lsh_index_bands
-    — the build/append/compact split production LSH services run."""
+    corpus + B in one shot, up to buckets B pushes OVER the cap —
+    those appear hot only to the one-shot build until
+    compact_lsh_index runs (re-evaluating the cap per append would
+    need the appended buckets' full membership). The
+    build/append/compact split is the one production LSH services
+    run."""
+    spark = batch.sparkSession
+    _require_index(spark, prefix, ("digests", "bands", "shingles", "hotdrops"))
     d = _prepped(batch).persist()
     try:
         d.select("digest", "doc_id").write.mode("append").format("parquet").bucketBy(
-            n_buckets, "digest"
+            _table_n_buckets(spark, f"{prefix}_digests"), "digest"
         ).saveAsTable(f"{prefix}_digests")
-        band_table(_minhash_signatures(d)).write.mode("append").format(
-            "parquet"
-        ).bucketBy(n_buckets, "band_hash").saveAsTable(f"{prefix}_bands")
+        new_bands = band_table(_minhash_signatures(d)).join(
+            F.broadcast(spark.table(f"{prefix}_hotdrops")),
+            ["band_idx", "band_hash"],
+            "left_anti",
+        )
+        new_bands.write.mode("append").format("parquet").bucketBy(
+            _table_n_buckets(spark, f"{prefix}_bands"), "band_hash"
+        ).saveAsTable(f"{prefix}_bands")
         d.select("doc_id", "sh").write.mode("append").format("parquet").bucketBy(
-            n_buckets, "doc_id"
+            _table_n_buckets(spark, f"{prefix}_shingles"), "doc_id"
         ).saveAsTable(f"{prefix}_shingles")
     finally:
         d.unpersist()
 
 
-def compact_lsh_index_bands(spark: SparkSession, *, prefix: str, n_buckets: int = 8) -> int:
-    """Re-apply the hot-bucket cap over the accumulated band table —
-    the periodic maintenance that keeps every future probe's fan-out
-    bounded after appends have grown some bucket past LSH_MAX_BUCKET
-    (append_to_lsh_index deliberately defers the cap; see its
-    docstring). Rewrites only the bands table (digests/shingles are
-    cap-independent) from its own stored rows — one scan of the index
-    state, never of the corpus. Returns the number of hot buckets
-    dropped."""
-    bands = spark.table(f"{prefix}_bands")
+def compact_lsh_index(spark: SparkSession, *, prefix: str) -> int:
+    """Periodic index maintenance — one scan of the index state, never
+    of the corpus: (1) DEDUP all three tables (heals duplicate rows
+    from retried at-least-once appends, which would otherwise inflate
+    n_near_candidates and bucket_size counts — a genuine 5-member
+    bucket duplicated once would read 10 > cap and be wrongly
+    dropped); (2) re-apply the hot-bucket cap over the deduped band
+    table and add the newly-dropped keys to the {prefix}_hotdrops
+    tombstones, so buckets grown past LSH_MAX_BUCKET by appends stop
+    fanning out probes AND stay dropped under future appends. Bucket
+    specs are read from the catalog. Returns the number of newly
+    tombstoned hot buckets.
+
+    The collect is bounded, documented driver state: hot buckets are
+    (band_idx, band_hash) keys whose membership exceeds the cap, so
+    their count is at most |band rows| / LSH_MAX_BUCKET and in
+    practice the handful of boilerplate clusters — the same
+    driver-bounded class as the hot-bucket broadcast in the batch
+    dedup path."""
+    _require_index(spark, prefix, ("digests", "bands", "shingles", "hotdrops"))
+
+    def rewrite(table: str, df: DataFrame, bucket_col: str) -> None:
+        # a table cannot be overwritten from a plan that reads it —
+        # stage through a checkpoint (pinned blocks), then rewrite
+        df.localCheckpoint(eager=True).write.mode("overwrite").format(
+            "parquet"
+        ).bucketBy(_table_n_buckets(spark, table), bucket_col).saveAsTable(table)
+
+    rewrite(f"{prefix}_digests", spark.table(f"{prefix}_digests").distinct(), "digest")
+    rewrite(f"{prefix}_shingles", spark.table(f"{prefix}_shingles").distinct(), "doc_id")
+
+    bands = spark.table(f"{prefix}_bands").distinct()
     hot = lsh_hot_buckets(bands, max_bucket_size=LSH_MAX_BUCKET).collect()
-    if not hot:
-        return 0
-    hot_df = spark.createDataFrame(hot)
-    kept = bands.join(
-        F.broadcast(hot_df.select("band_idx", "band_hash")),
-        ["band_idx", "band_hash"],
-        "left_anti",
-    )
-    # a table cannot be overwritten from a plan that reads it — stage
-    # the survivors through a checkpoint (pinned blocks), then rewrite
-    staged = kept.localCheckpoint(eager=True)
-    staged.write.mode("overwrite").format("parquet").bucketBy(
-        n_buckets, "band_hash"
-    ).saveAsTable(f"{prefix}_bands")
+    if hot:
+        hot_df = spark.createDataFrame(hot).select("band_idx", "band_hash")
+        bands = bands.join(F.broadcast(hot_df), ["band_idx", "band_hash"], "left_anti")
+        hot_df.write.mode("append").format("parquet").saveAsTable(f"{prefix}_hotdrops")
+    rewrite(f"{prefix}_bands", bands, "band_hash")
     return len(hot)
 
 

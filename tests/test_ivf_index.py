@@ -152,7 +152,7 @@ def test_append_then_probe_equals_one_shot_build(spark):
         # would differ — the contract is same-quantizer equivalence)
         IVF.build_ivf_index(a, prefix="t_ivfapp", n_buckets=4)
         cents = [tuple(r) for r in spark.table("t_ivfapp_cents").collect()]
-        IVF.append_to_ivf_index(b, prefix="t_ivfapp", n_buckets=4)
+        IVF.append_to_ivf_index(b, prefix="t_ivfapp")
         got = IVF.probe_ivf_index(spark, queries, prefix="t_ivfapp").collect()
 
         cents_df = spark.createDataFrame(cents, spark.table("t_ivfapp_cents").schema)

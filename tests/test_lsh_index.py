@@ -58,7 +58,7 @@ def test_append_then_probe_equals_one_shot_build(spark):
 
     LI.build_lsh_index(a, prefix="t_appgrow", n_buckets=4)
     before = LI.probe_lsh_index(spark, c, prefix="t_appgrow").collect()
-    LI.append_to_lsh_index(b, prefix="t_appgrow", n_buckets=4)
+    LI.append_to_lsh_index(b, prefix="t_appgrow")
     got = LI.probe_lsh_index(spark, c, prefix="t_appgrow").collect()
 
     LI.build_lsh_index(a.unionByName(b), prefix="t_oneshot", n_buckets=4)
@@ -77,44 +77,144 @@ def test_append_then_probe_equals_one_shot_build(spark):
     assert "SelectedBucketsCount" in plan, plan
 
 
+def _prepped_rows(spark, rows):
+    from pyspark.sql import functions as F2
+
+    from prueba_tecnica_http_client_etl_spark.functions import textprep as tp
+
+    return (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .withColumn("norm", F2.expr(tp.SPARK_NORM))
+        .withColumn("toks", F2.expr(tp.SPARK_TOKS))
+        .withColumn("sh", F2.expr(tp.SPARK_SHINGLES))
+        .select("doc_id", "norm", "sh")
+    )
+
+
+BOILER = "the quick brown fox jumps over the lazy dog again and again " * 5
+NEAR_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+NEAR_B = NEAR_A + " omicron"
+PROBE_ROWS = [
+    (300, BOILER),
+    (301, NEAR_B),
+    (302, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"),
+]
+
+
 def test_compact_recaps_hot_buckets_grown_by_appends(spark):
     """append defers the hot-bucket cap (its docstring contract); the
     compaction pass re-applies it over the accumulated band table:
     boilerplate appended past LSH_MAX_BUCKET must be dropped, genuine
     near-dup bands kept, and the post-compaction probe must equal a
     one-shot capped build over the full corpus."""
-    from pyspark.sql import functions as F2
-
     from prueba_tecnica_http_client_etl_spark.functions import textprep as tp
 
-    boiler = "the quick brown fox jumps over the lazy dog again and again " * 5
-    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
-    near_b = near_a + " omicron"
-    base = [(i, boiler) for i in range(5)] + [(100, near_a)]
-    grow = [(20 + i, boiler) for i in range(25)]
-    probe_rows = [(300, boiler), (301, near_b), (302, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11")]
+    base = [(i, BOILER) for i in range(5)] + [(100, NEAR_A)]
+    grow = [(20 + i, BOILER) for i in range(25)]
 
-    def prepped(rows):
-        return (
-            spark.createDataFrame(rows, "doc_id long, text string")
-            .withColumn("norm", F2.expr(tp.SPARK_NORM))
-            .withColumn("toks", F2.expr(tp.SPARK_TOKS))
-            .withColumn("sh", F2.expr(tp.SPARK_SHINGLES))
-            .select("doc_id", "norm", "sh")
-        )
-
-    LI.build_lsh_index(prepped(base), prefix="t_compact", n_buckets=4)
-    LI.append_to_lsh_index(prepped(grow), prefix="t_compact", n_buckets=4)
-    dropped = LI.compact_lsh_index_bands(spark, prefix="t_compact", n_buckets=4)
+    LI.build_lsh_index(_prepped_rows(spark, base), prefix="t_compact", n_buckets=4)
+    LI.append_to_lsh_index(_prepped_rows(spark, grow), prefix="t_compact")
+    dropped = LI.compact_lsh_index(spark, prefix="t_compact")
     assert dropped == tp.LSH_BANDS  # every boiler band bucket went hot
 
-    got = LI.probe_lsh_index(spark, prepped(probe_rows), prefix="t_compact").collect()
-    LI.build_lsh_index(prepped(base + grow), prefix="t_compact2", n_buckets=4)
-    want = LI.probe_lsh_index(spark, prepped(probe_rows), prefix="t_compact2").collect()
+    got = LI.probe_lsh_index(
+        spark, _prepped_rows(spark, PROBE_ROWS), prefix="t_compact"
+    ).collect()
+    LI.build_lsh_index(_prepped_rows(spark, base + grow), prefix="t_compact2", n_buckets=4)
+    want = LI.probe_lsh_index(
+        spark, _prepped_rows(spark, PROBE_ROWS), prefix="t_compact2"
+    ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     by_doc = {r.doc_id: r.verdict for r in got}
     # the boiler probe is still an exact_dup (digest tier is cap-free);
     # the genuine near-dup pair survives the cap; the filler is novel
     assert by_doc == {300: "exact_dup", 301: "near_dup", 302: "novel"}
     # and compaction is idempotent once the table is capped
-    assert LI.compact_lsh_index_bands(spark, prefix="t_compact", n_buckets=4) == 0
+    assert LI.compact_lsh_index(spark, prefix="t_compact") == 0
+
+
+def test_tombstones_keep_build_dropped_buckets_dropped(spark):
+    """A bucket capped away at BUILD time has lost its membership, so a
+    later append re-populating it below the cap could silently
+    resurrect it — diverging from a one-shot rebuild that sees the
+    full (hot) membership. The build-time tombstones close that hole:
+    appended rows of a tombstoned bucket are never stored, keeping the
+    append-grown and one-shot-rebuilt indexes in byte agreement."""
+    from prueba_tecnica_http_client_etl_spark.functions import textprep as tp
+
+    base = [(i, BOILER) for i in range(9)] + [(100, NEAR_A)]  # 9 > cap: hot at build
+    grow = [(20 + i, BOILER) for i in range(4)]  # re-populates below the cap
+
+    LI.build_lsh_index(_prepped_rows(spark, base), prefix="t_tomb", n_buckets=4)
+    assert spark.table("t_tomb_hotdrops").count() == tp.LSH_BANDS
+    LI.append_to_lsh_index(_prepped_rows(spark, grow), prefix="t_tomb")
+    # no resurrected rows: the boiler band buckets stay empty
+    assert (
+        spark.table("t_tomb_bands")
+        .join(spark.table("t_tomb_hotdrops"), ["band_idx", "band_hash"])
+        .count()
+        == 0
+    )
+    got = LI.probe_lsh_index(
+        spark, _prepped_rows(spark, PROBE_ROWS), prefix="t_tomb"
+    ).collect()
+    LI.build_lsh_index(_prepped_rows(spark, base + grow), prefix="t_tomb2", n_buckets=4)
+    want = LI.probe_lsh_index(
+        spark, _prepped_rows(spark, PROBE_ROWS), prefix="t_tomb2"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_compact_heals_retried_append_duplicates(spark):
+    """Appends are at-least-once (three non-atomic table writes): a
+    retried append duplicates rows, and duplicated band rows would
+    make a genuine 5-member bucket count 10 > cap and be WRONGLY
+    dropped by compaction. compact_lsh_index dedups before counting:
+    after healing, the duplicated index must probe byte-identically to
+    a never-duplicated build, with the genuine near-dup intact."""
+    from pyspark.sql import functions as F2
+
+    from prueba_tecnica_http_client_etl_spark.operators.dedup import LSH_MAX_BUCKET
+
+    base = [(i, f"base doc number {i} with tokens {' '.join(f't{i}x{j}' for j in range(10))}") for i in range(4)]
+    # 5 byte-identical docs share EVERY band -> deterministic 5-member
+    # buckets (genuine, under the cap of 8); duplicated once they read 10
+    batch = [(100 + i, BOILER) for i in range(5)] + [(200, NEAR_A)]
+
+    LI.build_lsh_index(_prepped_rows(spark, base), prefix="t_heal", n_buckets=4)
+    LI.append_to_lsh_index(_prepped_rows(spark, batch), prefix="t_heal")
+    LI.append_to_lsh_index(_prepped_rows(spark, batch), prefix="t_heal")  # the retry
+    n_dup = spark.table("t_heal_bands").count()
+    raw_max = (
+        spark.table("t_heal_bands")
+        .groupBy("band_idx", "band_hash")
+        .agg(F2.count(F2.lit(1)).alias("n"))
+        .agg(F2.max("n"))
+        .first()[0]
+    )
+    assert raw_max > LSH_MAX_BUCKET, "precondition: duplicates must inflate past the cap"
+    assert LI.compact_lsh_index(spark, prefix="t_heal") == 0, (
+        "dedup-before-count must not mistake duplicates for a hot bucket"
+    )
+    assert spark.table("t_heal_bands").count() < n_dup  # duplicates gone
+    got = LI.probe_lsh_index(
+        spark, _prepped_rows(spark, [(301, NEAR_B)]), prefix="t_heal"
+    ).collect()
+    LI.build_lsh_index(_prepped_rows(spark, base + batch), prefix="t_heal2", n_buckets=4)
+    want = LI.probe_lsh_index(
+        spark, _prepped_rows(spark, [(301, NEAR_B)]), prefix="t_heal2"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got[0].verdict == "near_dup"  # the genuine pair survived healing
+
+
+def test_append_refuses_unbuilt_prefix(spark):
+    """mode('append') silently creates missing tables — a typo'd or
+    never-built prefix must raise instead of swallowing the batch into
+    a parallel index nothing ever probes."""
+    with pytest.raises(ValueError, match="missing tables"):
+        LI.append_to_lsh_index(
+            _prepped_rows(spark, [(1, NEAR_A)]), prefix="t_no_such_index"
+        )
+    with pytest.raises(ValueError, match="missing tables"):
+        LI.compact_lsh_index(spark, prefix="t_no_such_index")
