@@ -1118,8 +1118,19 @@ _ANCHORS = ["clean_coerce", "kpi_daily", "kpi_report_endpoint", "kpi_global"]
 _TOUCHED_THIS_ROUND: list[str] = [
     # delay now derives from max(doc_id) instead of a fixed 3650-day
     # constant (round-11 ADVICE item 1): emitted set identical (both
-    # delays exceed the span), but the executed streaming plan changed
+    # delays exceed the span), but the executed streaming plan changed;
+    # also gained the null-digest filter below
     "dedup_stream_ttl",
+    # round-12 streaming review fixes — certified outputs identical on
+    # the gate corpora (no nulls there), but each executed plan/UDF
+    # changed: null text now quarantines instead of passing as 'ok';
+    # NaN event times are dropped instead of poisoning session state;
+    # null digests are filtered instead of collapsing; the KPI stream
+    # agg now shares operators/kpi.kpi_aggregates verbatim
+    "quality_gate_stream",
+    "sessionize_stream",
+    "dedup_stream",
+    "kpi_daily_stream",
 ]
 # Round-12 projection (after the r11 ledger refresh, verified against
 # the CORRECTNESS files: 50 rows @r11, 46 @r10, 40 @r9). 0
@@ -1129,12 +1140,14 @@ _TOUCHED_THIS_ROUND: list[str] = [
 # = 10 exactly 4 r9 rows spill to r13 (where they become forced but
 # fit trivially). Sweet spot: keep new registrations + touched <= 6
 # so ALL 40 r9 rows rotate now and r13 opens unconstrained.
-# Round-12 CLOSED at head 9/10: 4 new registrations (dsir_sample,
-# sequence_pack_ffd, dsir_sample_stream, training_order) +
-# dedup_stream_ttl touched; fill = all 40 r9 rows + 1 r10 — FROZEN,
-# no further registrations or touches this round. Round-13
-# projection: ledger after r12 becomes 50@r12 / 45@r11 / 45@r10 —
-# nothing forced (r10 rows' ceiling is r14), minimum head 4; wide
+# Round-12 CLOSED at head 13: 4 new registrations (dsir_sample,
+# sequence_pack_ffd, dsir_sample_stream, training_order) + 5 touched
+# (dedup_stream_ttl + the 4 streaming-review fixes above). Three of
+# the touched streams are themselves r9 rows, so fill's 37 r9 rows +
+# those 3 = ALL 40 r9 rows rotate this round (verdict floor >=36 met
+# with zero spill). FROZEN — no further registrations or touches this
+# round. Round-13 projection: ledger after r12 = 50@r12 / 45@r11 /
+# 45@r10 — nothing forced (r10 ceiling is r14), minimum head 4; wide
 # open, but rotating the 45 r11 rows early keeps r14 unconstrained.
 
 _WINDOW_SIZE = 50

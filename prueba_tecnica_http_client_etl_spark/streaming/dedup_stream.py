@@ -5,8 +5,16 @@ training-data-pipeline operator; the reference is strictly batch).
 An unbounded document stream is deduplicated on the md5 digest of the
 normalized text with `dropDuplicates`: Spark keeps one state entry per
 distinct digest (hash-partitioned on the digest — the same shuffle key the
-batch variant groups on) and emits only the FIRST document seen per
-digest; later copies, in the same or any later micro-batch, are dropped.
+batch variant groups on) and emits ONE document per digest; later copies
+in LATER micro-batches are always dropped by the state store, while
+duplicates landing in the SAME micro-batch keep an arbitrary
+(partition-order-dependent) survivor — which doc_id wins is a
+streaming-only notion, exactly why the certified oracle checks the
+digest SET and not the survivor (registry.q_dedup_stream). Docs with a
+null/missing text carry no content identity (their digest is NULL, and
+dropDuplicates would collapse them all onto one surviving row as if
+they were copies of each other) — they are filtered out; the curation
+front-door quarantines them upstream (quality_stream's null guard).
 
 State contract at 100 TB: exact global dedup requires O(|distinct docs|)
 state by definition — that is what the batch job pays as a shuffle, held
@@ -27,11 +35,14 @@ DOC_SCHEMA = "doc_id long, text string"
 
 
 def dedup_stream(docs: DataFrame) -> DataFrame:
-    """document stream (doc_id, text) -> first-occurrence stream keyed on
-    the normalized-text digest (same normalization as the batch dedup)."""
-    return docs.select(
-        "doc_id", F.md5(F.expr(tp.SPARK_NORM)).alias("norm_md5")
-    ).dropDuplicates(["norm_md5"])
+    """document stream (doc_id, text) -> one-survivor-per-digest stream
+    keyed on the normalized-text digest (same normalization as the batch
+    dedup; null-text docs filtered — module docstring)."""
+    return (
+        docs.select("doc_id", F.md5(F.expr(tp.SPARK_NORM)).alias("norm_md5"))
+        .filter(F.col("norm_md5").isNotNull())
+        .dropDuplicates(["norm_md5"])
+    )
 
 
 def dedup_stream_ttl(docs: DataFrame, *, delay: str) -> DataFrame:
@@ -65,6 +76,7 @@ def dedup_stream_ttl(docs: DataFrame, *, delay: str) -> DataFrame:
             F.md5(F.expr(tp.SPARK_NORM)).alias("norm_md5"),
             F.timestamp_seconds(F.col("doc_id") + F.lit(86400)).alias("event_ts"),
         )
+        .filter(F.col("norm_md5").isNotNull())  # same null rule as dedup_stream
         .withWatermark("event_ts", delay)
         .dropDuplicatesWithinWatermark(["norm_md5"])
     )

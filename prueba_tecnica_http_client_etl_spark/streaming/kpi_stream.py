@@ -11,8 +11,12 @@ over an unbounded JSONL stream:
   grouping key;
 - p90 uses `percentile_approx` — the exact percentile is NOT
   incrementalizable (it needs every value; the batch path keeps the exact
-  variant). This is the one documented divergence between the batch and
-  streaming results (SURVEY §4.3 trap 4, §7 step 7).
+  variant) — divergence 1 (SURVEY §4.3 trap 4, §7 step 7);
+- rows whose `timestamp_utc` does not parse are DROPPED — the watermark
+  needs an event time, so the batch path's NULL-date_utc group (which
+  keeps unparseable-timestamp rows and counts them in requests_total /
+  parse_errors, functions/cleaning.py) cannot exist in the stream —
+  divergence 2 (round-12 review; previously undocumented).
 
 At scale the stream partitions by (window, endpoint_base) for the stateful
 aggregation — bounded keys, bounded state; watermark eviction keeps the
@@ -25,10 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import TIMESTAMP_FMT, normalize_endpoint
-from ..functions.portable import exact_avg, round2
 from ..schemas import LOG_SCHEMA
-
-P90_ACCURACY = 10_000  # ~1e-4 relative rank error; memory O(accuracy) per group
 
 
 def read_log_stream(spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None) -> DataFrame:
@@ -42,9 +43,10 @@ def read_log_stream(spark: SparkSession, path: str, *, max_files_per_trigger: in
 
 def clean_http_log_stream(raw: DataFrame) -> DataFrame:
     """P1-P7 with an event-time column. Mirrors functions.cleaning
-    .clean_http_log exactly (same try_cast + flag coupling — reference
-    src/calcular_kpi.py:90-116), but keeps the parsed timestamp, which the
-    batch path discards and the watermark needs."""
+    .clean_http_log (same try_cast + flag coupling — reference
+    src/calcular_kpi.py:90-116), but keeps the parsed timestamp (the
+    watermark needs it) and DROPS rows whose timestamp does not parse —
+    the module docstring's divergence 2."""
     status_cast = F.col("status_code").try_cast("int")
     elapsed_cast = F.col("elapsed_ms").try_cast("double")
     cast_failed = status_cast.isNull() | elapsed_cast.isNull()
@@ -71,26 +73,20 @@ def kpi_daily_stream(cleaned: DataFrame, *, watermark_delay: str = "1 day") -> D
     the window start), with p90 approximate (see module docstring).
     """
 
-    def count_if(cond) -> F.Column:
-        return F.sum(F.when(cond, 1).otherwise(0))
+    from ..operators.kpi import kpi_aggregates
 
+    # the SAME A2-A8 aggregate expressions as the batch kpi_daily
+    # (round-12 review: the previous inline copy had drifted — it
+    # skipped round2 on the sketch p90, so stream and batch consumers
+    # saw different precision for the one approximate column; sharing
+    # kpi_aggregates makes divergence structurally impossible). All
+    # integer/fixed-point partials are mergeable across micro-batches,
+    # so the incremental result is bit-identical to the batch one on
+    # every exact column.
     return (
         cleaned.withWatermark("event_ts", watermark_delay)
         .groupBy(F.window("event_ts", "1 day").alias("w"), F.col("endpoint_base"))
-        .agg(
-            F.count(F.lit(1)).alias("requests_total"),
-            count_if(F.col("status_code").between(200, 299)).alias("success_2xx"),
-            count_if(F.col("status_code").between(400, 499)).alias("client_4xx"),
-            count_if(F.col("status_code").between(500, 599)).alias("server_5xx"),
-            count_if(F.col("parse_result") != "ok").alias("parse_errors"),
-            # same cents fixed-point mean as the batch kpi_daily: integer
-            # partial sums are mergeable across micro-batches, so the
-            # incremental result is bit-identical to the batch one
-            # (round2 at the sink like the batch path, so the finite
-            # replay is byte-equal to kpi_daily on every exact column).
-            round2(exact_avg(F.col("elapsed_ms"), 100)).alias("avg_elapsed_ms"),
-            F.percentile_approx("elapsed_ms", 0.9, P90_ACCURACY).alias("p90_elapsed_ms"),
-        )
+        .agg(*kpi_aggregates(exact_percentile=False))
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("date_utc"),
             "endpoint_base",

@@ -68,7 +68,16 @@ def _sessionize_group(
         seq, n, total = 0, 0, 0.0
 
     closed: list[tuple] = []
-    events = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_s")
+    events = pd.concat(list(pdfs), ignore_index=True)
+    # Null guard (round-12 review): a missing ts arrives as NaN, which is
+    # incomparable — every gap test is False, so a NaN event would join
+    # the open session AND poison last_ts, after which no later gap can
+    # ever close the session (two sessions silently merge). An event
+    # without a time cannot be sessionized: drop it. A missing value is
+    # counted with value 0 (the event happened; its revenue is unknown).
+    events = events[events["ts_s"].notna()]
+    events["value"] = events["value"].fillna(0.0)
+    events = events.sort_values("ts_s")
     for ts, value in zip(events["ts_s"], events["value"]):
         # Late-data policy: events are sorted within a micro-batch, but an
         # event arriving in a LATER batch with ts < state.last_ts would

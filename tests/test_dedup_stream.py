@@ -1,6 +1,8 @@
 """Streaming exact dedup: duplicates must be suppressed across micro-batch
-boundaries (state store), not just within one batch, and the surviving row
-must be the first occurrence."""
+boundaries (state store), not just within one batch. The cross-batch
+survivor is the earlier batch's doc; WITHIN a batch the survivor is
+arbitrary (module docstring) — the assertions here check the digest set
+and membership, never a specific within-batch winner."""
 
 from __future__ import annotations
 
@@ -106,3 +108,27 @@ def test_ttl_dedup_actually_evicts_state(spark, tmp_path):
     # tail of the max-time cluster alive; never the full digest set
     assert state_rows < n_digests, progress["stateOperators"][0]
     assert state_rows >= 1
+
+
+def test_null_text_docs_are_filtered_not_collapsed(spark, tmp_path):
+    """Round-12 review: docs with a missing/null text field hash to a
+    NULL digest; dropDuplicates would collapse ALL of them onto one
+    surviving row as if they were copies of each other. They carry no
+    content identity and must be filtered out instead."""
+    d = tmp_path / "null_docs_in"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 1},
+                {"doc_id": 2, "text": None},
+                {"doc_id": 3, "text": "real content here"},
+            ]
+        )
+    )
+    got = DS.run_files_to_memory(
+        spark, str(d), table_name="dedup_null_test"
+    ).collect()
+    assert {r["doc_id"] for r in got} == {3}
+    assert all(r["norm_md5"] is not None for r in got)

@@ -22,7 +22,11 @@ def _write_batches(tmp_path):
     (d / "a.jsonl").write_text("\n".join(json.dumps(r) for r in [
         _doc(1, long_ok), _doc(2, short)]))
     (d / "b.jsonl").write_text("\n".join(json.dumps(r) for r in [
-        _doc(3, repeat), _doc(4, long_ok + " extra tail words here")]))
+        _doc(3, repeat), _doc(4, long_ok + " extra tail words here"),
+        # round-12 review: a raw-JSONL doc with a MISSING text field must
+        # quarantine as too_short, never sail through as 'ok' (null text
+        # made every threshold NULL and fell to the otherwise branch)
+        {"doc_id": 5, "lang": "en", "source": "unit"}]))
     return d
 
 
@@ -36,14 +40,15 @@ def test_cross_batch_decisions_match_batch_gate(spark, tmp_path):
         one_file_per_batch=True,
     )
     rows = {r.doc_id: r for r in out.collect()}
-    assert set(rows) == {1, 2, 3, 4}
+    assert set(rows) == {1, 2, 3, 4, 5}
     assert rows[1].decision == "keep" and rows[1].reason == "ok"
     assert rows[2].decision == "drop" and rows[2].reason == "too_short"
     assert rows[3].decision == "drop" and rows[3].reason == "low_diversity"
     assert rows[4].decision == "keep"
+    assert rows[5].decision == "drop" and rows[5].reason == "too_short"
     # batch gate parity: _scored on the same static frame gives identical rows
     static = spark.createDataFrame(
-        [(i, t["text"], t["lang"], t["source"]) for i, t in
+        [(i, t.get("text"), t["lang"], t["source"]) for i, t in
          ((r["doc_id"], r) for r in map(json.loads, (
              line for f in sorted(d.iterdir()) for line in f.read_text().splitlines()))) ],
         "doc_id long, text string, lang string, source string",

@@ -76,3 +76,29 @@ def test_registry_replay_is_single_batch(spark):
     staged, _ = registry._stream_staging_path(SF_SMOKE, "sess_stream_in", "events")
     parts = [p for p in glob.glob(os.path.join(staged, "part-*")) if not p.endswith(".crc")]
     assert len(parts) == 1, parts
+
+
+def test_null_events_are_guarded(spark, tmp_path):
+    """Round-12 review: a ts-less event (NaN after Arrow) is incomparable
+    — unguarded it joins the open session, poisons last_ts, and no later
+    gap can ever close the session. It must be DROPPED; a value-less
+    event is counted with value 0. The 2h-gap close must still fire."""
+    import json as _json
+
+    d = tmp_path / "nulls_in"
+    d.mkdir()
+    f1 = [
+        {"user_id": 9, "ts_s": 0.0, "value": 1.0},
+        {"user_id": 9, "value": 99.0},            # no ts: unsessionizable
+        {"user_id": 9, "ts_s": 600.0},            # no value: counts as 0
+    ]
+    f2 = [{"user_id": 9, "ts_s": 3 * H, "value": 4.0}]  # gap -> closes s0
+    for i, rows in enumerate((f1, f2)):
+        (d / f"f{i}.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    out = SS.run_files_to_memory(spark, str(d), table_name="sess_null_test")
+    got = {(r["user_id"], r["session_seq"]): r.asDict() for r in out.collect()}
+    assert set(got) == {(9, 0)}, got  # the gap close FIRED (no NaN poison)
+    s0 = got[(9, 0)]
+    assert s0["n_events"] == 2        # the ts-less event is gone
+    assert s0["duration_s"] == 600.0
+    assert s0["total_value"] == 1.0   # 1.0 + 0.0, never 99.0 or NaN
