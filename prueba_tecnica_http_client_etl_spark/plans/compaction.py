@@ -48,6 +48,27 @@ def _dir_stats(path: str) -> tuple[int, int]:
     return n, total
 
 
+def _refuse_overlap(src_dir: str, dest_dir: str, what: str) -> None:
+    """Shared destructive-rewrite guard (round-12 review: compact_table
+    and zorder_table carried verbatim copies — a future fix to one would
+    silently weaken the other). Equality AND nesting both refused: a
+    dest inside src would overlap the lazy read with the overwrite
+    (corrupting the scan mid-write) and double-count in the source's own
+    listing; src inside dest would be deleted by the overwrite's
+    directory cleanup."""
+    src_real = os.path.realpath(src_dir)
+    dest_real = os.path.realpath(dest_dir)
+    if (
+        dest_real == src_real
+        or dest_real.startswith(src_real + os.sep)
+        or src_real.startswith(dest_real + os.sep)
+    ):
+        raise ValueError(
+            f"{what} refuses in-place/overlapping rewrite: a mid-job "
+            "failure would destroy the source; write to a sibling dir and swap"
+        )
+
+
 def compaction_plan(
     src_dir: str, *, target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES
 ) -> dict:
@@ -83,21 +104,7 @@ def compact_table(
     parquet out — same encoding, so size carries over to first order);
     an exact-size guarantee would need a second pass, which table
     formats also don't pay."""
-    src_real = os.path.realpath(src_dir)
-    dest_real = os.path.realpath(dest_dir)
-    # equality AND nesting both refused: a dest inside src would overlap
-    # the lazy read with the overwrite (corrupting the scan mid-write)
-    # and also double-count in the source's own listing; src inside dest
-    # would be deleted by the overwrite's directory cleanup
-    if (
-        dest_real == src_real
-        or dest_real.startswith(src_real + os.sep)
-        or src_real.startswith(dest_real + os.sep)
-    ):
-        raise ValueError(
-            "compact_table refuses in-place/overlapping rewrite: a mid-job "
-            "failure would destroy the source; write to a sibling dir and swap"
-        )
+    _refuse_overlap(src_dir, dest_dir, "compact_table")
     plan = compaction_plan(src_dir, target_file_bytes=target_file_bytes)
     n = plan["n_target_files"]
     df = spark.read.parquet(src_dir)
@@ -163,6 +170,12 @@ def _morton_key(df: DataFrame, cols: list[str], *, bits: int = ZORDER_BITS):
     quant = []
     for i, c in enumerate(cols):
         mn, mx = stats[f"mn{i}"], stats[f"mx{i}"]
+        # None min/max = empty table or all-NULL column (round-12
+        # review): the clustered rewrite must survive whatever the plain
+        # compact_table survives — degrade to the constant key 0 for
+        # that dimension instead of a driver-side TypeError
+        if mn is None or mx is None:
+            mn, mx = 0.0, 0.0
         span = (mx - mn) or 1.0
         quant.append(
             F.least(
@@ -201,17 +214,7 @@ def zorder_table(
         raise ValueError(
             f"zorder_table interleaves exactly 2 columns, got {len(zorder_by)}: {zorder_by}"
         )
-    src_real = os.path.realpath(src_dir)
-    dest_real = os.path.realpath(dest_dir)
-    if (
-        dest_real == src_real
-        or dest_real.startswith(src_real + os.sep)
-        or src_real.startswith(dest_real + os.sep)
-    ):
-        raise ValueError(
-            "zorder_table refuses in-place/overlapping rewrite: a mid-job "
-            "failure would destroy the source; write to a sibling dir and swap"
-        )
+    _refuse_overlap(src_dir, dest_dir, "zorder_table")
     plan = compaction_plan(src_dir, target_file_bytes=target_file_bytes)
     n = plan["n_target_files"]
     df = spark.read.parquet(src_dir)

@@ -162,9 +162,17 @@ def _table_n_buckets(spark: SparkSession, table: str) -> int:
 def _require_index(spark: SparkSession, prefix: str, suffixes: tuple[str, ...]) -> None:
     """Fail loudly when the index doesn't exist: mode('append') would
     silently CREATE missing tables, so a typo'd or never-built prefix
-    would swallow the batch into a parallel index nothing ever probes."""
+    would swallow the batch into a parallel index nothing ever probes.
+
+    UNQUALIFIED tableExists on purpose (round-12 review): the guarded
+    operations (spark.table / saveAsTable) resolve against the
+    session's CURRENT database, so the guard must resolve the same way
+    — a `default`-qualified check would disagree with them whenever a
+    caller has switched databases. (_clear_orphaned_location is the
+    opposite case: it inspects the default-DB filesystem PATH, so its
+    qualified check is the one that matches what it touches.)"""
     missing = [
-        s for s in suffixes if not spark.catalog.tableExists(f"`default`.`{prefix}_{s}`")
+        s for s in suffixes if not spark.catalog.tableExists(f"`{prefix}_{s}`")
     ]
     if missing:
         raise ValueError(
@@ -253,10 +261,17 @@ def compact_lsh_index(spark: SparkSession, *, prefix: str) -> int:
 
     def rewrite(table: str, df: DataFrame, bucket_col: str) -> None:
         # a table cannot be overwritten from a plan that reads it —
-        # stage through a checkpoint (pinned blocks), then rewrite
-        df.localCheckpoint(eager=True).write.mode("overwrite").format(
-            "parquet"
-        ).bucketBy(_table_n_buckets(spark, table), bucket_col).saveAsTable(table)
+        # stage through a checkpoint (pinned blocks), then rewrite, then
+        # FREE the blocks (round-12 review: without the unpersist all
+        # three staged tables stay pinned in executor storage until
+        # nondeterministic GC — a whole-index-sized leak per compaction)
+        staged = df.localCheckpoint(eager=True)
+        try:
+            staged.write.mode("overwrite").format("parquet").bucketBy(
+                _table_n_buckets(spark, table), bucket_col
+            ).saveAsTable(table)
+        finally:
+            staged.unpersist()
 
     rewrite(f"{prefix}_digests", spark.table(f"{prefix}_digests").distinct(), "digest")
     rewrite(f"{prefix}_shingles", spark.table(f"{prefix}_shingles").distinct(), "doc_id")

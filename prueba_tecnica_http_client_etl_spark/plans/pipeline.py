@@ -78,7 +78,16 @@ def run(
     kpi_df = kpi_daily(clean).observe(obs["gold_kpi"], n)
     gold_kpi = L.write_layer(kpi_df, root, L.GOLD, "kpi_daily", partition_by=["date_utc"])
 
-    kpi = L.read_layer(spark, root, L.GOLD, "kpi_daily")
+    # partition-type inference turns the yyyy-MM-dd STRING key into a
+    # DATE and moves it to the last column position on read-back
+    # (round-12 review) — restore kpi_daily's documented 9-column string
+    # contract so gold readers and direct kpi_daily frames agree
+    # (schema-compare, union, hash).
+    kpi = (
+        L.read_layer(spark, root, L.GOLD, "kpi_daily")
+        .withColumn("date_utc", F.col("date_utc").cast("string"))
+        .select(*kpi_df.columns)
+    )
     gold_report = L.write_layer(
         report_by_endpoint(kpi, p90_threshold=p90_threshold).observe(obs["gold_report"], n),
         root,

@@ -1131,6 +1131,10 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "sessionize_stream",
     "dedup_stream",
     "kpi_daily_stream",
+    # per-micro-batch cachepool drain in the probe runner (round-12
+    # review: a continuous ingest loop leaked one pinned batch frame
+    # per micro-batch) — output and plan unchanged, runner code new
+    "dedup_index_probe_stream",
 ]
 # Round-12 projection (after the r11 ledger refresh, verified against
 # the CORRECTNESS files: 50 rows @r11, 46 @r10, 40 @r9). 0
@@ -1140,15 +1144,16 @@ _TOUCHED_THIS_ROUND: list[str] = [
 # = 10 exactly 4 r9 rows spill to r13 (where they become forced but
 # fit trivially). Sweet spot: keep new registrations + touched <= 6
 # so ALL 40 r9 rows rotate now and r13 opens unconstrained.
-# Round-12 CLOSED at head 13: 4 new registrations (dsir_sample,
-# sequence_pack_ffd, dsir_sample_stream, training_order) + 5 touched
-# (dedup_stream_ttl + the 4 streaming-review fixes above). Three of
-# the touched streams are themselves r9 rows, so fill's 37 r9 rows +
-# those 3 = ALL 40 r9 rows rotate this round (verdict floor >=36 met
-# with zero spill). FROZEN — no further registrations or touches this
-# round. Round-13 projection: ledger after r12 = 50@r12 / 45@r11 /
-# 45@r10 — nothing forced (r10 ceiling is r14), minimum head 4; wide
-# open, but rotating the 45 r11 rows early keeps r14 unconstrained.
+# Round-12 CLOSED at head 14: 4 new registrations (dsir_sample,
+# sequence_pack_ffd, dsir_sample_stream, training_order) + 6 touched
+# (dedup_stream_ttl + the 5 streaming-review entries above). Three of
+# the touched streams are r9 rows, so 36 fill + 3 touched = 39 of the
+# 40 r9 rows rotate this round (verdict floor >=36 met); the single
+# spilled r9 row is r13's oldest fill candidate (not forced until
+# r14). FROZEN — no further registrations or touches this round.
+# Round-13 projection: ledger after r12 ~ 50@r12 / 44@r11 / 45@r10 /
+# 1@r9 — nothing forced, minimum head 4; the r9 straggler + rotating
+# the r11 wave early keeps r14 unconstrained.
 
 _WINDOW_SIZE = 50
 

@@ -48,8 +48,18 @@ tr.alerta {{ background: #ffe0e0; }}
 """
 
 
+def _esc(v: object) -> str:
+    """html-escape every data-derived value before interpolation
+    (round-12 review): endpoint_base originates from raw log paths, so a
+    crafted endpoint like '/a<script>…' would otherwise inject markup
+    into the operator-facing report page."""
+    import html
+
+    return html.escape(str(v))
+
+
 def _card(label: str, value: object) -> str:
-    return f'<div class="card"><div class="label">{label}</div><div class="value">{value}</div></div>'
+    return f'<div class="card"><div class="label">{_esc(label)}</div><div class="value">{_esc(value)}</div></div>'
 
 
 def render_html_report(
@@ -76,11 +86,11 @@ def render_html_report(
     cards = "\n".join(_card(k, v) for k, v in g.items())
     if rows:
         cols = list(rows[0].keys())
-        head = "<tr>" + "".join(f"<th>{c}</th>" for c in cols) + "</tr>"
+        head = "<tr>" + "".join(f"<th>{_esc(c)}</th>" for c in cols) + "</tr>"
         body = "\n".join(
-            '<tr class="alerta">' + "".join(f"<td>{r[c]}</td>" for c in cols) + "</tr>"
+            '<tr class="alerta">' + "".join(f"<td>{_esc(r[c])}</td>" for c in cols) + "</tr>"
             if r.get("alerta_p90") == "SI"
-            else "<tr>" + "".join(f"<td>{r[c]}</td>" for c in cols) + "</tr>"
+            else "<tr>" + "".join(f"<td>{_esc(r[c])}</td>" for c in cols) + "</tr>"
             for r in rows
         )
         table = f"<table>{head}\n{body}</table>"
@@ -97,7 +107,8 @@ def render_html_report(
     charts = ""
     if chart_names:
         imgs = "\n".join(
-            f'<h3>{Path(n).stem}</h3>\n<img src="{n}" alt="{Path(n).stem}" />' for n in chart_names
+            f'<h3>{_esc(Path(n).stem)}</h3>\n<img src="{_esc(n)}" alt="{_esc(Path(n).stem)}" />'
+            for n in chart_names
         )
         charts = f"<h2>Gráficos</h2>\n{imgs}"
 

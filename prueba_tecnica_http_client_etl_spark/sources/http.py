@@ -64,7 +64,10 @@ def requests_transport(session_state: dict, method: str, url: str, data, auth):
         import requests
     except ImportError as exc:  # pragma: no cover
         raise TransportError("requests is not installed") from exc
-    sess = session_state.setdefault("session", requests.Session())
+    if "session" not in session_state:  # setdefault would BUILD (and
+        # discard) a fresh Session + adapter pool on every later call
+        session_state["session"] = requests.Session()
+    sess = session_state["session"]
     try:
         resp = sess.request(
             method, url, data=data, auth=auth, timeout=session_state.get("timeout_s", DEFAULT_TIMEOUT_S), allow_redirects=True

@@ -64,6 +64,14 @@ def run_index_probe(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         verdicts = probe_lsh_index(spark, _prepped_batch(batch_df), prefix=index_prefix)
         verdicts.write.mode("overwrite").parquet(f"{out_root}/verdicts/batch_id={batch_id}")
+        # probe_lsh_index pools its batch persist for drain at the NEXT
+        # registry-level query — which never comes mid-stream, so a
+        # continuous ingest loop would pin one batch-sized cached frame
+        # per micro-batch (round-12 review). The batch is fully consumed
+        # by the write above: drain per batch keeps storage bounded.
+        from ..functions.cachepool import drain
+
+        drain()
 
     from .tuning import stream_shuffle
 

@@ -72,3 +72,21 @@ def test_strict_parity_passes_clean_file(spark, tmp_path):
     (tmp_path / "log.jsonl").write_text("\n".join([GOOD, "", GOOD]))
     df = FSRC.read_log_jsonl_strict_parity(spark, str(tmp_path / "log.jsonl"))
     assert df.count() == 2
+
+
+def test_strict_parity_accepts_nan_like_python_json(spark, tmp_path):
+    """Round-12 review: Spark's try_parse_json rejects NaN/Infinity while
+    the reference's json.loads ACCEPTS them — the validator must side
+    with json.loads (the JVM check is only a prescreen), so a NaN line
+    passes validation, and a genuinely malformed line AFTER it still
+    raises with its own line number."""
+    import json
+
+    nan_line = '{"timestamp_utc": "2026-01-01T10:00:00Z", "endpoint": "/get", "status_code": 200, "elapsed_ms": NaN, "parse_result": "ok"}'
+    json.loads(nan_line)  # precondition: the reference's decoder accepts it
+    (tmp_path / "ok.jsonl").write_text("\n".join([GOOD, nan_line, GOOD]))
+    FSRC.validate_jsonl_lines(spark, str(tmp_path / "ok.jsonl"))  # must not raise
+
+    (tmp_path / "bad.jsonl").write_text("\n".join([nan_line, BAD]))
+    with pytest.raises(ValueError, match="JSON mal formado en línea 2"):
+        FSRC.validate_jsonl_lines(spark, str(tmp_path / "bad.jsonl"))

@@ -40,3 +40,31 @@ def test_pipeline_layers(spark, tmp_path: Path):
     kpi = L.read_layer(spark, str(tmp_path), L.GOLD, "kpi_daily")
     assert sorted(kpi.columns) == sorted(KPI_COLUMNS)  # partition col round-trips
     assert report_by_endpoint(kpi).count() == m.rows["gold_report"]
+
+
+def test_gold_kpi_contract_restored_in_run(spark, tmp_path: Path):
+    """Round-12 review: partition-type inference turns the yyyy-MM-dd
+    string key into a DATE and moves it last on read-back. run() must
+    restore kpi_daily's documented contract before the report stage so
+    gold consumers and direct kpi_daily frames agree — pin the restored
+    schema (name order AND date_utc's string type) via the same path
+    run() uses internally."""
+    from pyspark.sql import functions as F
+
+    from prueba_tecnica_http_client_etl_spark.operators.kpi import kpi_daily
+    from prueba_tecnica_http_client_etl_spark.functions.cleaning import clean_http_log
+    from prueba_tecnica_http_client_etl_spark.plans import layout as L
+
+    raw = generate_http_log(spark, n=200, seed=11)
+    P.run(spark, raw, str(tmp_path))
+    want = kpi_daily(clean_http_log(raw))
+    restored = (
+        L.read_layer(spark, str(tmp_path), L.GOLD, "kpi_daily")
+        .withColumn("date_utc", F.col("date_utc").cast("string"))
+        .select(*want.columns)
+    )
+    assert restored.columns == want.columns
+    assert [f.dataType for f in restored.schema.fields] == [
+        f.dataType for f in want.schema.fields
+    ]
+    assert sorted(map(tuple, restored.collect())) == sorted(map(tuple, want.collect()))
