@@ -327,18 +327,36 @@ MAX_STOPWORD_RATIO = 0.12
 def with_quality_reason(d: DataFrame) -> DataFrame:
     """Attach n_tokens + the first-failing quality reason
     (too_short -> low_diversity -> high_stopword -> ok) to a
-    docs_normalized frame. Map-side only; shared by quality_gate and the
-    composed curation_pipeline."""
+    docs_normalized frame. Map-side only; shared by quality_gate,
+    quality_score, curation_pipeline, and the streaming gate.
+
+    Null-text guard lives HERE, in the shared helper (round-12 review:
+    an earlier fix sat only at the streaming call edge): null toks make
+    every threshold NULL, every when() branch falsy, and the null
+    document would fall to otherwise('ok') and be KEPT by every
+    consumer. n_tokens coalesces to 0 so a null document is too_short —
+    the decision the gate makes for an empty one. The ratios divide
+    with try_divide: under ANSI mode (Spark 4 default) a plain `/`
+    RAISES on an empty-but-non-null toks array (0/0) even though the
+    when() chain never consults the ratio — the projection computes the
+    column eagerly. NULL-on-zero is also DuckDB's division semantics,
+    so the oracle twin needs no special casing."""
     sw = ", ".join(f"'{w}'" for w in STOPWORDS)
     return (
-        d.withColumn("n_tokens", F.size("toks").cast("long"))
+        d.withColumn(
+            "n_tokens",
+            F.when(F.col("toks").isNull(), F.lit(0)).otherwise(F.size("toks")).cast("long"),
+        )
         .withColumn(
             "distinct_ratio",
-            F.size(F.array_distinct("toks")).cast("double") / F.col("n_tokens"),
+            F.try_divide(F.size(F.array_distinct("toks")).cast("double"), F.col("n_tokens")),
         )
         .withColumn(
             "stopword_ratio",
-            F.expr(f"size(filter(toks, t -> t IN ({sw})))").cast("double") / F.col("n_tokens"),
+            F.try_divide(
+                F.expr(f"size(filter(toks, t -> t IN ({sw})))").cast("double"),
+                F.col("n_tokens"),
+            ),
         )
         .withColumn(
             "reason",
@@ -373,7 +391,7 @@ def sql_quality_cte() -> str:
     sw = ", ".join(f"'{w}'" for w in STOPWORDS)
     return f"""s AS (
   SELECT doc_id, source, lang, norm,
-         len(toks)::BIGINT AS n_tokens,
+         COALESCE(len(toks), 0)::BIGINT AS n_tokens,
          len(list_distinct(toks))::DOUBLE / len(toks) AS distinct_ratio,
          len(list_filter(toks, t -> t IN ({sw})))::DOUBLE / len(toks) AS stopword_ratio
   FROM sh_t
@@ -477,7 +495,10 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = managed_persist(with_quality_reason(docs_normalized(spark, sf_dir)))
     scores = classifier_scores(d)
-    spt = F.col("score").cast("double") / F.col("n_tokens")
+    # try_divide: n_tokens can be 0 (null/empty text) and ANSI `/` raises;
+    # the too_short branch wins the verdict first, and NULL-on-zero for
+    # score_per_token matches DuckDB's division semantics
+    spt = F.try_divide(F.col("score").cast("double"), F.col("n_tokens"))
     return (
         d.select("doc_id", "n_tokens", "reason")
         .join(scores, "doc_id")
@@ -778,21 +799,46 @@ ORDER BY funnel.source"""
 # stays part of the trained artifact's identity either way, so bitmaps
 # trained at different (m, k) never serve each other.
 BLOOM_BITS_PER_GRAM = 24  # target density; ~0.2% FP at k=4
-_BLOOM_ENV = os.environ.get("SPARK_GRAFT_BLOOM_BITS_LOG2", "")
-BLOOM_BITS_LOG2: int | None = int(_BLOOM_ENV) if _BLOOM_ENV else None  # None = auto
-BLOOM_MIN_BITS_LOG2 = 16  # floor: 1024 packed longs — the r8-certified
-# default geometry; tiny probe sets gain nothing from a smaller bitmap
+# BLOOM_BITS_LOG2: tests pin geometry by patching this attribute; when
+# None the env var / auto sizing decides at CALL time (round-12 review:
+# a module-import int() of the env crashed the whole package import on
+# a malformed value, and ignored env changes made after import)
+BLOOM_BITS_LOG2: int | None = None  # None = env pin, else auto
+BLOOM_MIN_BITS_LOG2 = 6  # hard floor: below 2^6 the packed-long bitmap
+# would have ZERO words (m // 64 == 0) and the prober's element_at
+# would fault — the floor is structural, applied to EVERY source of
+# the geometry including the env pin (round-12 review: it previously
+# guarded only the auto branch)
+BLOOM_AUTO_MIN_BITS_LOG2 = 16  # auto-sizing floor: 1024 packed longs —
+# the r8-certified default geometry; tiny probe sets gain nothing from
+# a smaller bitmap
 BLOOM_K = 4  # hash functions
 
 
 def bloom_bits_log2(n_probe_grams: int) -> int:
-    """log2(m) for the prescreen bitmap: the env pin wins; otherwise
-    the next power of two of BLOOM_BITS_PER_GRAM * n_probe_grams,
-    floored at BLOOM_MIN_BITS_LOG2 — so bits/gram lands in [24, 48)
-    whenever auto sizing is above the floor."""
-    if BLOOM_BITS_LOG2 is not None:
-        return BLOOM_BITS_LOG2
-    return max(BLOOM_MIN_BITS_LOG2, (max(1, n_probe_grams) * BLOOM_BITS_PER_GRAM - 1).bit_length())
+    """log2(m) for the prescreen bitmap: the attribute pin wins, then
+    the env pin, else the next power of two of
+    BLOOM_BITS_PER_GRAM * n_probe_grams floored at
+    BLOOM_AUTO_MIN_BITS_LOG2 (bits/gram in [24, 48) above it). Every
+    path is clamped to the structural BLOOM_MIN_BITS_LOG2 floor. A
+    malformed env value raises a config ValueError here, at use, not
+    an import-time crash of the whole package."""
+    pin = BLOOM_BITS_LOG2
+    if pin is None:
+        env = os.environ.get("SPARK_GRAFT_BLOOM_BITS_LOG2", "")
+        if env:
+            try:
+                pin = int(env)
+            except ValueError:
+                raise ValueError(
+                    f"SPARK_GRAFT_BLOOM_BITS_LOG2 must be an integer, got {env!r}"
+                ) from None
+    if pin is not None:
+        return max(BLOOM_MIN_BITS_LOG2, pin)
+    return max(
+        BLOOM_AUTO_MIN_BITS_LOG2,
+        (max(1, n_probe_grams) * BLOOM_BITS_PER_GRAM - 1).bit_length(),
+    )
 
 
 def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import textprep as tp
-from ..functions.portable import roundn, sql_roundn
+from ..functions.portable import roundn, sql_roundn, sql_salted
 from ..schemas import load_table
 from .dedup import DUCK_DOCS_CTE, docs_normalized
 
@@ -278,7 +278,6 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine, term-keyed df aggregate (|vocab| rows) joined back
     on term, then a per-doc window over at most |doc vocab| rows. The
     scalar N is a one-row broadcast."""
-    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
     toks = (
         docs_normalized(spark, sf_dir)
         .select("doc_id", F.explode("toks").alias("term"))
@@ -364,10 +363,10 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_corpus_mix() -> str:
     whens = " ".join(f"WHEN source = '{s}' THEN {r}" for s, r in sorted(MIX_RATES.items()))
     rate = f"CASE {whens} ELSE {MIX_DEFAULT_RATE} END"
-    kept = (
-        f"CASE WHEN CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < {rate} "
-        "THEN 1 ELSE 0 END"
-    )
+    # one-definition rule: the draw must come from portable.sql_salted
+    # (the Spark side uses portable.salted('mix', …)) — a hand-inlined
+    # copy here would silently diverge if the salt format ever changes
+    kept = f"CASE WHEN {sql_salted('mix', 'doc_id')} % 100 < {rate} THEN 1 ELSE 0 END"
     return f"""
 SELECT source,
        count(*) AS n_docs,

@@ -1135,6 +1135,15 @@ _TOUCHED_THIS_ROUND: list[str] = [
     # review: a continuous ingest loop leaked one pinned batch frame
     # per micro-batch) — output and plan unchanged, runner code new
     "dedup_index_probe_stream",
+    # final round-12 review batch: with_quality_reason's null-text
+    # guard moved into the shared helper (n_tokens coalesces to 0), so
+    # every batch consumer's executed plan + DuckDB oracle CTE changed
+    # (outputs identical on the gate corpora — no null texts there).
+    # All three are r9 ledger rows that were rotating as fill anyway,
+    # so window membership and r9 coverage (39/40) are unchanged.
+    "quality_gate",
+    "quality_score",
+    "curation_pipeline",
 ]
 # Round-12 projection (after the r11 ledger refresh, verified against
 # the CORRECTNESS files: 50 rows @r11, 46 @r10, 40 @r9). 0
@@ -1144,13 +1153,14 @@ _TOUCHED_THIS_ROUND: list[str] = [
 # = 10 exactly 4 r9 rows spill to r13 (where they become forced but
 # fit trivially). Sweet spot: keep new registrations + touched <= 6
 # so ALL 40 r9 rows rotate now and r13 opens unconstrained.
-# Round-12 CLOSED at head 14: 4 new registrations (dsir_sample,
-# sequence_pack_ffd, dsir_sample_stream, training_order) + 6 touched
-# (dedup_stream_ttl + the 5 streaming-review entries above). Three of
-# the touched streams are r9 rows, so 36 fill + 3 touched = 39 of the
-# 40 r9 rows rotate this round (verdict floor >=36 met); the single
-# spilled r9 row is r13's oldest fill candidate (not forced until
-# r14). FROZEN — no further registrations or touches this round.
+# Round-12 CLOSED at head 17: 4 new registrations (dsir_sample,
+# sequence_pack_ffd, dsir_sample_stream, training_order) + 9 touched
+# (dedup_stream_ttl + the 5 streaming-review entries + the 3 quality
+# batch consumers of with_quality_reason). Six of the touched rows are
+# r9 rows, so 33 fill + 6 touched = 39 of the 40 r9 rows rotate this
+# round (verdict floor >=36 met); the single spilled r9 row is r13's
+# oldest fill candidate (not forced until r14). FROZEN — no further
+# registrations or touches this round.
 # Round-13 projection: ledger after r12 ~ 50@r12 / 44@r11 / 45@r10 /
 # 1@r9 — nothing forced, minimum head 4; the r9 straggler + rotating
 # the r11 wave early keeps r14 unconstrained.

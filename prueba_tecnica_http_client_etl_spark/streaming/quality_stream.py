@@ -33,18 +33,12 @@ DOC_SCHEMA = "doc_id long, text string, lang string, source string"
 def _scored(docs: DataFrame) -> DataFrame:
     """Attach decision+reason to a (doc_id, text, lang, source) frame with
     the batch gate's exact rules (normalize -> tokenize -> thresholds).
-
-    `text` is null-coalesced FIRST (round-12 review): raw JSONL — exactly
-    what this front-door ingests — carries missing/null text fields, and
-    a null text propagates NULL through every threshold expression, so
-    every when() branch is falsy and the empty document would fall to
-    the otherwise('ok') and be KEPT. Coalescing to '' routes it through
-    the normal rules (0 tokens -> too_short -> quarantine), which is the
-    decision the batch gate would make for an empty document."""
-    d = (
-        docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
-        .withColumn("norm", F.expr(tp.SPARK_NORM))
-        .withColumn("toks", F.expr(tp.SPARK_TOKS))
+    Null/missing text — which raw JSONL, exactly what this front-door
+    ingests, routinely carries — quarantines as too_short via
+    with_quality_reason's shared null guard (round-12 review: the guard
+    lives in the helper so every consumer, batch or stream, agrees)."""
+    d = docs.withColumn("norm", F.expr(tp.SPARK_NORM)).withColumn(
+        "toks", F.expr(tp.SPARK_TOKS)
     )
     return with_quality_reason(d).select(
         "doc_id",

@@ -72,14 +72,17 @@ def test_bloom_auto_geometry_tracks_probe_volume(spark, monkeypatch):
     """Auto-sized geometry (verdict r10 item 3): m derives from the
     distinct probe-gram count, so bits/gram stays >= BLOOM_BITS_PER_GRAM
     at every probe volume (and < 2x it whenever the size is above the
-    BLOOM_MIN_BITS_LOG2 floor), the output stays byte-identical to the
+    BLOOM_AUTO_MIN_BITS_LOG2 floor), the output stays byte-identical to the
     exact check at BOTH probe scales, and the two scales' bitmaps live
     under DISTINCT geometry-keyed artifacts."""
     from pyspark.sql import functions as F
 
     from prueba_tecnica_http_client_etl_spark.operators import curation as Cu
 
-    monkeypatch.setattr(Cu, "BLOOM_BITS_LOG2", None)  # force auto even if env-pinned
+    # force auto: clear the attribute pin AND the env pin (the env is
+    # consulted lazily at call time now, not baked in at import)
+    monkeypatch.setattr(Cu, "BLOOM_BITS_LOG2", None)
+    monkeypatch.delenv("SPARK_GRAFT_BLOOM_BITS_LOG2", raising=False)
     geoms = {}
     # stride 97 is the production probe split (lands on the floor at
     # this corpus); stride 3 probes ~32x the docs, pushing the auto
@@ -112,10 +115,10 @@ def test_bloom_auto_geometry_tracks_probe_volume(spark, monkeypatch):
         assert key in A._STORE, (stride, m_log2, list(A._STORE))
         bits_per_gram = (1 << m_log2) / max(n, 1)
         assert bits_per_gram >= Cu.BLOOM_BITS_PER_GRAM, (stride, n, m_log2)
-        if m_log2 > Cu.BLOOM_MIN_BITS_LOG2:
+        if m_log2 > Cu.BLOOM_AUTO_MIN_BITS_LOG2:
             assert bits_per_gram < 2 * Cu.BLOOM_BITS_PER_GRAM, (stride, n, m_log2)
         geoms[stride] = m_log2
-    assert geoms[3] > geoms[97] == Cu.BLOOM_MIN_BITS_LOG2, geoms
+    assert geoms[3] > geoms[97] == Cu.BLOOM_AUTO_MIN_BITS_LOG2, geoms
     A.clear()
     drain()
 
@@ -146,3 +149,35 @@ def test_losslessness_survives_a_saturated_filter(spark, monkeypatch):
     assert sum(1 for w in row["bf"] if w != 0) >= 1
     A.clear()
     drain()
+
+
+def test_bloom_geometry_pin_sources_and_floors(monkeypatch):
+    """bloom_bits_log2 resolution order + floors (round-12 review): the
+    attribute pin wins over the env pin; BOTH pins clamp to the
+    structural BLOOM_MIN_BITS_LOG2 floor (below it the packed-long
+    bitmap has zero words and the prober faults); a malformed env value
+    raises a config ValueError at CALL time instead of crashing the
+    package import."""
+    import pytest
+
+    from prueba_tecnica_http_client_etl_spark.operators import curation as Cu
+
+    monkeypatch.setattr(Cu, "BLOOM_BITS_LOG2", None)
+    monkeypatch.delenv("SPARK_GRAFT_BLOOM_BITS_LOG2", raising=False)
+    # auto floor
+    assert Cu.bloom_bits_log2(1) == Cu.BLOOM_AUTO_MIN_BITS_LOG2
+    # env pin wins over auto, but clamps to the structural floor
+    monkeypatch.setenv("SPARK_GRAFT_BLOOM_BITS_LOG2", "23")
+    assert Cu.bloom_bits_log2(1) == 23
+    monkeypatch.setenv("SPARK_GRAFT_BLOOM_BITS_LOG2", "2")
+    assert Cu.bloom_bits_log2(1) == Cu.BLOOM_MIN_BITS_LOG2
+    # attribute pin wins over the env pin, same clamp
+    monkeypatch.setattr(Cu, "BLOOM_BITS_LOG2", 20)
+    assert Cu.bloom_bits_log2(1) == 20
+    monkeypatch.setattr(Cu, "BLOOM_BITS_LOG2", 1)
+    assert Cu.bloom_bits_log2(1) == Cu.BLOOM_MIN_BITS_LOG2
+    # malformed env raises at use, with the variable name in the message
+    monkeypatch.setattr(Cu, "BLOOM_BITS_LOG2", None)
+    monkeypatch.setenv("SPARK_GRAFT_BLOOM_BITS_LOG2", "not-a-number")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_BLOOM_BITS_LOG2"):
+        Cu.bloom_bits_log2(1)
