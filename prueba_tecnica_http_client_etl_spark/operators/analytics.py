@@ -1142,8 +1142,6 @@ ORDER BY view_id"""
 
 # --- snapshot merge (upsert / MERGE INTO shape) ------------------------------
 
-MERGE_INSERT_OFFSET = 1_000_000
-
 
 def snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The lakehouse MERGE INTO pattern on plain DataFrames: a base
@@ -1152,36 +1150,53 @@ def snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_ids derived from every 25th) — keeping the highest version per
     key. Emits each surviving row with its merge action.
 
+    The insert-id offset is max(doc_id) + 1, DERIVED from the snapshot
+    (round-12 review: a fixed 1,000,000 offset misclassified legitimate
+    base rows as 'inserted' on any corpus with doc_id >= 1e6, and a
+    synthesized insert id could collide with a real key — at which
+    point the version tie made the row_number pick between two
+    different texts nondeterministic). Derived ids are > every base id
+    by construction, so collisions are impossible and 'inserted' is
+    exactly doc_id > max_base_id. Same data-derived-constant rule as
+    dedup_stream_ttl's delay.
+
     Plan shape: union + one per-key window (row_number by version desc),
     i.e. ONE shuffle on the merge key — the standard copy-on-write merge
-    job. At 100 TB the same plan runs per partition/bucket of a
-    partitioned snapshot, touching only partitions the delta hits
-    (partition pruning on the join key); table formats (Delta/Iceberg)
-    add the file-level skipping, but the dataflow is exactly this."""
+    job (the max-id aggregate is a 1-row broadcast). At 100 TB the same
+    plan runs per partition/bucket of a partitioned snapshot, touching
+    only partitions the delta hits (partition pruning on the join key);
+    table formats (Delta/Iceberg) add the file-level skipping, but the
+    dataflow is exactly this."""
     base = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", F.lit(1).alias("version")
     )
+    mx = base.agg(F.max("doc_id").alias("max_base_id"))
     updates = base.filter(F.col("doc_id") % 10 == 0).select(
         "doc_id",
         F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"),
         F.lit(2).alias("version"),
     )
-    inserts = base.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + MERGE_INSERT_OFFSET).alias("doc_id"),
-        F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias("text"),
-        F.lit(1).alias("version"),
+    inserts = (
+        base.filter(F.col("doc_id") % 25 == 0)
+        .join(F.broadcast(mx))
+        .select(
+            (F.col("doc_id") + F.col("max_base_id") + 1).alias("doc_id"),
+            F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias("text"),
+            F.lit(1).alias("version"),
+        )
     )
     merged = base.unionByName(updates).unionByName(inserts)
     w = Window.partitionBy("doc_id").orderBy(F.desc("version"))
     return (
         merged.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
+        .join(F.broadcast(mx))
         .select(
             "doc_id",
             F.col("version").cast("int").alias("version"),
             F.length("text").cast("long").alias("n_chars"),
             F.when(F.col("version") == 2, F.lit("updated"))
-            .when(F.col("doc_id") >= MERGE_INSERT_OFFSET, F.lit("inserted"))
+            .when(F.col("doc_id") > F.col("max_base_id"), F.lit("inserted"))
             .otherwise(F.lit("kept"))
             .alias("action"),
         )
@@ -1189,8 +1204,11 @@ def snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SNAPSHOT_MERGE = f"""
-WITH base AS (
+SQL_SNAPSHOT_MERGE = """
+WITH mx AS (
+  SELECT max(doc_id) AS max_base_id FROM documents
+),
+base AS (
   SELECT doc_id, text, 1 AS version FROM documents
 ),
 updates AS (
@@ -1198,9 +1216,9 @@ updates AS (
   FROM documents WHERE doc_id % 10 = 0
 ),
 inserts AS (
-  SELECT doc_id + {MERGE_INSERT_OFFSET} AS doc_id,
-         'new doc ' || CAST(doc_id AS VARCHAR) AS text, 1 AS version
-  FROM documents WHERE doc_id % 25 = 0
+  SELECT d.doc_id + m.max_base_id + 1 AS doc_id,
+         'new doc ' || CAST(d.doc_id AS VARCHAR) AS text, 1 AS version
+  FROM documents d CROSS JOIN mx m WHERE d.doc_id % 25 = 0
 ),
 merged AS (
   SELECT * FROM base UNION ALL SELECT * FROM updates UNION ALL SELECT * FROM inserts
@@ -1211,7 +1229,7 @@ ranked AS (
 )
 SELECT doc_id, CAST(version AS INT) AS version, length(text)::BIGINT AS n_chars,
        CASE WHEN version = 2 THEN 'updated'
-            WHEN doc_id >= {MERGE_INSERT_OFFSET} THEN 'inserted'
+            WHEN doc_id > (SELECT max_base_id FROM mx) THEN 'inserted'
             ELSE 'kept' END AS action
 FROM ranked WHERE rn = 1
 ORDER BY doc_id"""
@@ -1441,7 +1459,12 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the previous step's qualifiers. Each stage's frame is |users|
     rows, so after the first aggregate everything is small; the events
     scan happens once into a pooled persist with the event-type filter
-    applied. Ties (equal timestamps) qualify — '>=' in both engines.
+    applied, and EACH stage frame is pool-persisted too (round-12
+    review: unpersisted, stage k's plan embedded stages 1..k-1 and the
+    final per-step count union re-executed stage 1's event-scale
+    aggregate once per later step — O(steps^2) aggregate passes; with
+    the persists every stage computes exactly once). Ties (equal
+    timestamps) qualify — '>=' in both engines.
 
     Output: one row per step with reached-user counts and conversion
     ratios; counts are exact integers, ratios portable-rounded."""
@@ -1461,7 +1484,7 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("ts") >= F.col("t_prev"))
                 & (F.col("ts") <= F.col("t_prev") + F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS"))
             )
-        stage = cur.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+        stage = managed_persist(cur.groupBy("user_id").agg(F.min("ts").alias("t_prev")))
         prev = stage
         counts.append((step, stage))
     rows = None

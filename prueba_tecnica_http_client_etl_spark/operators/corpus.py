@@ -753,13 +753,19 @@ def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same engine-invariant-draw family as corpus_split /
     corpus_sample_per_source / dsir_sample.
 
-    Scale shape: one scan of the per-source packed-bin manifest
-    (distinct (source, bin_id) from the running-sum layout — no token
-    data touched), epoch fan-out by a bounded explode (TRAIN_EPOCHS
-    rows per bin), then ONE shuffle keyed (epoch, shard) whose
-    partition size is |bins| / TRAIN_SHARDS — sized by the shard
-    count exactly like a loader's worker split. The within-shard
-    row_number is the only window, over that bounded partition.
+    Scale shape: the bin universe is EVERY bin with content — the
+    packed token stream per source is contiguous from offset 0, so the
+    served bins are exactly 0..floor((total_tokens - 1)/CONTEXT_TOKENS)
+    and one per-source max-aggregate over the packing manifest derives
+    them (round-12 review: deriving bins as the DISTINCT START bins of
+    documents silently dropped interior/tail bins of long documents —
+    bins that sequence_pack_ids emits content for but no (epoch, shard,
+    pos) row ever scheduled, i.e. deterministic training-data loss).
+    Epoch fan-out is a bounded explode (TRAIN_EPOCHS rows per bin),
+    then ONE shuffle keyed (epoch, shard) whose partition size is
+    |bins| / TRAIN_SHARDS — sized by the shard count exactly like a
+    loader's worker split. The within-shard row_number is the only
+    window, over that bounded partition.
 
     Reference: no counterpart (no ordering concept); first-class
     LLM-pipeline tier — the deterministic data-ordering component of
@@ -768,11 +774,17 @@ def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bins = (
         _packed_docs(spark, sf_dir)
-        .select("source", "bin_id")
-        .distinct()
+        .groupBy("source")
+        .agg(F.max(F.col("start_off") + F.col("n_tokens")).alias("total_toks"))
         .select(
             "source",
-            "bin_id",
+            F.explode(
+                F.expr(f"sequence(0, floor((total_toks - 1) / {CONTEXT_TOKENS}))")
+            ).alias("bin_id"),
+        )
+        .select(
+            "source",
+            F.col("bin_id").cast("long").alias("bin_id"),
             F.explode(F.expr(f"sequence(0, {TRAIN_EPOCHS - 1})")).alias("epoch"),
         )
     )
@@ -796,10 +808,26 @@ def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle bin grid: DuckDB's range() cannot take lateral (per-row)
+# endpoints, so the oracle generates a fixed grid and filters to each
+# source's max_bin — same pattern as the DSIR waterfill oracle's theta
+# grid. tests/test_corpus_ops.py guards that the grid covers the
+# observed per-source bin spread on every corpus the oracle runs on.
+TRAIN_BIN_GRID = 65536
+
 SQL_TRAINING_ORDER = f"""
 WITH {DUCK_DOCS_CTE},
 {_SQL_PACKED_CTE},
-bins AS (SELECT DISTINCT source, bin_id FROM packed),
+totals AS (
+  SELECT source,
+         CAST(floor((max(start_off + n_tokens) - 1) / {CONTEXT_TOKENS}.0) AS BIGINT) AS max_bin
+  FROM packed GROUP BY source
+),
+bins AS (
+  SELECT t.source, CAST(g.range AS BIGINT) AS bin_id
+  FROM totals t CROSS JOIN range(0, {TRAIN_BIN_GRID}) g
+  WHERE g.range <= t.max_bin
+),
 eb AS (
   SELECT b.source, b.bin_id, e.epoch,
          {sql_salted('trainord', "CAST(e.epoch AS VARCHAR) || '#' || b.source || '#' || CAST(b.bin_id AS VARCHAR)")} AS hk
@@ -1734,6 +1762,18 @@ def dsir_resample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _waterfill_plan(w)
 
 
+def _sql_sb(n_expr: str) -> str:
+    """DuckDB render of the solver's dyadic-scale rule (the Spark twin
+    is _waterfill_plan's sb expression below). Spark consumers read sb
+    from the solver's output; the ORACLES must recompute it in SQL, and
+    this helper is their one definition (round-12 review: two
+    hand-inlined copies in SQL_DSIR_RESAMPLE_PLAN and SQL_DSIR_SAMPLE
+    could drift apart from each other and from the solve — flipping
+    keep/drop decisions silently, since the draw and accept_num would
+    compare at different 2^sb)."""
+    return f"LEAST(40, 62 - length(bin(CAST({n_expr} AS BIGINT))))"
+
+
 def _waterfill_plan(w: DataFrame, *, keep_sb: bool = False) -> DataFrame:
     """The exact-integer power-of-two waterfilling solve over a
     (log2_w, n_docs) bucket frame — the injectable core of
@@ -1867,7 +1907,7 @@ WITH w AS (
 tot AS (
   SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
          min(log2_w) AS l_min, max(log2_w) AS l_max,
-         LEAST(40, 62 - length(bin(CAST(sum(n_docs) AS BIGINT)))) AS sb
+         {_sql_sb("sum(n_docs)")} AS sb
   FROM w
 ),
 tot2 AS (
@@ -2014,7 +2054,7 @@ SQL_DSIR_SAMPLE = f"""
 WITH imp AS ({SQL_DSIR_IMPORTANCE}),
 plan AS ({SQL_DSIR_RESAMPLE_PLAN}),
 sbf AS (
-  SELECT LEAST(40, 62 - length(bin(CAST(sum(n_docs) AS BIGINT)))) AS sb
+  SELECT {_sql_sb("sum(n_docs)")} AS sb
   FROM plan
 )
 SELECT i.doc_id, i.log2_w, p.accept_num

@@ -237,8 +237,14 @@ ORDER BY query_id, rank"""
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate vector pairs: cosine >= 0.4 within the same label
     block. Blocking bounds the pair space exactly like lang-blocking for
-    text; the unblocked scale path is LSH bucketing below."""
-    emb = _quantized(spark, sf_dir)
+    text; the unblocked scale path is LSH bucketing below.
+
+    The quantized frame is pool-persisted because the self-join reads it
+    on BOTH sides (round-12 review: unpersisted, the interpreted
+    transform/aggregate quantization lambdas and the parquet scan ran
+    twice per action — the same per-branch recompute ann_cosine_topk's
+    history records fixing)."""
+    emb = managed_persist(_quantized(spark, sf_dir))
     a = emb.select("label", F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("nrm").alias("na"))
     b = emb.select("label", F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("nrm").alias("nb"))
     cos = F.expr(_SPARK_PAIR_DOT).cast("double") / (F.col("na") * F.col("nb"))

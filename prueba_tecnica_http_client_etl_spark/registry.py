@@ -1144,6 +1144,19 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "quality_gate",
     "quality_score",
     "curation_pipeline",
+    # round-12 operator review (all three r11 rows, each displacing one
+    # r9 fill row — r9 coverage lands exactly on the verdict's >=36
+    # floor): snapshot_merge's insert offset now derives from
+    # max(doc_id) (a fixed 1e6 misclassified/collided at scale — output
+    # + oracle changed in lockstep); dedup_embedding_cosine pool-
+    # persists the quantized frame its self-join reads twice;
+    # event_funnel pool-persists each |users|-row stage (the count
+    # union re-executed stage prefixes O(steps^2) times). training_order
+    # also changed (interior-bin completeness) but is never-certified
+    # this round, so it is already in the window head.
+    "snapshot_merge",
+    "dedup_embedding_cosine",
+    "event_funnel",
 ]
 # Round-12 projection (after the r11 ledger refresh, verified against
 # the CORRECTNESS files: 50 rows @r11, 46 @r10, 40 @r9). 0
@@ -1153,16 +1166,17 @@ _TOUCHED_THIS_ROUND: list[str] = [
 # = 10 exactly 4 r9 rows spill to r13 (where they become forced but
 # fit trivially). Sweet spot: keep new registrations + touched <= 6
 # so ALL 40 r9 rows rotate now and r13 opens unconstrained.
-# Round-12 CLOSED at head 17: 4 new registrations (dsir_sample,
-# sequence_pack_ffd, dsir_sample_stream, training_order) + 9 touched
+# Round-12 CLOSED at head 20: 4 new registrations (dsir_sample,
+# sequence_pack_ffd, dsir_sample_stream, training_order) + 12 touched
 # (dedup_stream_ttl + the 5 streaming-review entries + the 3 quality
-# batch consumers of with_quality_reason). Six of the touched rows are
-# r9 rows, so 33 fill + 6 touched = 39 of the 40 r9 rows rotate this
-# round (verdict floor >=36 met); the single spilled r9 row is r13's
-# oldest fill candidate (not forced until r14). FROZEN — no further
-# registrations or touches this round.
-# Round-13 projection: ledger after r12 ~ 50@r12 / 44@r11 / 45@r10 /
-# 1@r9 — nothing forced, minimum head 4; the r9 straggler + rotating
+# batch consumers of with_quality_reason + the 3 operator-review
+# entries above). Six of the touched rows are r9 rows, so 30 fill + 6
+# touched = 36 of the 40 r9 rows rotate this round — exactly the
+# verdict's >=36 floor; the 4 spilled r9 rows are r13's oldest fill
+# candidates (not forced until r14). FROZEN — no further registrations
+# or touches this round.
+# Round-13 projection: ledger after r12 ~ 50@r12 / 41@r11 / 45@r10 /
+# 4@r9 — nothing forced, minimum head 4; the r9 stragglers + rotating
 # the r11 wave early keeps r14 unconstrained.
 
 _WINDOW_SIZE = 50

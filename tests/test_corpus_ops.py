@@ -319,3 +319,32 @@ def test_training_order_is_a_per_epoch_permutation(spark):
     moved = sum(1 for p in place.values() if p[0] != p[1])
     assert moved > 0.5 * n_bins, f"epochs look correlated: {moved}/{n_bins} moved"
     drain()
+
+
+def test_training_order_schedules_every_content_bin(spark):
+    """COMPLETENESS (round-12 review): the work order must schedule
+    every bin sequence_pack_ids emits content for — including interior
+    and tail bins of documents longer than CONTEXT_TOKENS, which have
+    no document STARTING in them (deriving bins from distinct start
+    bins dropped those; a loader replaying the order would
+    deterministically never serve their sequences). Also guards the
+    oracle's fixed range() grid against the observed bin spread."""
+    from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain
+    from prueba_tecnica_http_client_etl_spark.operators.corpus import (
+        TRAIN_BIN_GRID,
+        sequence_pack_ids,
+        training_order,
+    )
+
+    content_bins = {
+        (r.source, r.bin_id) for r in sequence_pack_ids(spark, SF_SMOKE).collect()
+    }
+    drain()
+    order_bins = {
+        (r.source, r.bin_id)
+        for r in training_order(spark, SF_SMOKE).collect()
+        if r.epoch == 0
+    }
+    drain()
+    assert order_bins == content_bins
+    assert max(b for _, b in order_bins) + 64 < TRAIN_BIN_GRID
