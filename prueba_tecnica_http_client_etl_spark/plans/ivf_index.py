@@ -135,6 +135,64 @@ def append_to_ivf_index(
     ).saveAsTable(f"{prefix}_cells")
 
 
+def compact_ivf_index(spark: SparkSession, *, prefix: str) -> dict:
+    """Periodic index maintenance — one scan of the inverted lists,
+    never of the corpus (the IVF sibling of compact_lsh_index): DEDUP
+    the cells table, healing duplicate rows from retried at-least-once
+    appends. Unlike the LSH tables — where duplicates only inflate
+    counts — a duplicated inverted-list row puts the SAME neighbor into
+    a probe's ranking twice: the duplicate occupies a top-k slot and
+    evicts a genuine neighbor, so probe results are wrong (not merely
+    noisy) until the heal runs. Full-row distinct is exactly the dup
+    class appends can create: assignment under the frozen quantizer is
+    a pure function of the vector, so a retried batch reproduces its
+    rows byte-identically.
+
+    Also reports the cell-balance scalars that trigger a re-train
+    (append's contract: the quantizer is frozen at ingest, so corpus
+    drift shows up as cell imbalance — when max_cell far outgrows
+    mean_cell the quantizer has gone stale; re-train and rebuild).
+
+    The bucket spec is read from the catalog; the rewrite stages
+    through a checkpoint (a table cannot be overwritten from a plan
+    that reads it) and frees the staged blocks after. Returns
+    driver-bounded scalars: {rows_before, rows_after, n_cells,
+    max_cell, mean_cell}."""
+    from .lsh_index import _require_index, _table_n_buckets
+
+    _require_index(spark, prefix, ("cents", "cells"))
+    table = f"{prefix}_cells"
+    n_buckets = _table_n_buckets(spark, table)
+    rows_before = spark.table(table).count()
+    deduped = spark.table(table).distinct()
+    staged = deduped.localCheckpoint(eager=True)
+    try:
+        staged.write.mode("overwrite").format("parquet").bucketBy(
+            n_buckets, "cell"
+        ).saveAsTable(table)
+    finally:
+        staged.unpersist()
+    stats = (
+        spark.table(table)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum("n").alias("rows_after"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.max("n").alias("max_cell"),
+            F.avg("n").alias("mean_cell"),
+        )
+        .collect()[0]
+    )
+    return {
+        "rows_before": int(rows_before),
+        "rows_after": int(stats["rows_after"]),
+        "n_cells": int(stats["n_cells"]),
+        "max_cell": int(stats["max_cell"]),
+        "mean_cell": float(stats["mean_cell"]),
+    }
+
+
 def probe_ivf_index(
     spark: SparkSession,
     queries: DataFrame,

@@ -174,3 +174,50 @@ def test_append_then_probe_equals_one_shot_build(spark):
         assert "SelectedBucketsCount" in plan, plan
     finally:
         emb.unpersist()
+
+
+def test_compact_heals_retried_append_duplicates(spark):
+    """At-least-once ingest heal (the IVF sibling of the LSH compact
+    contract): appending the SAME batch twice — a retry after a
+    mid-append failure — duplicates inverted-list rows, and a duplicate
+    is not mere count inflation here: the probe ranks the same neighbor
+    twice, so it occupies a top-k slot and EVICTS a genuine neighbor.
+    compact_ivf_index must restore byte-identical probes to the
+    never-duplicated index, preserve the bucket spec (bucketed probe
+    join still prunes), and report the balance scalars."""
+    emb = _quantized(spark, SF_SMOKE).persist()
+    try:
+        part = F.col("vec_id") % 5
+        a, b = emb.filter(part != 1), emb.filter(part == 1)
+        queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        IVF.build_ivf_index(a, prefix="t_ivfcmp", n_buckets=4)
+        IVF.append_to_ivf_index(b, prefix="t_ivfcmp")
+        want = [tuple(r) for r in IVF.probe_ivf_index(spark, queries, prefix="t_ivfcmp").collect()]
+
+        IVF.append_to_ivf_index(b, prefix="t_ivfcmp")  # the retry
+        dup = [tuple(r) for r in IVF.probe_ivf_index(spark, queries, prefix="t_ivfcmp").collect()]
+        # the defect is real: some query's top-k now carries a duplicate
+        # neighbor (and therefore differs from the clean index)
+        seen = {}
+        has_dup = False
+        for q, n, _rank, _cos in dup:
+            has_dup = has_dup or (q, n) in seen
+            seen[(q, n)] = True
+        assert has_dup and dup != want, "retried append produced no duplicate symptom"
+
+        stats = IVF.compact_ivf_index(spark, prefix="t_ivfcmp")
+        healed = [tuple(r) for r in IVF.probe_ivf_index(spark, queries, prefix="t_ivfcmp").collect()]
+        assert healed == want
+        n_b = b.count()
+        assert stats["rows_before"] == stats["rows_after"] + n_b
+        assert stats["rows_after"] == a.count() + n_b
+        assert stats["n_cells"] >= 1 and stats["max_cell"] >= stats["mean_cell"]
+        plan = (
+            IVF.probe_ivf_index(spark, queries, prefix="t_ivfcmp")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SelectedBucketsCount" in plan, plan
+    finally:
+        emb.unpersist()
