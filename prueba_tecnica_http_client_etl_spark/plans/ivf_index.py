@@ -153,25 +153,25 @@ def compact_ivf_index(spark: SparkSession, *, prefix: str) -> dict:
     drift shows up as cell imbalance — when max_cell far outgrows
     mean_cell the quantizer has gone stale; re-train and rebuild).
 
-    The bucket spec is read from the catalog; the rewrite stages
-    through a checkpoint (a table cannot be overwritten from a plan
-    that reads it) and frees the staged blocks after. Returns
+    The bucket spec is read from the catalog; the rewrite goes through
+    layout.replace_table_staged — a DURABLE stage table then a
+    drop+rename swap, never an in-place overwrite staged in checkpoint
+    memory (round-12 ADVICE: a crash or lost block mid-rewrite would
+    destroy the sole copy of the index; a swap interrupted between
+    drop and rename self-heals at the next index operation via
+    _require_index's heal_staged_swap preamble). Returns
     driver-bounded scalars: {rows_before, rows_after, n_cells,
     max_cell, mean_cell}."""
+    from .layout import replace_table_staged
     from .lsh_index import _require_index, _table_n_buckets
 
     _require_index(spark, prefix, ("cents", "cells"))
     table = f"{prefix}_cells"
     n_buckets = _table_n_buckets(spark, table)
     rows_before = spark.table(table).count()
-    deduped = spark.table(table).distinct()
-    staged = deduped.localCheckpoint(eager=True)
-    try:
-        staged.write.mode("overwrite").format("parquet").bucketBy(
-            n_buckets, "cell"
-        ).saveAsTable(table)
-    finally:
-        staged.unpersist()
+    replace_table_staged(
+        spark.table(table).distinct(), table, bucket_cols=["cell"], n_buckets=n_buckets
+    )
     stats = (
         spark.table(table)
         .groupBy("cell")

@@ -39,7 +39,7 @@ from ..operators.dedup import (
     band_table,
     lsh_hot_buckets,
 )
-from .layout import write_bucketed
+from .layout import heal_staged_swap, replace_table_staged, write_bucketed
 
 
 def _clear_orphaned_location(spark: SparkSession, name: str) -> None:
@@ -170,9 +170,18 @@ def _require_index(spark: SparkSession, prefix: str, suffixes: tuple[str, ...]) 
     — a `default`-qualified check would disagree with them whenever a
     caller has switched databases. (_clear_orphaned_location is the
     opposite case: it inspects the default-DB filesystem PATH, so its
-    qualified check is the one that matches what it touches.)"""
+    qualified check is the one that matches what it touches.)
+
+    A missing table first gets one heal attempt (heal_staged_swap): a
+    compaction that crashed between its drop and rename steps leaves
+    the complete rewrite under `{table}__compact_stage` — renaming it
+    into place is recovery, not error, and makes every index entry
+    point (probe, append, compact) self-healing."""
     missing = [
-        s for s in suffixes if not spark.catalog.tableExists(f"`{prefix}_{s}`")
+        s
+        for s in suffixes
+        if not spark.catalog.tableExists(f"`{prefix}_{s}`")
+        and not heal_staged_swap(spark, f"{prefix}_{s}")
     ]
     if missing:
         raise ValueError(
@@ -256,41 +265,56 @@ def compact_lsh_index(spark: SparkSession, *, prefix: str) -> int:
     their count is at most |band rows| / LSH_MAX_BUCKET and in
     practice the handful of boilerplate clusters — the same
     driver-bounded class as the hot-bucket broadcast in the batch
-    dedup path."""
+    dedup path.
+
+    Every rewrite goes through layout.replace_table_staged — a DURABLE
+    stage table then a drop+rename swap — never through an in-place
+    overwrite staged in checkpoint memory (round-12 ADVICE: a crash or
+    lost block mid-rewrite would destroy the sole copy of the index).
+    A compaction interrupted between drop and rename self-heals at the
+    next index operation (_require_index runs heal_staged_swap).
+    Rewrite order is deliberate: hotdrops BEFORE bands — if the run
+    dies between them, the bands table still holds the hot rows, so
+    the re-run re-detects them (the tombstone rewrite is idempotent:
+    old union new, distinct); bands-first would lose the hot keys'
+    only evidence before their tombstones landed."""
     _require_index(spark, prefix, ("digests", "bands", "shingles", "hotdrops"))
 
     def rewrite(table: str, df: DataFrame, bucket_col: str) -> None:
-        # a table cannot be overwritten from a plan that reads it —
-        # stage through a checkpoint (pinned blocks), then rewrite, then
-        # FREE the blocks (round-12 review: without the unpersist all
-        # three staged tables stay pinned in executor storage until
-        # nondeterministic GC — a whole-index-sized leak per compaction)
-        staged = df.localCheckpoint(eager=True)
-        try:
-            staged.write.mode("overwrite").format("parquet").bucketBy(
-                _table_n_buckets(spark, table), bucket_col
-            ).saveAsTable(table)
-        finally:
-            staged.unpersist()
+        replace_table_staged(
+            df, table, bucket_cols=[bucket_col], n_buckets=_table_n_buckets(spark, table)
+        )
 
     rewrite(f"{prefix}_digests", spark.table(f"{prefix}_digests").distinct(), "digest")
     rewrite(f"{prefix}_shingles", spark.table(f"{prefix}_shingles").distinct(), "doc_id")
 
     bands = spark.table(f"{prefix}_bands").distinct()
     hot = lsh_hot_buckets(bands, max_bucket_size=LSH_MAX_BUCKET).collect()
+    drops = spark.table(f"{prefix}_hotdrops").select("band_idx", "band_hash")
     if hot:
         hot_df = spark.createDataFrame(hot).select("band_idx", "band_hash")
         bands = bands.join(F.broadcast(hot_df), ["band_idx", "band_hash"], "left_anti")
-        hot_df.write.mode("append").format("parquet").saveAsTable(f"{prefix}_hotdrops")
+        drops = drops.unionByName(hot_df)
+    # hotdrops is rewritten distinct every compaction (round-12 ADVICE:
+    # the old mode('append') re-tombstoned the same keys on a retried
+    # compaction, growing the broadcast anti-join side without bound)
+    replace_table_staged(drops.distinct(), f"{prefix}_hotdrops")
     rewrite(f"{prefix}_bands", bands, "band_hash")
     return len(hot)
 
 
-def probe_lsh_index(spark: SparkSession, batch: DataFrame, *, prefix: str) -> DataFrame:
+def probe_lsh_index(
+    spark: SparkSession, batch: DataFrame, *, prefix: str, ordered: bool = True
+) -> DataFrame:
     """Verdict per batch doc against the persisted index: `exact_dup`
     (digest already indexed), `near_dup` (banded candidate verified at
     exact shingle Jaccard >= threshold), else `novel`. Output matches
     dedup_incremental: (doc_id, verdict, n_near_candidates).
+
+    `ordered=False` skips the final doc_id sort — the streaming runner
+    (streaming/index_probe_stream.py) writes each micro-batch to parquet,
+    which discards ordering, so the per-batch global sort was pure tax
+    (round-12 verdict item 4). The verdict set is identical either way.
 
     Only the batch side shuffles: the digest semi-probe, the band
     candidate join, and the shingle verify join each hit a table bucketed
@@ -299,6 +323,9 @@ def probe_lsh_index(spark: SparkSession, batch: DataFrame, *, prefix: str) -> Da
     decision."""
     from ..functions.cachepool import managed_persist
 
+    # fail loudly on a missing index (and self-heal a compaction swap
+    # that crashed between drop and rename) before reading any table
+    _require_index(spark, prefix, ("digests", "bands", "shingles"))
     inc = managed_persist(_prepped(batch))
 
     digests = spark.table(f"{prefix}_digests")
@@ -331,7 +358,7 @@ def probe_lsh_index(spark: SparkSession, batch: DataFrame, *, prefix: str) -> Da
         .groupBy(F.col("doc_in").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("n_near"))
     )
-    return (
+    out = (
         inc.select("doc_id")
         .join(exact_hits, "doc_id", "left")
         .join(near_hits, "doc_id", "left")
@@ -343,5 +370,5 @@ def probe_lsh_index(spark: SparkSession, batch: DataFrame, *, prefix: str) -> Da
             .alias("verdict"),
             F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near_candidates"),
         )
-        .orderBy("doc_id")
     )
+    return out.orderBy("doc_id") if ordered else out
