@@ -954,14 +954,19 @@ def bloom_trained_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Da
 
 
 def bloom_score_docs(
-    d_grams: DataFrame, bf_row: DataFrame, probes: DataFrame, m_log2: int
+    d_grams: DataFrame, bf_row: DataFrame, probes: DataFrame, m_log2: int,
+    *, ordered: bool = True,
 ) -> DataFrame:
     """(doc_id, n_grams, n_overlap, contamination) for a (doc_id, grams)
     frame against the frozen (bitmap, probe-gram) state — the prescreen
     + exact verify chain shared verbatim by contamination_bloom and the
     streaming ingest gate (streaming/contamination_stream.py). Per-doc
     output references only the frozen probe set, which is what makes the
-    stream's per-batch union byte-identical to the batch check."""
+    stream's per-batch union byte-identical to the batch check.
+
+    `ordered=False` skips the final doc_id sort — the stream writes each
+    micro-batch to parquet, which discards ordering, so the per-batch
+    global sort was pure tax (round-12 verdict item 4)."""
     m = 1 << m_log2
     corpus = d_grams.select(
         "doc_id",
@@ -987,7 +992,7 @@ def bloom_score_docs(
     # (an explicit hint bypasses Spark's size check). Post-prescreen the
     # corpus side is the tiny one (~true hits + FP), so AQE's runtime
     # stats pick the right build side at any scale.
-    return (
+    out = (
         prescreened.join(probes, "gram")
         .groupBy("doc_id", "n_grams")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
@@ -997,8 +1002,8 @@ def bloom_score_docs(
             "n_overlap",
             roundn(F.col("n_overlap").cast("double") / F.col("n_grams"), 4).alias("contamination"),
         )
-        .orderBy("doc_id")
     )
+    return out.orderBy("doc_id") if ordered else out
 
 
 def _bloom_auto_geometry(spark: SparkSession, sf_dir: str) -> int:

@@ -66,23 +66,19 @@ def run_contamination(
     probes a pooled frame — every micro-batch joins pinned blocks.
     Returns the read-back union (doc_id, n_grams, n_overlap,
     contamination, batch_id)."""
-    reader = spark.readStream.schema(DOC_SCHEMA)
-    if one_file_per_batch:
-        reader = reader.option("maxFilesPerTrigger", 1)
-    stream = reader.json(input_path)
+    from .runner import run_transform_stream
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = bloom_score_docs(_grammed_batch(batch_df), bf_row, probes, m_log2)
-        out.write.mode("overwrite").parquet(f"{out_root}/scores/batch_id={batch_id}")
-
-    from .tuning import stream_shuffle
-
-    with stream_shuffle(spark):
-        q = (
-            stream.writeStream.foreachBatch(write_batch)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.read.parquet(f"{out_root}/scores")
+    return run_transform_stream(
+        spark,
+        input_path,
+        out_root,
+        schema=DOC_SCHEMA,
+        layer="scores",
+        checkpoint=checkpoint,
+        # ordered=False: the parquet write discards ordering, so the
+        # batch operator's final sort is per-micro-batch tax here
+        transform=lambda batch: bloom_score_docs(
+            _grammed_batch(batch), bf_row, probes, m_log2, ordered=False
+        ),
+        one_file_per_batch=one_file_per_batch,
+    )

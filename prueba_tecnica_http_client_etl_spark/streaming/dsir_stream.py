@@ -44,26 +44,18 @@ def run_dsir_score(
     per-batch overwrite. The model frames should be checkpointed /
     persisted by the caller (each micro-batch joins them). Returns the
     read-back union (doc_id, n_feat, log2_w, avg_bits, batch_id)."""
-    reader = spark.readStream.schema(DOC_SCHEMA)
-    if one_file_per_batch:
-        reader = reader.option("maxFilesPerTrigger", 1)
-    stream = reader.json(input_path)
+    from .runner import run_transform_stream
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        scores = dsir_score_docs(_prepped_batch(batch_df), model, totals)
-        scores.write.mode("overwrite").parquet(f"{out_root}/scores/batch_id={batch_id}")
-
-    from .tuning import stream_shuffle
-
-    with stream_shuffle(spark):
-        q = (
-            stream.writeStream.foreachBatch(write_batch)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.read.parquet(f"{out_root}/scores")
+    return run_transform_stream(
+        spark,
+        input_path,
+        out_root,
+        schema=DOC_SCHEMA,
+        layer="scores",
+        checkpoint=checkpoint,
+        transform=lambda batch: dsir_score_docs(_prepped_batch(batch), model, totals),
+        one_file_per_batch=one_file_per_batch,
+    )
 
 
 def run_dsir_sample(
@@ -93,26 +85,17 @@ def run_dsir_sample(
     byte-identical to batch dsir_sample over the same raw slice —
     certified against its oracle SQL verbatim."""
     from ..operators.corpus import dsir_score_docs, dsir_select_docs
+    from .runner import run_transform_stream
 
-    reader = spark.readStream.schema(DOC_SCHEMA)
-    if one_file_per_batch:
-        reader = reader.option("maxFilesPerTrigger", 1)
-    stream = reader.json(input_path)
-
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        kept = dsir_select_docs(
-            dsir_score_docs(_prepped_batch(batch_df), model, totals), plan
-        )
-        kept.write.mode("overwrite").parquet(f"{out_root}/kept/batch_id={batch_id}")
-
-    from .tuning import stream_shuffle
-
-    with stream_shuffle(spark):
-        q = (
-            stream.writeStream.foreachBatch(write_batch)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.read.parquet(f"{out_root}/kept")
+    return run_transform_stream(
+        spark,
+        input_path,
+        out_root,
+        schema=DOC_SCHEMA,
+        layer="kept",
+        checkpoint=checkpoint,
+        transform=lambda batch: dsir_select_docs(
+            dsir_score_docs(_prepped_batch(batch), model, totals), plan
+        ),
+        one_file_per_batch=one_file_per_batch,
+    )

@@ -55,32 +55,27 @@ def run_index_probe(
     probing every micro-batch against the persisted `{index_prefix}_*`
     index tables and writing verdicts partitioned by batch_id with
     idempotent per-batch overwrite. Returns the read-back union
-    (doc_id, verdict, n_near_candidates, batch_id)."""
-    reader = spark.readStream.schema(DOC_SCHEMA)
-    if one_file_per_batch:
-        reader = reader.option("maxFilesPerTrigger", 1)
-    stream = reader.json(input_path)
+    (doc_id, verdict, n_near_candidates, batch_id).
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        verdicts = probe_lsh_index(spark, _prepped_batch(batch_df), prefix=index_prefix)
-        verdicts.write.mode("overwrite").parquet(f"{out_root}/verdicts/batch_id={batch_id}")
-        # probe_lsh_index pools its batch persist for drain at the NEXT
-        # registry-level query — which never comes mid-stream, so a
-        # continuous ingest loop would pin one batch-sized cached frame
-        # per micro-batch (round-12 review). The batch is fully consumed
-        # by the write above: drain per batch keeps storage bounded.
-        from ..functions.cachepool import drain
+    drain_pool_per_batch: probe_lsh_index pools its batch persist for
+    drain at the NEXT registry-level query — which never comes
+    mid-stream, so a continuous ingest loop would pin one batch-sized
+    cached frame per micro-batch (round-12 review); the per-batch drain
+    keeps storage bounded. ordered=False: the parquet write discards
+    ordering, so the batch operator's final sort is per-micro-batch
+    tax."""
+    from .runner import run_transform_stream
 
-        drain()
-
-    from .tuning import stream_shuffle
-
-    with stream_shuffle(spark):
-        q = (
-            stream.writeStream.foreachBatch(write_batch)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.read.parquet(f"{out_root}/verdicts")
+    return run_transform_stream(
+        spark,
+        input_path,
+        out_root,
+        schema=DOC_SCHEMA,
+        layer="verdicts",
+        checkpoint=checkpoint,
+        transform=lambda batch: probe_lsh_index(
+            spark, _prepped_batch(batch), prefix=index_prefix, ordered=False
+        ),
+        one_file_per_batch=one_file_per_batch,
+        drain_pool_per_batch=True,
+    )

@@ -119,41 +119,30 @@ def run_with_quarantine(
 
     Returns row counts per layer after the stream drains.
     """
-    from pyspark.sql import types as T
+    from ..sources.files import CORRUPT_COL, PERMISSIVE_LOG_SCHEMA, PERMISSIVE_READER_OPTIONS
+    from .runner import run_split_stream
 
-    from ..sources.files import CORRUPT_COL
-
-    schema = T.StructType(LOG_SCHEMA.fields + [T.StructField(CORRUPT_COL, T.StringType(), True)])
-    stream = (
-        spark.readStream.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(input_path)
+    run_split_stream(
+        spark,
+        input_path,
+        out_root,
+        # the schema + options the batch permissive reader owns
+        # (sources/files.py) — imported, never re-derived
+        schema=PERMISSIVE_LOG_SCHEMA,
+        reader_options=PERMISSIVE_READER_OPTIONS,
+        checkpoint=checkpoint,
+        layers=[
+            ("silver", F.col(CORRUPT_COL).isNull(), lambda d: d.drop(CORRUPT_COL)),
+            (
+                "quarantine",
+                F.col(CORRUPT_COL).isNotNull(),
+                lambda d: d.select(F.col(CORRUPT_COL).alias("raw")),
+            ),
+        ],
+        # pre-runner behavior: this drain loop ran under the session's
+        # default shuffle config (its per-batch work is filter-only)
+        tuned_shuffle=False,
     )
-
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.persist()  # one evaluation feeds both sinks
-        (
-            batch_df.filter(F.col(CORRUPT_COL).isNull())
-            .drop(CORRUPT_COL)
-            .write.mode("overwrite")  # idempotent under checkpoint replay
-            .parquet(f"{out_root}/silver/batch_id={batch_id}")
-        )
-        (
-            batch_df.filter(F.col(CORRUPT_COL).isNotNull())
-            .select(F.col(CORRUPT_COL).alias("raw"))
-            .write.mode("overwrite")
-            .parquet(f"{out_root}/quarantine/batch_id={batch_id}")
-        )
-        batch_df.unpersist()
-
-    q = (
-        stream.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     return {
         "silver": spark.read.parquet(f"{out_root}/silver").count(),
         "quarantine": spark.read.parquet(f"{out_root}/quarantine").count(),

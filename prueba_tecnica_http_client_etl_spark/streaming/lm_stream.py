@@ -57,23 +57,15 @@ def run_lm_score(
     per-batch overwrite. The model frames should be persisted by the
     caller (each micro-batch joins them). Returns the read-back union
     (doc_id, n_bigrams, n_oov_bigrams, avg_bits, batch_id)."""
-    reader = spark.readStream.schema(DOC_SCHEMA)
-    if one_file_per_batch:
-        reader = reader.option("maxFilesPerTrigger", 1)
-    stream = reader.json(input_path)
+    from .runner import run_transform_stream
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        scores = lm_score_docs(_prepped_batch(batch_df), c12, c1, vocab)
-        scores.write.mode("overwrite").parquet(f"{out_root}/scores/batch_id={batch_id}")
-
-    from .tuning import stream_shuffle
-
-    with stream_shuffle(spark):
-        q = (
-            stream.writeStream.foreachBatch(write_batch)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.read.parquet(f"{out_root}/scores")
+    return run_transform_stream(
+        spark,
+        input_path,
+        out_root,
+        schema=DOC_SCHEMA,
+        layer="scores",
+        checkpoint=checkpoint,
+        transform=lambda batch: lm_score_docs(_prepped_batch(batch), c12, c1, vocab),
+        one_file_per_batch=one_file_per_batch,
+    )

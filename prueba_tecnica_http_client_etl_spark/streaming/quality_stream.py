@@ -64,36 +64,25 @@ def run_quality_quarantine(
     union of both layers (doc_id, source, lang, decision, reason,
     batch_id) — byte-equal decisions to the batch quality_gate on the
     same corpus, which the cross-batch test asserts."""
-    reader = spark.readStream.schema(DOC_SCHEMA)
-    if one_file_per_batch:
-        reader = reader.option("maxFilesPerTrigger", 1)
-    stream = reader.json(input_path)
+    from .runner import run_split_stream
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        scored = _scored(batch_df)
-        scored.persist()  # one evaluation feeds both sinks
-        (
-            scored.filter(F.col("decision") == "keep")
-            .write.mode("overwrite")  # idempotent under checkpoint replay
-            .parquet(f"{out_root}/kept/batch_id={batch_id}")
-        )
-        (
-            scored.filter(F.col("decision") == "drop")
-            .write.mode("overwrite")
-            .parquet(f"{out_root}/quarantine/batch_id={batch_id}")
-        )
-        scored.unpersist()
-
-    from .tuning import stream_shuffle
-
-    with stream_shuffle(spark):
-        q = (
-            stream.writeStream.foreachBatch(write_batch)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    run_split_stream(
+        spark,
+        input_path,
+        out_root,
+        schema=DOC_SCHEMA,
+        checkpoint=checkpoint,
+        prepare=_scored,  # one evaluation feeds both sinks (persisted)
+        layers=[
+            ("kept", F.col("decision") == "keep", lambda d: d),
+            ("quarantine", F.col("decision") == "drop", lambda d: d),
+        ],
+        one_file_per_batch=one_file_per_batch,
+    )
     kept = spark.read.parquet(f"{out_root}/kept")
     quar = spark.read.parquet(f"{out_root}/quarantine")
-    return kept.unionByName(quar).orderBy("doc_id")
+    # no orderBy: every consumer (the driver's hash certification, the
+    # cross-batch tests) compares order-independently, and the other
+    # stream runners return unsorted read-backs — the global sort of the
+    # full output was pure tax (round-12 verdict item 4)
+    return kept.unionByName(quar)

@@ -301,3 +301,31 @@ def test_dsir_sample_broadcasts_plan_not_corpus(spark):
     assert not corpus_broadcast.search(plan), plan
     drain()
     A.clear()
+
+
+def test_bloom_score_docs_unordered_has_no_global_sort(spark):
+    """Round-12 verdict item 4 (foreachBatch orderBy tax): the streaming
+    contamination runner calls bloom_score_docs(ordered=False) because
+    its per-batch parquet write discards ordering — that plan must carry
+    NO range-partitioned global sort, while the default batch path keeps
+    its doc_id order contract."""
+    from pyspark.sql import functions as F
+
+    from prueba_tecnica_http_client_etl_spark.operators.curation import (
+        _SPARK_GRAMS,
+        PROBE_STRIDE,
+        bloom_score_docs,
+        bloom_trained_state,
+    )
+    from prueba_tecnica_http_client_etl_spark.operators.dedup import docs_normalized
+
+    bf_row, probes, m_log2 = bloom_trained_state(spark, SF_SMOKE)
+    d = (
+        docs_normalized(spark, SF_SMOKE)
+        .withColumn("grams", F.expr(_SPARK_GRAMS))
+        .filter(F.col("doc_id") % PROBE_STRIDE != 0)
+    )
+    unordered = _physical(bloom_score_docs(d, bf_row, probes, m_log2, ordered=False))
+    assert "rangepartitioning" not in unordered.lower(), unordered
+    ordered = _physical(bloom_score_docs(d, bf_row, probes, m_log2))
+    assert "rangepartitioning" in ordered.lower(), ordered

@@ -60,6 +60,10 @@ def test_cross_batch_decisions_match_batch_gate(spark, tmp_path):
     # both layers partitioned by discovered batch_id; the two files landed
     # in different micro-batches
     assert out.select("batch_id").distinct().count() >= 2
+    # round-12 verdict item 4: the read-back union carries no global sort
+    # (every consumer compares order-independently)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan
 
 
 def test_quarantine_replay_is_idempotent(spark, tmp_path):
