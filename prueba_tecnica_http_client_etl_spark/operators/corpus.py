@@ -739,6 +739,30 @@ TRAIN_EPOCHS = 2  # epochs the order plan emits (decorrelation visible)
 TRAIN_SHARDS = 8  # loader worker shards per epoch
 
 
+def _bin_universe(packed: DataFrame) -> DataFrame:
+    """(source, bin_id) for every context bin with content: the packed
+    token stream per source is contiguous from offset 0, so the served
+    bins are exactly 0..floor((total_tokens - 1)/CONTEXT_TOKENS).
+
+    Sources whose total token count is ZERO are filtered out first
+    (round-12 ADVICE): for total_toks = 0 the end expression is
+    floor(-1/C) = -1 and Spark's sequence(0, -1) is DESCENDING [0, -1]
+    — two phantom bins per epoch that the DuckDB oracle's ascending
+    grid (WHERE g.range <= -1 → empty) never emits, i.e. cross-engine
+    divergence plus schedule rows for bins that hold no tokens."""
+    return (
+        packed.groupBy("source")
+        .agg(F.max(F.col("start_off") + F.col("n_tokens")).alias("total_toks"))
+        .filter(F.col("total_toks") > 0)
+        .select(
+            "source",
+            F.explode(
+                F.expr(f"sequence(0, floor((total_toks - 1) / {CONTEXT_TOKENS}))")
+            ).alias("bin_id"),
+        )
+    )
+
+
 def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ORDER-GENERATION step between packing and serving: a
     deterministic per-epoch global shuffle of the packed training bins,
@@ -773,15 +797,7 @@ def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.portable import salted
 
     bins = (
-        _packed_docs(spark, sf_dir)
-        .groupBy("source")
-        .agg(F.max(F.col("start_off") + F.col("n_tokens")).alias("total_toks"))
-        .select(
-            "source",
-            F.explode(
-                F.expr(f"sequence(0, floor((total_toks - 1) / {CONTEXT_TOKENS}))")
-            ).alias("bin_id"),
-        )
+        _bin_universe(_packed_docs(spark, sf_dir))
         .select(
             "source",
             F.col("bin_id").cast("long").alias("bin_id"),
@@ -1774,6 +1790,21 @@ def _sql_sb(n_expr: str) -> str:
     return f"LEAST(40, 62 - length(bin(CAST({n_expr} AS BIGINT))))"
 
 
+# The waterfill acceptance rule: numerator of min(1, 2^(log2_w -
+# threshold)) at dyadic scale 2^sb, exact in BIGINT. ONE definition
+# (round-12 ADVICE): _waterfill_plan evaluates it per observed bucket
+# when the plan is solved, and dsir_select_docs re-evaluates the SAME
+# expression for a score bucket the frozen plan has never seen — the
+# generic rule is total in log2_w, so unseen buckets get their correct
+# acceptance instead of being silently inner-joined away.
+ACCEPT_NUM_EXPR = (
+    "CASE WHEN log2_w >= threshold_log2 THEN shiftleft(cast(1 as bigint), sb) "
+    "WHEN threshold_log2 - log2_w <= sb THEN "
+    "shiftleft(cast(1 as bigint), cast(sb - (threshold_log2 - log2_w) as int)) "
+    "ELSE cast(0 as bigint) END"
+)
+
+
 def _waterfill_plan(w: DataFrame, *, keep_sb: bool = False) -> DataFrame:
     """The exact-integer power-of-two waterfilling solve over a
     (log2_w, n_docs) bucket frame — the injectable core of
@@ -1822,12 +1853,7 @@ def _waterfill_plan(w: DataFrame, *, keep_sb: bool = False) -> DataFrame:
         kept.filter(F.col("kept_scaled") <= F.col("target_scaled"))
         .agg(F.min("t").cast("long").alias("threshold_log2"), F.min("sb").alias("sb"))
     )
-    accept_num = F.expr(
-        "CASE WHEN log2_w >= threshold_log2 THEN shiftleft(cast(1 as bigint), sb) "
-        "WHEN threshold_log2 - log2_w <= sb THEN "
-        "shiftleft(cast(1 as bigint), cast(sb - (threshold_log2 - log2_w) as int)) "
-        "ELSE cast(0 as bigint) END"
-    )
+    accept_num = F.expr(ACCEPT_NUM_EXPR)
     scale = F.expr("shiftleft(cast(1 as bigint), sb)").cast("double")
     cols = [
         "log2_w",
@@ -2013,8 +2039,13 @@ def dsir_accept_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # sb comes FROM the solver (keep_sb) — never re-derive the
         # scale rule here, or the numerators and the scale could be
-        # computed at different scales if the rule is ever tuned
-        return _waterfill_plan(w, keep_sb=True).select("log2_w", "accept_num", "sb")
+        # computed at different scales if the rule is ever tuned.
+        # threshold_log2 rides along so selectors can evaluate the
+        # generic acceptance rule for buckets the plan never observed
+        # (round-12 ADVICE; see dsir_select_docs)
+        return _waterfill_plan(w, keep_sb=True).select(
+            "log2_w", "accept_num", "sb", "threshold_log2"
+        )
 
     tag = "-".join(DSIR_TARGET_SOURCES)
     return trained_artifact(
@@ -2029,22 +2060,36 @@ def dsir_accept_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dsir_select_docs(scores: DataFrame, plan: DataFrame) -> DataFrame:
-    """Apply a frozen (log2_w, accept_num, sb) acceptance plan to a
-    (doc_id, log2_w) scored frame: keep doc iff
+    """Apply a frozen (log2_w, accept_num, sb, threshold_log2)
+    acceptance plan to a (doc_id, log2_w) scored frame: keep doc iff
     salted('dsirsmp', doc_id) mod 2^sb < accept_num. Pure per-doc
     function of (plan, doc) — no cross-doc state — so the union of
     per-batch selections equals selecting over the whole scored set at
     once: the decomposability argument that certifies the streaming
     sampling gate against dsir_sample's batch oracle (same contract as
-    dsir_score_docs)."""
+    dsir_score_docs).
+
+    A doc whose weight bucket did not exist at plan-build time (a real
+    ingest stream drifts past the solve snapshot) is NOT dropped
+    (round-12 ADVICE: the old inner join silently discarded it — even
+    an above-threshold bucket the rule says to keep with probability
+    1): the plan is LEFT-joined and unseen buckets evaluate the same
+    total acceptance rule (ACCEPT_NUM_EXPR) against the frozen
+    (threshold_log2, sb) scalars. Same-snapshot replays — the
+    certified surface — never take the fallback branch, so certified
+    outputs are unchanged."""
     from ..functions.portable import salted
 
+    # the solver emits ONE (sb, threshold_log2) pair for the whole plan
+    scalars = plan.select("sb", "threshold_log2").distinct()
     draw = salted("dsirsmp", F.col("doc_id")) % F.expr(
         "shiftleft(cast(1 as bigint), sb)"
     )
     return (
         scores.select("doc_id", "log2_w")
-        .join(F.broadcast(plan), "log2_w")
+        .join(F.broadcast(plan.select("log2_w", "accept_num")), "log2_w", "left")
+        .join(F.broadcast(scalars), F.lit(True))
+        .withColumn("accept_num", F.coalesce(F.col("accept_num"), F.expr(ACCEPT_NUM_EXPR)))
         .filter(draw < F.col("accept_num"))
         .select("doc_id", "log2_w", "accept_num")
     )

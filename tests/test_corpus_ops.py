@@ -348,3 +348,25 @@ def test_training_order_schedules_every_content_bin(spark):
     drain()
     assert order_bins == content_bins
     assert max(b for _, b in order_bins) + 64 < TRAIN_BIN_GRID
+
+
+def test_bin_universe_skips_zero_token_sources(spark):
+    """Round-12 ADVICE: for a source with total_toks = 0 the sequence
+    end is floor(-1/C) = -1 and Spark's sequence(0, -1) is DESCENDING
+    [0, -1] — two phantom bins the DuckDB oracle never emits. The bin
+    universe must drop such sources entirely and never emit a negative
+    bin_id."""
+    from prueba_tecnica_http_client_etl_spark.operators.corpus import (
+        CONTEXT_TOKENS,
+        _bin_universe,
+    )
+
+    packed = spark.createDataFrame(
+        [
+            ("a", 0, CONTEXT_TOKENS + 5),  # spans bins 0 and 1
+            ("z", 0, 0),  # zero-token source: no bins at all
+        ],
+        "source string, start_off long, n_tokens long",
+    )
+    rows = sorted(tuple(r) for r in _bin_universe(packed).collect())
+    assert rows == [("a", 0), ("a", 1)]

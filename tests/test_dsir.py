@@ -127,3 +127,39 @@ def test_dsir_model_is_bounded(spark, dsir_corpus_dir):
     assert len(rows) <= DSIR_BUCKETS
     assert all(0 <= r["b"] < DSIR_BUCKETS for r in rows)
     assert all(r["ct"] >= 0 and r["cq"] >= 0 and r["ct"] + r["cq"] > 0 for r in rows)
+
+
+def test_dsir_select_handles_unseen_weight_buckets(spark):
+    """Round-12 ADVICE: a doc whose weight bucket did not exist at
+    plan-build time must NOT be silently inner-joined away. Unseen
+    buckets evaluate the same total acceptance rule against the frozen
+    (threshold_log2, sb): above threshold -> kept with probability 1;
+    more than sb doubling-steps below -> acceptance 0."""
+    from prueba_tecnica_http_client_etl_spark.operators.corpus import (
+        _waterfill_plan,
+        dsir_select_docs,
+    )
+
+    w = spark.createDataFrame(
+        [(0, 40), (3, 8), (6, 2)], "log2_w long, n_docs long"
+    )
+    plan = _waterfill_plan(w, keep_sb=True).select(
+        "log2_w", "accept_num", "sb", "threshold_log2"
+    )
+    row = plan.first()
+    thr, sb = int(row.threshold_log2), int(row.sb)
+
+    above = thr + 7  # unseen, above threshold: keep-all
+    below = thr - sb - 5  # unseen, beyond the dyadic range: drop-all
+    scores = spark.createDataFrame(
+        [(i, above) for i in range(1, 21)] + [(100 + i, below) for i in range(1, 21)],
+        "doc_id long, log2_w long",
+    )
+    kept = dsir_select_docs(scores, plan).collect()
+    assert sorted(r.doc_id for r in kept) == list(range(1, 21))
+    assert all(r.accept_num == (1 << sb) for r in kept)
+    # and seen buckets keep behaving exactly as the frozen plan says
+    seen = spark.createDataFrame([(500, 6)], "doc_id long, log2_w long")
+    got = dsir_select_docs(seen, plan).collect()
+    plan_6 = {r.log2_w: r.accept_num for r in plan.collect()}[6]
+    assert [r.accept_num for r in got] in ([], [plan_6])
