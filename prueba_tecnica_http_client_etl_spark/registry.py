@@ -594,6 +594,12 @@ def q_dedup_stream_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(p),
     )
     max_id = load_table(spark, sf_dir, "documents").selectExpr("max(doc_id)").first()[0]
+    if max_id is None:  # round-12 ADVICE: empty/misstaged snapshot —
+        # int(None) would raise a bare TypeError two frames deep
+        raise ValueError(
+            f"dedup_stream_ttl: documents table at {sf_dir} is empty — "
+            "cannot derive the no-eviction TTL delay from max(doc_id)"
+        )
     out, _ = DS.run_files_to_memory_ttl(
         spark, tmp, table_name=tag, delay=f"{int(max_id) + 2 * 86400} seconds"
     )
@@ -957,15 +963,15 @@ def q_contamination_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #            order), which bounds staleness: the test asserts every
 #            query older than MAX_STALENESS rounds is in this window.
 
-CURRENT_ROUND = 12
+CURRENT_ROUND = 13
 MAX_STALENESS = 4  # a row certified at round R must re-enter the window
 # by round R + MAX_STALENESS (asserted in tests/test_rotation_ledger.py)
 
 LAST_CERTIFIED: dict[str, int | None] = {
-    "clean_coerce": 11,
-    "kpi_daily": 11,
-    "kpi_report_endpoint": 11,
-    "kpi_global": 11,
+    "clean_coerce": 12,
+    "kpi_daily": 12,
+    "kpi_report_endpoint": 12,
+    "kpi_global": 12,
     "kpi_global_exact": 10,
     "kpi_anomaly_days": 11,
     "kpi_rollup": 10,
@@ -995,23 +1001,23 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "events_hourly_window": 10,
     "event_value_by_type_salted": 10,
     "purchases_near_views_range": 10,
-    "snapshot_merge": 11,
+    "snapshot_merge": 12,
     "user_retention_cohorts": 11,
-    "event_funnel": 11,
+    "event_funnel": 12,
     "suppliers_blocking_orders": 10,
     "rolling_active_users": 10,
-    "audio_decode_stats": 9,
+    "audio_decode_stats": 12,
     "dedup_exact": 10,
     "dedup_minhash_lsh": 10,
     "dedup_simhash": 10,
     "dedup_ngram_jaccard": 11,
     "dedup_components": 11,
-    "dedup_embedding_cosine": 11,
+    "dedup_embedding_cosine": 12,
     "ann_cosine_topk": 11,
     "lsh_bucket_histogram": 11,
-    "ann_ivf_topk": 9,
+    "ann_ivf_topk": 12,
     "ann_lsh_topk": 11,
-    "ann_ivf_recall": 9,
+    "ann_ivf_recall": 12,
     "ann_lsh_recall": 11,
     "embedding_centroids": 11,
     "text_stats": 11,
@@ -1020,39 +1026,39 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "doc_fingerprint": 11,
     "tfidf_top_terms": 11,
     "corpus_mix": 11,
-    "multimodal_meta": 9,
-    "multimodal_frame_sample": 9,
-    "pii_scrub": 9,
-    "contamination_check": 9,
-    "quality_gate": 9,
-    "kmeans_embeddings": 9,
-    "vocab_topk": 9,
-    "repetition_score": 9,
-    "sequence_pack": 9,
+    "multimodal_meta": 12,
+    "multimodal_frame_sample": 12,
+    "pii_scrub": 12,
+    "contamination_check": 12,
+    "quality_gate": 12,
+    "kmeans_embeddings": 12,
+    "vocab_topk": 12,
+    "repetition_score": 12,
+    "sequence_pack": 12,
     "dedup_containment": 11,
-    "corpus_length_profile": 9,
-    "curation_pipeline": 9,
-    "tokenize_ids": 9,
-    "embedding_center_by_label": 9,
-    "sequence_pack_manifest": 9,
+    "corpus_length_profile": 12,
+    "curation_pipeline": 12,
+    "tokenize_ids": 12,
+    "embedding_center_by_label": 12,
+    "sequence_pack_manifest": 12,
     "dedup_incremental": 11,
-    "dedup_semantic": 9,
-    "dedup_lines": 9,
-    "quality_score": 9,
-    "sequence_pack_ids": 9,
-    "dedup_substring": 9,
-    "ann_ivf_learned_topk": 9,
+    "dedup_semantic": 12,
+    "dedup_lines": 12,
+    "quality_score": 12,
+    "sequence_pack_ids": 12,
+    "dedup_substring": 12,
+    "ann_ivf_learned_topk": 12,
     "ann_ivf_learned_recall": 10,
-    "bpe_pair_counts": 9,
-    "domain_mixture_plan": 9,
+    "bpe_pair_counts": 12,
+    "domain_mixture_plan": 12,
     "dedup_survivors": 10,
-    "source_overlap_matrix": 9,
-    "doc_commonness": 9,
+    "source_overlap_matrix": 12,
+    "doc_commonness": 12,
     "duplicate_rate_by_source": 11,
     "dedup_cluster_sizes": 10,
-    "pii_stats_by_source": 9,
-    "lang_confusion": 9,
-    "image_decode_stats": 9,
+    "pii_stats_by_source": 12,
+    "lang_confusion": 12,
+    "image_decode_stats": 12,
     "dedup_lsh_capped": 11,
     "dedup_lsh_cap_audit": 11,
     "embedding_pca_top": 10,
@@ -1065,12 +1071,12 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "dedup_jaccard_prefix": 11,
     "corpus_sample_per_source": 10,
     "pq_quantization_error": 10,
-    "ann_ivfpq_topk": 9,
+    "ann_ivfpq_topk": 12,
     "ann_ivfpq_recall": 10,
     "ann_ivfpq_rerank": 10,
     "ann_ivfpq_rerank_recall": 10,
-    "corpus_split": 9,
-    "corpus_split_stats": 9,
+    "corpus_split": 12,
+    "corpus_split_stats": 12,
     "lm_bigram_score": 11,
     "embedding_outliers": 11,
     "shingle_df_profile": 11,
@@ -1085,23 +1091,23 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "ann_filtered_recall": 11,
     "ann_filtered_learned_recall": 11,
     "dsir_resample_plan": 11,
-    "dsir_sample": None,
-    "sequence_pack_ffd": None,
-    "training_order": None,
-    "dsir_sample_stream": None,
+    "dsir_sample": 12,
+    "sequence_pack_ffd": 12,
+    "training_order": 12,
+    "dsir_sample_stream": 12,
     "sequence_pack_greedy": 11,
     "contamination_stats_by_source": 11,
     "kpi_daily_approx_p90": 11,
     "events_distinct_users_approx": 11,
     "customer_value_deciles_approx": 11,
-    "kpi_daily_stream": 9,
-    "sessionize_stream": 10,
-    "dedup_stream": 9,
-    "quality_gate_stream": 9,
-    "dedup_index_probe_stream": 11,
+    "kpi_daily_stream": 12,
+    "sessionize_stream": 12,
+    "dedup_stream": 12,
+    "quality_gate_stream": 12,
+    "dedup_index_probe_stream": 12,
     "range_join_stream": 10,
     "contamination_bloom_stream": 11,
-    "dedup_stream_ttl": 11,
+    "dedup_stream_ttl": 12,
 }
 
 # the reference-surface anchor: always driver-certified (VERDICT r5 item 1)
@@ -1111,73 +1117,58 @@ _ANCHORS = ["clean_coerce", "kpi_daily", "kpi_report_endpoint", "kpi_global"]
 # or oracle) without being never-certified: they re-enter the window
 # right after the never-certified block, regardless of ledger age —
 # a green row from a previous round does not certify this round's code.
-# Round 12: starts empty after the ledger refresh; queries re-enter here
+# Round 13: starts empty after the ledger refresh; queries re-enter here
 # as their executed plans change during the round.
 # Window budget: 4 anchors + |never| + touched + forced-stale rows
 # must stay <= 50.
 _TOUCHED_THIS_ROUND: list[str] = [
-    # delay now derives from max(doc_id) instead of a fixed 3650-day
-    # constant (round-11 ADVICE item 1): emitted set identical (both
-    # delays exceed the span), but the executed streaming plan changed;
-    # also gained the null-digest filter below
-    "dedup_stream_ttl",
-    # round-12 streaming review fixes — certified outputs identical on
-    # the gate corpora (no nulls there), but each executed plan/UDF
-    # changed: null text now quarantines instead of passing as 'ok';
-    # NaN event times are dropped instead of poisoning session state;
-    # null digests are filtered instead of collapsing; the KPI stream
-    # agg now shares operators/kpi.kpi_aggregates verbatim
-    "quality_gate_stream",
-    "sessionize_stream",
-    "dedup_stream",
-    "kpi_daily_stream",
-    # per-micro-batch cachepool drain in the probe runner (round-12
-    # review: a continuous ingest loop leaked one pinned batch frame
-    # per micro-batch) — output and plan unchanged, runner code new
+    # round-13 verdict item 3 (the r12 `weak` mark): _ivf_probe_topk now
+    # filters the assignment frame to the rows its consumers read
+    # (cent_rank==1 corpus + rank<=nprobe query rows) and drops qc/nc/
+    # cent_cos before managed_persist — outputs bit-identical (8/8
+    # oracle-checked at sf0.01 pre-commit), cached bytes 57.5 MB ->
+    # 1.9 MB at sf0.1. Every consumer's executed plan changed:
+    "ann_ivf_topk",
+    "ann_ivf_recall",
+    "ann_ivf_learned_topk",
+    "ann_ivf_learned_recall",
+    "ann_filtered_topk",
+    "ann_filtered_learned_topk",
+    "ann_filtered_recall",
+    "ann_filtered_learned_recall",
+    # round-13 verdict item 4 (foreachBatch orderBy tax): certified
+    # emitted sets unchanged (driver hashes sort-independently; asserted
+    # by the stream oracles), but each executed per-batch/read-back plan
+    # lost its global sort: bloom_score_docs(ordered=False) in the
+    # contamination runner, probe_lsh_index(ordered=False) in the index
+    # probe runner, and the quality runner's read-back union orderBy
+    "contamination_bloom_stream",
     "dedup_index_probe_stream",
-    # final round-12 review batch: with_quality_reason's null-text
-    # guard moved into the shared helper (n_tokens coalesces to 0), so
-    # every batch consumer's executed plan + DuckDB oracle CTE changed
-    # (outputs identical on the gate corpora — no null texts there).
-    # All three are r9 ledger rows that were rotating as fill anyway,
-    # so window membership and r9 coverage (39/40) are unchanged.
-    "quality_gate",
-    "quality_score",
-    "curation_pipeline",
-    # round-12 operator review (all three r11 rows, each displacing one
-    # r9 fill row — r9 coverage lands exactly on the verdict's >=36
-    # floor): snapshot_merge's insert offset now derives from
-    # max(doc_id) (a fixed 1e6 misclassified/collided at scale — output
-    # + oracle changed in lockstep); dedup_embedding_cosine pool-
-    # persists the quantized frame its self-join reads twice;
-    # event_funnel pool-persists each |users|-row stage (the count
-    # union re-executed stage prefixes O(steps^2) times). training_order
-    # also changed (interior-bin completeness) but is never-certified
-    # this round, so it is already in the window head.
-    "snapshot_merge",
-    "dedup_embedding_cosine",
-    "event_funnel",
+    "quality_gate_stream",
+    # round-13 ADVICE fixes — outputs identical on the gate corpora
+    # (same-snapshot replays never take the new branches) but each
+    # executed plan changed: training_order's bin universe now filters
+    # zero-token sources before the sequence explode; dsir_select_docs
+    # left-joins the acceptance plan and evaluates the generic waterfill
+    # rule for unseen weight buckets (plan artifact gained
+    # threshold_log2), which rewrites the selection join in both the
+    # batch sampler and the streaming gate
+    "training_order",
+    "dsir_sample",
+    "dsir_sample_stream",
 ]
-# Round-12 projection (after the r11 ledger refresh, verified against
-# the CORRECTNESS files: 50 rows @r11, 46 @r10, 40 @r9). 0
-# never-certified, 0 forced this round — but the 40 r9 rows hit their
-# MAX_STALENESS ceiling at round 13. Head = 4 anchors + new + touched:
-# at head <= 10 the fill keeps >= 36 r9 rows in this window; at head
-# = 10 exactly 4 r9 rows spill to r13 (where they become forced but
-# fit trivially). Sweet spot: keep new registrations + touched <= 6
-# so ALL 40 r9 rows rotate now and r13 opens unconstrained.
-# Round-12 CLOSED at head 20: 4 new registrations (dsir_sample,
-# sequence_pack_ffd, dsir_sample_stream, training_order) + 12 touched
-# (dedup_stream_ttl + the 5 streaming-review entries + the 3 quality
-# batch consumers of with_quality_reason + the 3 operator-review
-# entries above). Six of the touched rows are r9 rows, so 30 fill + 6
-# touched = 36 of the 40 r9 rows rotate this round — exactly the
-# verdict's >=36 floor; the 4 spilled r9 rows are r13's oldest fill
-# candidates (not forced until r14). FROZEN — no further registrations
-# or touches this round.
-# Round-13 projection: ledger after r12 ~ 50@r12 / 41@r11 / 45@r10 /
-# 4@r9 — nothing forced, minimum head 4; the r9 stragglers + rotating
-# the r11 wave early keeps r14 unconstrained.
+# Round-13 projection (ledger after r12, verified against the
+# CORRECTNESS files: 50@r12 / 41@r11 / 45@r10 / 4@r9). 0 never-
+# certified; the 4 r9 rows (lm_bigram_score_pruned, dsir_importance,
+# dsir_score_stream, ann_filtered_topk) hit the MAX_STALENESS=4
+# ceiling THIS round — they are the oldest fill so they rotate
+# automatically; head budget = 50 - 4 anchors - 4 forced - |r10 rows
+# we want rotated|. Planned touches this round (verdict r12 items
+# 3-5 + ADVICE): the 8 _ivf_probe_topk ANN consumers, the 3 streams
+# losing their per-batch orderBy, training_order (zero-token guard),
+# dsir_sample(+_stream) (unseen-bucket rule). Head ~18 leaves 32 fill
+# = 3 r9 + 29 r10; the ~16 spilled r10 rows become r14's forced fill
+# and fit trivially.
 
 _WINDOW_SIZE = 50
 
