@@ -84,6 +84,17 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     redacted text proves (against the oracle) that both engines produced
     byte-identical clean output."""
     d = docs_normalized(spark, sf_dir).withColumn("dirty", _dirty_col())
+    return scrub_pii_docs(d)
+
+
+def scrub_pii_docs(d: DataFrame, *, ordered: bool = True) -> DataFrame:
+    """(doc_id, n_emails, n_phones, n_ips, redacted_fp, n_chars_clean)
+    from a (doc_id, dirty) frame — the per-doc pure scrub projection
+    shared verbatim by the batch pii_scrub and the streaming ingest
+    scrubber (streaming/pii_stream.py; ordered=False there — its
+    per-batch parquet write discards ordering). Counts and redaction
+    reference only the document row, which is what makes the stream's
+    per-batch union byte-identical to the batch scrub."""
     redacted = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col("dirty"), EMAIL_RE, "<email>"),
@@ -93,17 +104,15 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         IP_RE,
         "<ip>",
     )
-    return (
-        d.select(
-            "doc_id",
-            F.regexp_count(F.col("dirty"), F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
-            F.regexp_count(F.col("dirty"), F.lit(PHONE_RE)).cast("long").alias("n_phones"),
-            F.regexp_count(F.col("dirty"), F.lit(IP_RE)).cast("long").alias("n_ips"),
-            F.substring(F.md5(redacted), 1, 16).alias("redacted_fp"),
-            F.length(redacted).cast("long").alias("n_chars_clean"),
-        )
-        .orderBy("doc_id")
+    out = d.select(
+        "doc_id",
+        F.regexp_count(F.col("dirty"), F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("dirty"), F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(F.col("dirty"), F.lit(IP_RE)).cast("long").alias("n_ips"),
+        F.substring(F.md5(redacted), 1, 16).alias("redacted_fp"),
+        F.length(redacted).cast("long").alias("n_chars_clean"),
     )
+    return out.orderBy("doc_id") if ordered else out
 
 
 def _sql_dirty() -> str:

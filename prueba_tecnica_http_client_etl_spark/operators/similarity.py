@@ -386,6 +386,48 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = No
     return _ivf_probe_topk(emb, cents)
 
 
+def _cent_cos():
+    """Quantized-integer cosine of a (q, nrm) vector row against a
+    joined (qc, nc) centroid row — the assignment expression shared by
+    the IVF probe path and the cell-occupancy monitor (one definition;
+    the integer dot is exact in float64 below 2^47, so the double
+    division and DESC tie-break agree bit-for-bit with the DuckDB
+    twin's list_dot_product form)."""
+    return F.expr(
+        "aggregate(zip_with(q, qc, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
+    ).cast("double") / (F.col("nrm") * F.col("nc"))
+
+
+def ivf_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell occupancy of the strided IVF quantizer: (cell_id,
+    n_vectors), one row per non-empty cell — the index-health monitor a
+    production vector store watches. Cell balance IS the re-train
+    signal (append_to_ivf_index freezes the quantizer at ingest, so
+    corpus drift shows up here as a ballooning max cell long before
+    probe latency degrades; compact_ivf_index reports the same scalars
+    for the PERSISTED index, this query profiles the live assignment).
+
+    Scale shape: one broadcast-centroid pass over the corpus (the same
+    assignment join every IVF tier runs — centroids bounded at
+    CENTROID_MAX_K), then a partial-aggregated count into <= |cells|
+    groups. No window over the corpus, no pairwise work; output is
+    bounded by the centroid cap at any corpus size."""
+    emb = managed_persist(_quantized(spark, sf_dir))
+    cents = _strided_seeds(emb).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("qc"), F.col("nrm").alias("nc")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cent_cos").desc(), F.col("cent_id"))
+    return (
+        emb.join(F.broadcast(cents), F.lit(True))
+        .withColumn("cent_cos", _cent_cos())
+        .withColumn("cent_rank", F.row_number().over(w))
+        .filter(F.col("cent_rank") == 1)
+        .groupBy(F.col("cent_id").alias("cell_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .orderBy("cell_id")
+    )
+
+
 def _ivf_probe_topk(
     emb: DataFrame, cents: DataFrame, *, nprobe: int = NPROBE, same_label: bool = False
 ) -> DataFrame:
@@ -398,9 +440,7 @@ def _ivf_probe_topk(
     `same_label=True` is the PRE-FILTER: the metadata predicate becomes
     part of the candidate equi-join key (cell, label), so filtered-out
     vectors never reach scoring — see ann_filtered_topk."""
-    cos_to_cent = F.expr(
-        "aggregate(zip_with(q, qc, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
-    ).cast("double") / (F.col("nrm") * F.col("nc"))
+    cos_to_cent = _cent_cos()
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("cent_cos").desc(), F.col("cent_id"))
     # Persist ONLY the rows the two consumers below read — cent_rank==1
     # (corpus assignment) and rank<=nprobe rows of query vectors — and
@@ -499,6 +539,27 @@ ORDER BY query_id, rank"""
 SQL_ANN_IVF_TOPK = _sql_ivf_probe(
     f"SELECT vec_id AS cent_id, q AS qc, nrm AS nc FROM qn WHERE vec_id % {CENTROID_STRIDE} = 0 AND vec_id < {_CENT_CAP}"
 )
+
+# the cell-occupancy monitor: the probe chain's `assigned` CTE verbatim,
+# rolled up at cent_rank = 1 instead of probed
+SQL_IVF_CELL_PROFILE = f"""
+WITH {DUCK_QUANT_CTE},
+cents AS (
+  SELECT vec_id AS cent_id, q AS qc, nrm AS nc FROM qn
+  WHERE vec_id % {CENTROID_STRIDE} = 0 AND vec_id < {_CENT_CAP}
+),
+assigned AS (
+  SELECT v.vec_id, c.cent_id,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_dot_product(v.q, c.qc) / (v.nrm * c.nc) DESC, c.cent_id
+         ) AS cent_rank
+  FROM qn v CROSS JOIN cents c
+)
+SELECT cent_id AS cell_id, CAST(count(*) AS BIGINT) AS n_vectors
+FROM assigned WHERE cent_rank = 1
+GROUP BY cent_id
+ORDER BY cell_id"""
 
 
 # Filtered search probes WIDER than unfiltered: the predicate thins

@@ -158,6 +158,7 @@ _LLM_PIPELINE = [
     ("ann_cosine_topk", similarity.ann_cosine_topk, similarity.SQL_ANN_COSINE_TOPK),
     ("lsh_bucket_histogram", similarity.lsh_bucket_histogram, similarity.SQL_LSH_BUCKET_HISTOGRAM),
     ("ann_ivf_topk", similarity.ann_ivf_topk, similarity.SQL_ANN_IVF_TOPK),
+    ("ivf_cell_profile", similarity.ivf_cell_profile, similarity.SQL_IVF_CELL_PROFILE),
     ("ann_lsh_topk", similarity.ann_lsh_topk, similarity.SQL_ANN_LSH_TOPK),
     ("ann_ivf_recall", similarity.ann_ivf_recall, similarity.SQL_ANN_IVF_RECALL),
     ("ann_lsh_recall", similarity.ann_lsh_recall, similarity.SQL_ANN_LSH_RECALL),
@@ -934,6 +935,41 @@ def q_contamination_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register("pii_scrub_stream", curation.SQL_PII_SCRUB)
+def q_pii_scrub_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PII scrub (streaming/pii_stream.py): the corpus
+    replays as a file stream and every micro-batch is counted and
+    redacted through curation.scrub_pii_docs verbatim — the
+    scrub-at-the-edge position a production privacy gate holds, so
+    dirty bytes never land downstream.
+
+    Oracle: counts and redaction are per-document pure functions (no
+    trained state, no cross-doc reference), so the union over
+    micro-batches equals scrubbing the whole corpus at once — which is
+    exactly pii_scrub. Its batch oracle SQL certifies the stream's
+    full output (rows+schema+hash), the strongest check a stream can
+    carry — the twelfth hash-certified stream."""
+    from .streaming import pii_stream as PS
+
+    tmp, tag = _stream_staging_path(sf_dir, "pii_scrub_in", "documents")
+    _ensure_staged(
+        tmp,
+        lambda p: load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(4)
+        .write.mode("overwrite")
+        .json(p),
+    )
+    out_root, checkpoint = _stream_run_dirs(sf_dir, "pii_scrub")
+    out = (
+        PS.run_pii_scrub(spark, tmp, out_root, checkpoint=checkpoint)
+        .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted_fp", "n_chars_clean")
+        .orderBy("doc_id")
+    )
+    _finish_stream_run(out_root)  # replay terminated inside run_*
+    return out
+
+
 # --- certification ledger + rotation -----------------------------------------
 #
 # The external driver records correctness entries for the FIRST 50
@@ -1108,6 +1144,9 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "range_join_stream": 10,
     "contamination_bloom_stream": 11,
     "dedup_stream_ttl": 12,
+    # round-13 registrations (never-certified -> window head by rule)
+    "ivf_cell_profile": None,
+    "pii_scrub_stream": None,
 }
 
 # the reference-surface anchor: always driver-certified (VERDICT r5 item 1)
@@ -1158,17 +1197,17 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "dsir_sample_stream",
 ]
 # Round-13 projection (ledger after r12, verified against the
-# CORRECTNESS files: 50@r12 / 41@r11 / 45@r10 / 4@r9). 0 never-
-# certified; the 4 r9 rows (lm_bigram_score_pruned, dsir_importance,
-# dsir_score_stream, ann_filtered_topk) hit the MAX_STALENESS=4
-# ceiling THIS round — they are the oldest fill so they rotate
-# automatically; head budget = 50 - 4 anchors - 4 forced - |r10 rows
-# we want rotated|. Planned touches this round (verdict r12 items
-# 3-5 + ADVICE): the 8 _ivf_probe_topk ANN consumers, the 3 streams
-# losing their per-batch orderBy, training_order (zero-token guard),
-# dsir_sample(+_stream) (unseen-bucket rule). Head ~18 leaves 32 fill
-# = 3 r9 + 29 r10; the ~16 spilled r10 rows become r14's forced fill
-# and fit trivially.
+# CORRECTNESS files: 50@r12 / 41@r11 / 45@r10 / 4@r9). The 4 r9 rows
+# (lm_bigram_score_pruned, dsir_importance, dsir_score_stream,
+# ann_filtered_topk) hit the MAX_STALENESS=4 ceiling THIS round —
+# they are the oldest fill so they rotate automatically. Round-13
+# head CLOSED at 20: 2 new registrations (ivf_cell_profile,
+# pii_scrub_stream) + 14 touched (8 _ivf_probe_topk ANN consumers +
+# 3 streams losing their per-batch sort + training_order +
+# dsir_sample + dsir_sample_stream). Fill 30 = 4 forced r9 + 26 r10;
+# the 19 spilled r10 rows become r14's forced fill (head budget there
+# = 50 - 4 - 19 = 27, comfortable). FROZEN — no further registrations
+# or touches this round.
 
 _WINDOW_SIZE = 50
 

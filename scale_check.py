@@ -126,6 +126,10 @@ LLM_TIER = [
     # the order-generation plan: one manifest scan + an (epoch, shard)
     # shuffle; output rows = bins x epochs, so rows_ratio ~10
     "training_order",
+    # round-13: the IVF occupancy monitor — one broadcast-centroid pass;
+    # output rows = non-empty cells (21 -> 103 here; capped at 256 by
+    # CENTROID_MAX_K at production scale, so rows_ratio < 10 is correct)
+    "ivf_cell_profile",
 ]
 
 # bump when the replica construction changes: a marker whose content

@@ -329,3 +329,16 @@ def test_bloom_score_docs_unordered_has_no_global_sort(spark):
     assert "rangepartitioning" not in unordered.lower(), unordered
     ordered = _physical(bloom_score_docs(d, bf_row, probes, m_log2))
     assert "rangepartitioning" in ordered.lower(), ordered
+
+
+def test_ivf_cell_profile_broadcasts_centroids_only(spark):
+    """The cell-occupancy monitor must be one broadcast-centroid pass
+    over the corpus plus a partial-aggregated count — the only
+    BroadcastExchange is the bounded centroid relation (never a
+    corpus-sized frame), and the aggregate is a partial/final
+    HashAggregate pair, not a window over the corpus."""
+    from prueba_tecnica_http_client_etl_spark.operators.similarity import ivf_cell_profile
+
+    plan = _physical(ivf_cell_profile(spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final count
