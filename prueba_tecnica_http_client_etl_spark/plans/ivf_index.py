@@ -215,6 +215,13 @@ def probe_ivf_index(
     ann_filtered_topk's join-key pre-filter; pass a wider `nprobe`
     (FILTERED_NPROBE) to pay for the thinner cells — the measured
     recall ladder at FILTERED_NPROBE's definition applies unchanged."""
+    from .lsh_index import _require_index
+
+    # fail loudly on a missing index (and self-heal a compaction swap
+    # that crashed between drop and rename) before reading any table —
+    # without this the IVF probe was the one entry point that stayed
+    # broken after a crashed compact until an append/compact ran
+    _require_index(spark, prefix, ("cents", "cells"))
     cents = spark.table(f"{prefix}_cents")
     w_probe = Window.partitionBy("vec_id").orderBy(F.col("cent_cos").desc(), F.col("cent_id"))
     probes = (

@@ -1204,10 +1204,12 @@ _TOUCHED_THIS_ROUND: list[str] = [
 # head CLOSED at 20: 2 new registrations (ivf_cell_profile,
 # pii_scrub_stream) + 14 touched (8 _ivf_probe_topk ANN consumers +
 # 3 streams losing their per-batch sort + training_order +
-# dsir_sample + dsir_sample_stream). Fill 30 = 4 forced r9 + 26 r10;
-# the 19 spilled r10 rows become r14's forced fill (head budget there
-# = 50 - 4 - 19 = 27, comfortable). FROZEN — no further registrations
-# or touches this round.
+# dsir_sample + dsir_sample_stream). Fill 30 = 3 forced r9 + 27 r10
+# (ann_filtered_topk is r9 AND touched, ann_ivf_learned_recall is r10
+# AND touched — both sit in the head, not the fill); 45 - 28 = 17 r10
+# rows spill to r14's forced fill (head budget there = 50 - 4 - 17 =
+# 29, comfortable). FROZEN — no further registrations or touches this
+# round.
 
 _WINDOW_SIZE = 50
 

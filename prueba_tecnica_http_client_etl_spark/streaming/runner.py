@@ -127,13 +127,17 @@ def run_split_stream(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         prepped = prepare(batch_df) if prepare is not None else batch_df
         prepped.persist()  # one evaluation feeds all sinks
-        for layer, predicate, project in layers:
-            (
-                project(prepped.filter(predicate))
-                .write.mode("overwrite")  # idempotent under checkpoint replay
-                .parquet(f"{out_root}/{layer}/batch_id={batch_id}")
-            )
-        prepped.unpersist()
+        try:
+            for layer, predicate, project in layers:
+                (
+                    project(prepped.filter(predicate))
+                    .write.mode("overwrite")  # idempotent under checkpoint replay
+                    .parquet(f"{out_root}/{layer}/batch_id={batch_id}")
+                )
+        finally:
+            # a failed sink write must not leak the pinned batch frame
+            # (each stream retry would pin another copy until GC)
+            prepped.unpersist()
 
     drain_json_file_stream(
         spark,

@@ -127,8 +127,9 @@ LLM_TIER = [
     # shuffle; output rows = bins x epochs, so rows_ratio ~10
     "training_order",
     # round-13: the IVF occupancy monitor — one broadcast-centroid pass;
-    # output rows = non-empty cells (21 -> 103 here; capped at 256 by
-    # CENTROID_MAX_K at production scale, so rows_ratio < 10 is correct)
+    # output rows = non-empty cells (21 -> 207 here: floor(19999/97)+1
+    # strided seeds at sf1; capped at 256 by CENTROID_MAX_K at
+    # production scale, so rows_ratio < 10 is correct)
     "ivf_cell_profile",
 ]
 
