@@ -156,6 +156,30 @@ def test_ann_cosine_vectorized_matches_relational_exactly(spark):
     assert fast == slow and len(fast) > 0
 
 
+def test_ivf_assign_vectorized_matches_relational_exactly(spark):
+    """The Arrow-batched centroid assignment (numpy matmul + stable
+    argsort) must be byte-identical to the relational broadcast-join +
+    window rank on every tier shape: the integer dots are exact in
+    float64 and the (cos desc, cent_id asc) stable ordering reproduces
+    row_number's total order — including the label carry of the
+    filtered tier and the probe fan-out of query rows."""
+    from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain, managed_persist
+    from prueba_tecnica_http_client_etl_spark.operators import similarity as S
+
+    for same_label, nprobe in [(False, S.NPROBE), (True, S.FILTERED_NPROBE)]:
+        outs = []
+        for vec in (True, False):
+            emb = managed_persist(S._quantized(spark, SF_SMOKE))
+            cents = S._strided_seeds(emb).selectExpr(
+                "vec_id as cent_id", "q as qc", "nrm as nc"
+            )
+            outs.append(sorted(map(tuple, S._ivf_probe_topk(
+                emb, cents, nprobe=nprobe, same_label=same_label, vectorized=vec
+            ).collect())))
+            drain()
+        assert outs[0] == outs[1] and len(outs[0]) > 0, (same_label, nprobe)
+
+
 def test_range_join_is_equi_join_not_nested_loop(spark):
     """The band join must compile to a hash/merge equi-join on
     (user_id, bucket) — a nested-loop or cartesian plan means the range

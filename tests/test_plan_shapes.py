@@ -331,14 +331,17 @@ def test_bloom_score_docs_unordered_has_no_global_sort(spark):
     assert "rangepartitioning" in ordered.lower(), ordered
 
 
-def test_ivf_cell_profile_broadcasts_centroids_only(spark):
-    """The cell-occupancy monitor must be one broadcast-centroid pass
-    over the corpus plus a partial-aggregated count — the only
-    BroadcastExchange is the bounded centroid relation (never a
-    corpus-sized frame), and the aggregate is a partial/final
-    HashAggregate pair, not a window over the corpus."""
+def test_ivf_cell_profile_is_one_arrow_pass_plus_partial_agg(spark):
+    """The cell-occupancy monitor must be ONE Arrow-batched assignment
+    pass over the corpus (the shared _ivf_assign numpy matmul — the
+    bounded centroid matrix travels as a python broadcast, so no
+    |corpus| x |cells| join materializes anywhere in the plan) plus a
+    partial/final HashAggregate count — never a window or a
+    nested-loop join over the corpus."""
     from prueba_tecnica_http_client_etl_spark.operators.similarity import ivf_cell_profile
 
     plan = _physical(ivf_cell_profile(spark, SF_SMOKE))
-    assert "BroadcastExchange" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan  # partial + final count
