@@ -427,7 +427,13 @@ def ivf_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_assign(
-    emb: DataFrame, cents: DataFrame, *, nprobe: int, carry_label: bool, vectorized: bool = True
+    emb: DataFrame,
+    cents: DataFrame,
+    *,
+    nprobe: int,
+    carry_label: bool,
+    vectorized: bool = True,
+    _c_rows=None,
 ) -> DataFrame:
     """Centroid assignment shared by every IVF tier: exactly the rows
     the probe consumers read — cent_rank==1 for every vector (its cell)
@@ -471,7 +477,9 @@ def _ivf_assign(
     from ..functions.cachepool import managed_broadcast
 
     spark = emb.sparkSession
-    c_rows = cents.orderBy("cent_id").collect()  # <= CENTROID_MAX_K rows
+    if _c_rows is None:
+        _c_rows = cents.orderBy("cent_id").collect()  # <= CENTROID_MAX_K rows
+    c_rows = _c_rows
     c_ids = np.array([r.cent_id for r in c_rows], dtype=np.int64)
     c_mat = np.array([r.qc for r in c_rows], dtype=np.float64)  # exact: |q| < 2^20
     c_nrm = np.array([r.nc for r in c_rows], dtype=np.float64)
@@ -533,8 +541,12 @@ def _ivf_probe_topk(
     unfiltered |corpus| x |centroids| frame with both 64-long arrays
     cached ~256x the corpus under the CENTROID_MAX_K cap (round-12
     verdict's `weak` mark)."""
+    c_rows = cents.orderBy("cent_id").collect() if vectorized else None
     assigned = managed_persist(
-        _ivf_assign(emb, cents, nprobe=nprobe, carry_label=same_label, vectorized=vectorized)
+        _ivf_assign(
+            emb, cents, nprobe=nprobe, carry_label=same_label,
+            vectorized=vectorized, _c_rows=c_rows,
+        )
     )
     lbl = [F.col("label")] if same_label else []
     corpus = assigned.filter(F.col("cent_rank") == 1).select(
@@ -547,12 +559,19 @@ def _ivf_probe_topk(
         F.col("cent_id").alias("cell"), F.col("vec_id").alias("query_id"),
         F.col("q").alias("qa"), F.col("nrm").alias("na"), *lbl,
     )
-    cos = F.expr(_SPARK_PAIR_DOT).cast("double") / (F.col("na") * F.col("nb"))
+    key = ["cell", "label"] if same_label else ["cell"]
+    if vectorized and _use_cogroup_scoring(len(c_rows)):
+        pairs = _score_cells_vectorized(probes, corpus, key=key, same_label=same_label)
+    else:
+        cos = F.expr(_SPARK_PAIR_DOT).cast("double") / (F.col("na") * F.col("nb"))
+        pairs = (
+            probes.join(corpus, key)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("cosine_raw", cos)
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), F.col("neighbor_id"))
     return (
-        probes.join(corpus, ["cell", "label"] if same_label else "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_raw", cos)
+        pairs
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
         .select(
@@ -563,6 +582,103 @@ def _ivf_probe_topk(
             roundn(F.col("cosine_raw") + 1.0, 6).alias("cosine_p1"),
         )
         .orderBy("query_id", "rank")
+    )
+
+
+# Candidate-scoring strategy switch: below this many coarse cells the
+# pair equi-join + interpreted dot wins (the cogroup path pays ~1 s of
+# Python-worker round-trips per query — measured sf0.1: join 1.12 s vs
+# cogroup 1.69 s for ann_ivf_topk); at/above it the per-cell matmul
+# wins decisively (measured 100x, 256 cells: 18.5 -> 4.5 s). Cell count
+# tracks corpus size until CENTROID_MAX_K pins it, so certified-scale
+# corpora (6 cells at sf0.01, 21 at sf0.1) keep the join plan their
+# oracles were certified against — the same auto-with-env-pin pattern
+# as the Bloom geometry (curation.bloom_bits_log2): the pin wins, the
+# auto rule only moves work, never output.
+IVF_COGROUP_MIN_CELLS = 128
+
+
+def _use_cogroup_scoring(n_cells: int) -> bool:
+    import os
+
+    pin = os.environ.get("SPARK_GRAFT_IVF_SCORING", "").strip().lower()
+    if pin in ("join", "relational"):
+        return False
+    if pin in ("cogroup", "vectorized"):
+        return True
+    if pin:
+        raise ValueError(
+            f"SPARK_GRAFT_IVF_SCORING={pin!r}: expected 'join' or 'cogroup'"
+        )
+    return n_cells >= IVF_COGROUP_MIN_CELLS
+
+
+def _score_cells_vectorized(probes: DataFrame, corpus: DataFrame, *, key, same_label):
+    """Candidate scoring as a per-cell cogrouped matmul with a LOCAL
+    top-k cut — the vectorized twin of the pair-explosion join (gated
+    by the same `vectorized` flag as the assignment, byte-identical
+    end-to-end by the dual-path test).
+
+    Each (cell[, label]) group scores its probing queries against its
+    member vectors in one numpy matmul and emits only each query's
+    local top-TOPK by the global total order (cosine desc, neighbor_id
+    asc). The cut is LOSSLESS for the global ranking: a query's global
+    top-k candidate beats every other candidate in its own cell by the
+    same total order, so it survives its cell's local cut — the global
+    window then merges <= nprobe x TOPK rows per query instead of
+    ranking every (query, cell-member) pair. At the 100x replica the
+    pair join shipped ~25M interpreted pair-dots into the window; this
+    path emits 320k scored rows. Both sides arrive hash-partitioned on
+    the cell key — the same single shuffle the equi-join paid."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    out_fields = [T.StructField("query_id", T.LongType())]
+    if same_label:
+        out_fields.append(T.StructField("label", T.IntegerType()))
+    out_fields += [
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cosine_raw", T.DoubleType()),
+    ]
+    pair_schema = T.StructType(out_fields)
+    k = TOPK
+
+    def score_cell(left, right):
+        import pandas as pd
+
+        empty = pd.DataFrame({f.name: pd.Series(dtype="float64" if f.name == "cosine_raw" else "int64") for f in out_fields})
+        if left.empty or right.empty:
+            return empty
+        q_ids = left["query_id"].to_numpy(dtype=np.int64)
+        q_mat = np.array(list(left["qa"]), dtype=np.float64)  # exact: |q| < 2^20
+        q_nrm = left["na"].to_numpy(dtype=np.float64)
+        n_ids = right["neighbor_id"].to_numpy(dtype=np.int64)
+        n_mat = np.array(list(right["qb"]), dtype=np.float64)
+        n_nrm = right["nb"].to_numpy(dtype=np.float64)
+        # same two IEEE ops as the relational dot.cast(double)/(na*nb)
+        cos = (q_mat @ n_mat.T) / np.outer(q_nrm, n_nrm)
+        out_q, out_n, out_c = [], [], []
+        for i in range(len(q_ids)):
+            mask = n_ids != q_ids[i]
+            cand_ids, cand_cos = n_ids[mask], cos[i][mask]
+            if len(cand_ids) > k:
+                # local top-k by the SAME total order as the global
+                # window (cosine desc, neighbor_id asc)
+                sel = np.lexsort((cand_ids, -cand_cos))[:k]
+            else:
+                sel = np.arange(len(cand_ids))
+            out_q.append(np.full(len(sel), q_ids[i], dtype=np.int64))
+            out_n.append(cand_ids[sel])
+            out_c.append(cand_cos[sel])
+        out = {"query_id": np.concatenate(out_q)}
+        if same_label:
+            out["label"] = np.full(sum(map(len, out_q)), left["label"].iloc[0], dtype=np.int64)
+        out["neighbor_id"] = np.concatenate(out_n)
+        out["cosine_raw"] = np.concatenate(out_c)
+        return pd.DataFrame(out)
+
+    return probes.groupBy(*key).cogroup(corpus.groupBy(*key)).applyInPandas(
+        score_cell, pair_schema
     )
 
 

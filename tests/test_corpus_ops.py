@@ -163,21 +163,35 @@ def test_ivf_assign_vectorized_matches_relational_exactly(spark):
     float64 and the (cos desc, cent_id asc) stable ordering reproduces
     row_number's total order — including the label carry of the
     filtered tier and the probe fan-out of query rows."""
+    import os
+
     from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain, managed_persist
     from prueba_tecnica_http_client_etl_spark.operators import similarity as S
 
+    # (vectorized flag, forced scoring strategy): the smoke corpus has
+    # too few cells for the cogroup auto-rule, so pin it explicitly to
+    # cover all three physical shapes — fully relational, vectorized
+    # assignment + join scoring, vectorized assignment + cogroup scoring
+    modes = [(False, None), (True, "join"), (True, "cogroup")]
     for same_label, nprobe in [(False, S.NPROBE), (True, S.FILTERED_NPROBE)]:
         outs = []
-        for vec in (True, False):
-            emb = managed_persist(S._quantized(spark, SF_SMOKE))
-            cents = S._strided_seeds(emb).selectExpr(
-                "vec_id as cent_id", "q as qc", "nrm as nc"
-            )
-            outs.append(sorted(map(tuple, S._ivf_probe_topk(
-                emb, cents, nprobe=nprobe, same_label=same_label, vectorized=vec
-            ).collect())))
-            drain()
-        assert outs[0] == outs[1] and len(outs[0]) > 0, (same_label, nprobe)
+        for vec, pin in modes:
+            if pin is None:
+                os.environ.pop("SPARK_GRAFT_IVF_SCORING", None)
+            else:
+                os.environ["SPARK_GRAFT_IVF_SCORING"] = pin
+            try:
+                emb = managed_persist(S._quantized(spark, SF_SMOKE))
+                cents = S._strided_seeds(emb).selectExpr(
+                    "vec_id as cent_id", "q as qc", "nrm as nc"
+                )
+                outs.append(sorted(map(tuple, S._ivf_probe_topk(
+                    emb, cents, nprobe=nprobe, same_label=same_label, vectorized=vec
+                ).collect())))
+                drain()
+            finally:
+                os.environ.pop("SPARK_GRAFT_IVF_SCORING", None)
+        assert outs[0] == outs[1] == outs[2] and len(outs[0]) > 0, (same_label, nprobe)
 
 
 def test_range_join_is_equi_join_not_nested_loop(spark):
