@@ -480,6 +480,16 @@ def _ivf_assign(
     if _c_rows is None:
         _c_rows = cents.orderBy("cent_id").collect()  # <= CENTROID_MAX_K rows
     c_rows = _c_rows
+    # Zero-norm guard (round-13 review): a zero-norm centroid makes its
+    # cosine NaN for every vector, and the two paths order NaN
+    # differently (Spark DESC sorts NaN first, numpy's negated stable
+    # argsort sorts it last) — the one input class that would break the
+    # byte-equality contract. No real quantized corpus produces one
+    # (|x| < 0.5 floats quantize to ~1e5-magnitude ints), so fail loudly
+    # instead of silently diverging.
+    if any(r.nc == 0 for r in c_rows):
+        raise ValueError("_ivf_assign: zero-norm centroid (NaN cosines order "
+                         "differently across the two physical paths)")
     c_ids = np.array([r.cent_id for r in c_rows], dtype=np.int64)
     c_mat = np.array([r.qc for r in c_rows], dtype=np.float64)  # exact: |q| < 2^20
     c_nrm = np.array([r.nc for r in c_rows], dtype=np.float64)
@@ -608,7 +618,8 @@ def _use_cogroup_scoring(n_cells: int) -> bool:
         return True
     if pin:
         raise ValueError(
-            f"SPARK_GRAFT_IVF_SCORING={pin!r}: expected 'join' or 'cogroup'"
+            f"SPARK_GRAFT_IVF_SCORING={pin!r}: expected 'join'/'relational' "
+            "or 'cogroup'/'vectorized'"
         )
     return n_cells >= IVF_COGROUP_MIN_CELLS
 
@@ -655,6 +666,10 @@ def _score_cells_vectorized(probes: DataFrame, corpus: DataFrame, *, key, same_l
         n_ids = right["neighbor_id"].to_numpy(dtype=np.int64)
         n_mat = np.array(list(right["qb"]), dtype=np.float64)
         n_nrm = right["nb"].to_numpy(dtype=np.float64)
+        if (q_nrm == 0).any() or (n_nrm == 0).any():
+            # NaN cosines order differently across the two paths
+            # (Spark DESC: NaN first; numpy lexsort on -cos: NaN last)
+            raise ValueError("_score_cells_vectorized: zero-norm vector")
         # same two IEEE ops as the relational dot.cast(double)/(na*nb)
         cos = (q_mat @ n_mat.T) / np.outer(q_nrm, n_nrm)
         out_q, out_n, out_c = [], [], []

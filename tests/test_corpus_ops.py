@@ -156,15 +156,13 @@ def test_ann_cosine_vectorized_matches_relational_exactly(spark):
     assert fast == slow and len(fast) > 0
 
 
-def test_ivf_assign_vectorized_matches_relational_exactly(spark):
+def test_ivf_assign_vectorized_matches_relational_exactly(spark, monkeypatch):
     """The Arrow-batched centroid assignment (numpy matmul + stable
     argsort) must be byte-identical to the relational broadcast-join +
     window rank on every tier shape: the integer dots are exact in
     float64 and the (cos desc, cent_id asc) stable ordering reproduces
     row_number's total order — including the label carry of the
     filtered tier and the probe fan-out of query rows."""
-    import os
-
     from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain, managed_persist
     from prueba_tecnica_http_client_etl_spark.operators import similarity as S
 
@@ -177,20 +175,17 @@ def test_ivf_assign_vectorized_matches_relational_exactly(spark):
         outs = []
         for vec, pin in modes:
             if pin is None:
-                os.environ.pop("SPARK_GRAFT_IVF_SCORING", None)
+                monkeypatch.delenv("SPARK_GRAFT_IVF_SCORING", raising=False)
             else:
-                os.environ["SPARK_GRAFT_IVF_SCORING"] = pin
-            try:
-                emb = managed_persist(S._quantized(spark, SF_SMOKE))
-                cents = S._strided_seeds(emb).selectExpr(
-                    "vec_id as cent_id", "q as qc", "nrm as nc"
-                )
-                outs.append(sorted(map(tuple, S._ivf_probe_topk(
-                    emb, cents, nprobe=nprobe, same_label=same_label, vectorized=vec
-                ).collect())))
-                drain()
-            finally:
-                os.environ.pop("SPARK_GRAFT_IVF_SCORING", None)
+                monkeypatch.setenv("SPARK_GRAFT_IVF_SCORING", pin)
+            emb = managed_persist(S._quantized(spark, SF_SMOKE))
+            cents = S._strided_seeds(emb).selectExpr(
+                "vec_id as cent_id", "q as qc", "nrm as nc"
+            )
+            outs.append(sorted(map(tuple, S._ivf_probe_topk(
+                emb, cents, nprobe=nprobe, same_label=same_label, vectorized=vec
+            ).collect())))
+            drain()
         assert outs[0] == outs[1] == outs[2] and len(outs[0]) > 0, (same_label, nprobe)
 
 
