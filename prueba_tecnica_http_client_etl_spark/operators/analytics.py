@@ -239,19 +239,26 @@ ORDER BY o_custkey, rk"""
 
 
 def supplier_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running sum per supplier over a *unique* ordering
-    (shipdate, orderkey, linenumber) — a non-unique ORDER BY makes
-    cumulative frames nondeterministic across engines."""
-    w = (
-        Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    """Running sum per supplier over a TOTAL ordering. (shipdate,
+    orderkey, linenumber) was assumed unique, but the synthetic
+    lineitem does not enforce that PK — sf0.1 carries 118k duplicate
+    (orderkey, linenumber) pairs, and one collides on the full window
+    key with two DIFFERENT revenues, making the cumulative value at
+    the intermediate row engine-order-dependent (found by the round-13
+    full-sf0.1 sweep: exactly one mismatched row in 600k — the
+    signature of two adjacent rows swapping). The cents value itself
+    is the final tie-break: any rows still tied are equal addends, and
+    a cumulative sum is invariant under reordering equal addends."""
     li = _t(spark, sf_dir, "lineitem")
     # integerize to cents before the cumulative sum: exact under any
     # evaluation order (DuckDB computes window sums via segment trees,
     # which associate double additions differently)
     cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", cents)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return li.select(
         "l_suppkey",
         "l_orderkey",
@@ -269,7 +276,9 @@ SELECT
   l_suppkey, l_orderkey, l_linenumber,
   strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
   (CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) OVER (
-    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+    PARTITION BY l_suppkey
+    ORDER BY l_shipdate, l_orderkey, l_linenumber,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100) AS running_revenue
 FROM lineitem"""
 

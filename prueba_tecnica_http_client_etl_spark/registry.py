@@ -1195,6 +1195,15 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "training_order",
     "dsir_sample",
     "dsir_sample_stream",
+    # round-13 full-sf0.1 sweep finding: the synthetic lineitem does NOT
+    # enforce the (orderkey, linenumber) PK (118k duplicate pairs at
+    # sf0.1; one collides on the full running-window key with two
+    # different revenues), so the cumulative frame's order wasn't total
+    # — one engine-order-dependent row in 600k. The cents value is now
+    # the final ORDER BY tie-break in both engines (equal addends
+    # commute, so any residual tie is harmless). sf0.01 output
+    # unchanged (no collision there); the executed plan changed.
+    "supplier_running_revenue",
 ]
 # Round-13 projection (ledger after r12, verified against the
 # CORRECTNESS files: 50@r12 / 41@r11 / 45@r10 / 4@r9). The 4 r9 rows
