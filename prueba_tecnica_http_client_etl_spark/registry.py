@@ -999,44 +999,44 @@ def q_pii_scrub_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #            order), which bounds staleness: the test asserts every
 #            query older than MAX_STALENESS rounds is in this window.
 
-CURRENT_ROUND = 13
+CURRENT_ROUND = 14
 MAX_STALENESS = 4  # a row certified at round R must re-enter the window
 # by round R + MAX_STALENESS (asserted in tests/test_rotation_ledger.py)
 
 LAST_CERTIFIED: dict[str, int | None] = {
-    "clean_coerce": 12,
-    "kpi_daily": 12,
-    "kpi_report_endpoint": 12,
-    "kpi_global": 12,
-    "kpi_global_exact": 10,
+    "clean_coerce": 13,
+    "kpi_daily": 13,
+    "kpi_report_endpoint": 13,
+    "kpi_global": 13,
+    "kpi_global_exact": 13,
     "kpi_anomaly_days": 11,
-    "kpi_rollup": 10,
+    "kpi_rollup": 13,
     "pricing_summary": 11,
-    "top_revenue_orders": 10,
-    "region_revenue": 10,
-    "customers_with_open_orders": 10,
-    "customers_without_orders": 10,
-    "top_orders_per_customer": 10,
-    "supplier_running_revenue": 10,
-    "nation_presence": 10,
-    "orders_cube": 10,
-    "events_daily_pivot": 10,
-    "sessionize_events": 10,
-    "purchase_after_view_asof": 10,
-    "shipped_within_30_days": 10,
-    "events_json_stats": 10,
-    "events_distinct_users": 10,
-    "small_quantity_revenue": 10,
-    "supplier_trailing_revenue": 10,
-    "latest_event_per_user": 10,
-    "user_daily_gapfill": 10,
-    "top_supplier_per_quarter": 10,
-    "high_balance_idle_customers": 10,
-    "stratified_event_sample": 10,
-    "customer_value_deciles": 10,
-    "events_hourly_window": 10,
-    "event_value_by_type_salted": 10,
-    "purchases_near_views_range": 10,
+    "top_revenue_orders": 13,
+    "region_revenue": 13,
+    "customers_with_open_orders": 13,
+    "customers_without_orders": 13,
+    "top_orders_per_customer": 13,
+    "supplier_running_revenue": 13,
+    "nation_presence": 13,
+    "orders_cube": 13,
+    "events_daily_pivot": 13,
+    "sessionize_events": 13,
+    "purchase_after_view_asof": 13,
+    "shipped_within_30_days": 13,
+    "events_json_stats": 13,
+    "events_distinct_users": 13,
+    "small_quantity_revenue": 13,
+    "supplier_trailing_revenue": 13,
+    "latest_event_per_user": 13,
+    "user_daily_gapfill": 13,
+    "top_supplier_per_quarter": 13,
+    "high_balance_idle_customers": 13,
+    "stratified_event_sample": 13,
+    "customer_value_deciles": 13,
+    "events_hourly_window": 13,
+    "event_value_by_type_salted": 13,
+    "purchases_near_views_range": 13,
     "snapshot_merge": 12,
     "user_retention_cohorts": 11,
     "event_funnel": 12,
@@ -1051,9 +1051,9 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "dedup_embedding_cosine": 12,
     "ann_cosine_topk": 11,
     "lsh_bucket_histogram": 11,
-    "ann_ivf_topk": 12,
+    "ann_ivf_topk": 13,
     "ann_lsh_topk": 11,
-    "ann_ivf_recall": 12,
+    "ann_ivf_recall": 13,
     "ann_lsh_recall": 11,
     "embedding_centroids": 11,
     "text_stats": 11,
@@ -1083,8 +1083,8 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "quality_score": 12,
     "sequence_pack_ids": 12,
     "dedup_substring": 12,
-    "ann_ivf_learned_topk": 12,
-    "ann_ivf_learned_recall": 10,
+    "ann_ivf_learned_topk": 13,
+    "ann_ivf_learned_recall": 13,
     "bpe_pair_counts": 12,
     "domain_mixture_plan": 12,
     "dedup_survivors": 10,
@@ -1119,18 +1119,18 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "lm_score_stream": 11,
     "contamination_bloom": 11,
     "split_leakage_check": 11,
-    "lm_bigram_score_pruned": 9,
-    "dsir_importance": 9,
-    "dsir_score_stream": 9,
-    "ann_filtered_topk": 9,
-    "ann_filtered_learned_topk": 11,
-    "ann_filtered_recall": 11,
-    "ann_filtered_learned_recall": 11,
+    "lm_bigram_score_pruned": 13,
+    "dsir_importance": 13,
+    "dsir_score_stream": 13,
+    "ann_filtered_topk": 13,
+    "ann_filtered_learned_topk": 13,
+    "ann_filtered_recall": 13,
+    "ann_filtered_learned_recall": 13,
     "dsir_resample_plan": 11,
-    "dsir_sample": 12,
+    "dsir_sample": 13,
     "sequence_pack_ffd": 12,
-    "training_order": 12,
-    "dsir_sample_stream": 12,
+    "training_order": 13,
+    "dsir_sample_stream": 13,
     "sequence_pack_greedy": 11,
     "contamination_stats_by_source": 11,
     "kpi_daily_approx_p90": 11,
@@ -1139,14 +1139,14 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "kpi_daily_stream": 12,
     "sessionize_stream": 12,
     "dedup_stream": 12,
-    "quality_gate_stream": 12,
-    "dedup_index_probe_stream": 12,
+    "quality_gate_stream": 13,
+    "dedup_index_probe_stream": 13,
     "range_join_stream": 10,
-    "contamination_bloom_stream": 11,
+    "contamination_bloom_stream": 13,
     "dedup_stream_ttl": 12,
-    # round-13 registrations (never-certified -> window head by rule)
-    "ivf_cell_profile": None,
-    "pii_scrub_stream": None,
+    # round-13 registrations — certified green in their first window (r13)
+    "ivf_cell_profile": 13,
+    "pii_scrub_stream": 13,
 }
 
 # the reference-surface anchor: always driver-certified (VERDICT r5 item 1)
@@ -1156,69 +1156,25 @@ _ANCHORS = ["clean_coerce", "kpi_daily", "kpi_report_endpoint", "kpi_global"]
 # or oracle) without being never-certified: they re-enter the window
 # right after the never-certified block, regardless of ledger age —
 # a green row from a previous round does not certify this round's code.
-# Round 13: starts empty after the ledger refresh; queries re-enter here
+# Round 14: starts empty after the ledger refresh; queries re-enter here
 # as their executed plans change during the round.
 # Window budget: 4 anchors + |never| + touched + forced-stale rows
 # must stay <= 50.
-_TOUCHED_THIS_ROUND: list[str] = [
-    # round-13 verdict item 3 (the r12 `weak` mark): _ivf_probe_topk now
-    # filters the assignment frame to the rows its consumers read
-    # (cent_rank==1 corpus + rank<=nprobe query rows) and drops qc/nc/
-    # cent_cos before managed_persist — outputs bit-identical (8/8
-    # oracle-checked at sf0.01 pre-commit), cached bytes 57.5 MB ->
-    # 1.9 MB at sf0.1. Every consumer's executed plan changed:
-    "ann_ivf_topk",
-    "ann_ivf_recall",
-    "ann_ivf_learned_topk",
-    "ann_ivf_learned_recall",
-    "ann_filtered_topk",
-    "ann_filtered_learned_topk",
-    "ann_filtered_recall",
-    "ann_filtered_learned_recall",
-    # round-13 verdict item 4 (foreachBatch orderBy tax): certified
-    # emitted sets unchanged (driver hashes sort-independently; asserted
-    # by the stream oracles), but each executed per-batch/read-back plan
-    # lost its global sort: bloom_score_docs(ordered=False) in the
-    # contamination runner, probe_lsh_index(ordered=False) in the index
-    # probe runner, and the quality runner's read-back union orderBy
-    "contamination_bloom_stream",
-    "dedup_index_probe_stream",
-    "quality_gate_stream",
-    # round-13 ADVICE fixes — outputs identical on the gate corpora
-    # (same-snapshot replays never take the new branches) but each
-    # executed plan changed: training_order's bin universe now filters
-    # zero-token sources before the sequence explode; dsir_select_docs
-    # left-joins the acceptance plan and evaluates the generic waterfill
-    # rule for unseen weight buckets (plan artifact gained
-    # threshold_log2), which rewrites the selection join in both the
-    # batch sampler and the streaming gate
-    "training_order",
-    "dsir_sample",
-    "dsir_sample_stream",
-    # round-13 full-sf0.1 sweep finding: the synthetic lineitem does NOT
-    # enforce the (orderkey, linenumber) PK (118k duplicate pairs at
-    # sf0.1; one collides on the full running-window key with two
-    # different revenues), so the cumulative frame's order wasn't total
-    # — one engine-order-dependent row in 600k. The cents value is now
-    # the final ORDER BY tie-break in both engines (equal addends
-    # commute, so any residual tie is harmless). sf0.01 output
-    # unchanged (no collision there); the executed plan changed.
-    "supplier_running_revenue",
-]
-# Round-13 projection (ledger after r12, verified against the
-# CORRECTNESS files: 50@r12 / 41@r11 / 45@r10 / 4@r9). The 4 r9 rows
-# (lm_bigram_score_pruned, dsir_importance, dsir_score_stream,
-# ann_filtered_topk) hit the MAX_STALENESS=4 ceiling THIS round —
-# they are the oldest fill so they rotate automatically. Round-13
-# head CLOSED at 20: 2 new registrations (ivf_cell_profile,
-# pii_scrub_stream) + 14 touched (8 _ivf_probe_topk ANN consumers +
-# 3 streams losing their per-batch sort + training_order +
-# dsir_sample + dsir_sample_stream). Fill 30 = 3 forced r9 + 27 r10
-# (ann_filtered_topk is r9 AND touched, ann_ivf_learned_recall is r10
-# AND touched — both sit in the head, not the fill); 45 - 28 = 17 r10
-# rows spill to r14's forced fill (head budget there = 50 - 4 - 17 =
-# 29, comfortable). FROZEN — no further registrations or touches this
-# round.
+_TOUCHED_THIS_ROUND: list[str] = []
+# Round-14 projection (ledger after r13, verified against the
+# CORRECTNESS files: 50@r13 / 38@r12 / 37@r11 / 17@r10 — the r13
+# verdict's "34@r11" undercounted, same class as r10's "29@r8";
+# CORRECTNESS files win). The 17 r10 rows (ann_pq_recall,
+# ann_pq_rerank, ann_pq_rerank_recall, ann_ivfpq_recall,
+# ann_ivfpq_rerank, ann_ivfpq_rerank_recall, pq_quantization_error,
+# dedup_exact, dedup_minhash_lsh, dedup_simhash, dedup_cluster_sizes,
+# dedup_survivors, corpus_sample_per_source, embedding_pca_top,
+# range_join_stream, rolling_active_users, suppliers_blocking_orders)
+# hit the MAX_STALENESS=4 ceiling THIS round — oldest fill, so they
+# rotate automatically. Head budget: 50 - 4 anchors - 17 forced = 29
+# slots for never-certified + touched. The IVF-PQ vectorization
+# (verdict item 1) touches up to 9 PQ-family rows, 6 of which are in
+# the forced set anyway — net head cost ~3.
 
 _WINDOW_SIZE = 50
 
