@@ -2080,15 +2080,30 @@ def dsir_select_docs(scores: DataFrame, plan: DataFrame) -> DataFrame:
     outputs are unchanged."""
     from ..functions.portable import salted
 
-    # the solver emits ONE (sb, threshold_log2) pair for the whole plan
-    scalars = plan.select("sb", "threshold_log2").distinct()
+    # The solver emits ONE (sb, threshold_log2) pair for the whole plan
+    # — assert it (round-13 ADVICE): a malformed or concatenated plan
+    # carrying two distinct pairs would otherwise silently duplicate
+    # every scored doc through the cross join (and draw each twice).
+    # The plan is broadcast-sized by contract, so the driver round-trip
+    # is a bounded metadata read, and the scalars attach as literals.
+    pairs = plan.select("sb", "threshold_log2").distinct().collect()
+    if len(pairs) != 1:
+        raise ValueError(
+            "dsir_select_docs: acceptance plan must carry exactly one "
+            f"(sb, threshold_log2) pair, got {len(pairs)}: {pairs}"
+        )
+    sb, threshold_log2 = pairs[0].sb, pairs[0].threshold_log2
+    # literals keep the plan columns' exact types (sb int / threshold
+    # long) so ACCEPT_NUM_EXPR's arithmetic resolves as before
+    types = dict(plan.select("sb", "threshold_log2").dtypes)
     draw = salted("dsirsmp", F.col("doc_id")) % F.expr(
         "shiftleft(cast(1 as bigint), sb)"
     )
     return (
         scores.select("doc_id", "log2_w")
         .join(F.broadcast(plan.select("log2_w", "accept_num")), "log2_w", "left")
-        .join(F.broadcast(scalars), F.lit(True))
+        .withColumn("sb", F.lit(sb).cast(types["sb"]))
+        .withColumn("threshold_log2", F.lit(threshold_log2).cast(types["threshold_log2"]))
         .withColumn("accept_num", F.coalesce(F.col("accept_num"), F.expr(ACCEPT_NUM_EXPR)))
         .filter(draw < F.col("accept_num"))
         .select("doc_id", "log2_w", "accept_num")

@@ -193,6 +193,57 @@ def compact_ivf_index(spark: SparkSession, *, prefix: str) -> dict:
     }
 
 
+def _probe_cells_vectorized(queries: DataFrame, cents_t: DataFrame, nprobe: int) -> DataFrame:
+    """Query-side quantizer ranking as one numpy matmul per Arrow batch
+    — the `_ivf_assign` pattern applied to the persisted-index probe
+    (round-13 deferral): the broadcast quantizer is <= CENTROID_MAX_K
+    rows by construction, integer dots are exact in float64, and a
+    STABLE argsort on -cos over cent_id-ascending columns reproduces
+    the (cent_cos desc, cent_id) row_number order bit-for-bit (the
+    dual-path test in tests/test_ivf_index.py). Zero norms raise — NaN
+    cosines order differently across the two physical paths."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from ..functions.cachepool import managed_broadcast
+
+    spark = queries.sparkSession
+    c_rows = cents_t.orderBy("cent_id").collect()
+    if any(r.nc == 0 for r in c_rows):
+        raise ValueError("probe_ivf_index: zero-norm centroid")
+    c_ids = np.array([r.cent_id for r in c_rows], dtype=np.int64)
+    c_mat = np.array([r.qc for r in c_rows], dtype=np.float64)
+    c_nrm = np.array([r.nc for r in c_rows], dtype=np.float64)
+    bc = managed_broadcast(spark.sparkContext, (c_ids, c_mat, c_nrm))
+    out_schema = T.StructType([
+        T.StructField("cell", T.LongType()),
+        T.StructField("query_id", T.LongType()),
+        T.StructField("qa", T.ArrayType(T.LongType())),
+        T.StructField("na", T.DoubleType()),
+    ])
+    n_probe = nprobe
+
+    def probe_batches(batches):
+        ids, mat, nrm = bc.value
+        npb = min(n_probe, len(ids))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.array(list(pdf["q"]), dtype=np.float64)
+            v_nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            if (v_nrm == 0).any():
+                raise ValueError("probe_ivf_index: zero-norm query vector")
+            cos = (v @ mat.T) / np.outer(v_nrm, nrm)
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :npb]
+            rows = np.repeat(np.arange(len(pdf)), npb)
+            out = pdf.iloc[rows].reset_index(drop=True)
+            out = out.rename(columns={"vec_id": "query_id", "q": "qa", "nrm": "na"})
+            out["cell"] = ids[order.ravel()]
+            yield out[["cell", "query_id", "qa", "na"]]
+
+    return queries.select("vec_id", "q", "nrm").mapInPandas(probe_batches, out_schema)
+
+
 def probe_ivf_index(
     spark: SparkSession,
     queries: DataFrame,
@@ -200,6 +251,7 @@ def probe_ivf_index(
     prefix: str,
     nprobe: int = NPROBE,
     label: int | None = None,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Top-k approximate cosine neighbors for `queries` (vec_id, q, nrm)
     against the persisted index: each query ranks the broadcast quantizer,
@@ -223,19 +275,24 @@ def probe_ivf_index(
     # broken after a crashed compact until an append/compact ran
     _require_index(spark, prefix, ("cents", "cells"))
     cents = spark.table(f"{prefix}_cents")
-    w_probe = Window.partitionBy("vec_id").orderBy(F.col("cent_cos").desc(), F.col("cent_id"))
-    probes = (
-        queries.join(F.broadcast(cents), F.lit(True))
-        .withColumn("cent_cos", _cos_to_cent() / (F.col("nrm") * F.col("nc")))
-        .withColumn("cent_rank", F.row_number().over(w_probe))
-        .filter(F.col("cent_rank") <= nprobe)
-        .select(
-            F.col("cent_id").alias("cell"),
-            F.col("vec_id").alias("query_id"),
-            F.col("q").alias("qa"),
-            F.col("nrm").alias("na"),
+    if vectorized:
+        probes = _probe_cells_vectorized(queries, cents, nprobe)
+    else:
+        w_probe = Window.partitionBy("vec_id").orderBy(
+            F.col("cent_cos").desc(), F.col("cent_id")
         )
-    )
+        probes = (
+            queries.join(F.broadcast(cents), F.lit(True))
+            .withColumn("cent_cos", _cos_to_cent() / (F.col("nrm") * F.col("nc")))
+            .withColumn("cent_rank", F.row_number().over(w_probe))
+            .filter(F.col("cent_rank") <= nprobe)
+            .select(
+                F.col("cent_id").alias("cell"),
+                F.col("vec_id").alias("query_id"),
+                F.col("q").alias("qa"),
+                F.col("nrm").alias("na"),
+            )
+        )
     cells = spark.table(f"{prefix}_cells")
     if label is not None:
         cells = cells.filter(F.col("label") == F.lit(label)).drop("label")

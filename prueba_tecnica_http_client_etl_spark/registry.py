@@ -1160,7 +1160,50 @@ _ANCHORS = ["clean_coerce", "kpi_daily", "kpi_report_endpoint", "kpi_global"]
 # as their executed plans change during the round.
 # Window budget: 4 anchors + |never| + touched + forced-stale rows
 # must stay <= 50.
-_TOUCHED_THIS_ROUND: list[str] = []
+_TOUCHED_THIS_ROUND: list[str] = [
+    # round-14 verdict item 1 (the r13 `weak`): the IVF-PQ/PQ serving
+    # chain vectorized — _pq_encode (einsum argmin encode, both
+    # families), _pq_scan_vectorized (flat-ADC partition scan with
+    # broadcast query LUTs + lossless local pool cut),
+    # _ivfpq_probe_cells (numpy L2 probe), _ivfpq_score_cells (per-cell
+    # cogrouped ADC gather, auto-gated at IVF_COGROUP_MIN_CELLS), and
+    # pq_quantization_error now reads the codes artifact's d2 column.
+    # Outputs bit-identical (dual-path tests in tests/test_corpus_ops,
+    # 9/9 oracles re-checked at sf0.01 pre-commit); every family
+    # member's executed plan changed:
+    "ann_pq_topk",
+    "ann_pq_rerank",
+    "ann_pq_recall",
+    "ann_pq_rerank_recall",
+    "pq_quantization_error",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall",
+    "ann_ivfpq_rerank",
+    "ann_ivfpq_rerank_recall",
+    # round-14 verdict item 5: _kmeans_assign vectorized (the
+    # _ivf_assign pattern; dual-path test incl. the qc payload) — the
+    # Lloyd-update artifact build and the final assignment plans change
+    # for every trained-quantizer consumer:
+    "kmeans_embeddings",
+    "ann_ivf_learned_topk",
+    "ann_ivf_learned_recall",
+    "ann_filtered_learned_topk",
+    "ann_filtered_learned_recall",
+    # round-13 ADVICE: zero-norm guard made symmetric — _ivf_assign now
+    # fails loudly on zero-norm VECTORS in both physical paths (the
+    # mapInPandas lambda bytes changed for every _ivf_assign consumer):
+    "ann_ivf_topk",
+    "ann_ivf_recall",
+    "ann_filtered_topk",
+    "ann_filtered_recall",
+    "ivf_cell_profile",
+    # round-13 ADVICE: dsir_select_docs now asserts the single
+    # (sb, threshold_log2) invariant and attaches the scalars as typed
+    # literals instead of a cross join — selection plan changed in the
+    # batch sampler and the streaming gate:
+    "dsir_sample",
+    "dsir_sample_stream",
+]
 # Round-14 projection (ledger after r13, verified against the
 # CORRECTNESS files: 50@r13 / 38@r12 / 37@r11 / 17@r10 — the r13
 # verdict's "34@r11" undercounted, same class as r10's "29@r8";

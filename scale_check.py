@@ -131,6 +131,11 @@ LLM_TIER = [
     # strided seeds at sf1; capped at 256 by CENTROID_MAX_K at
     # production scale, so rows_ratio < 10 is correct)
     "ivf_cell_profile",
+    # round-14: the vectorized IVF-PQ serving chain (coarse assign +
+    # encode via _pq_encode, per-cell cogrouped ADC above
+    # IVF_COGROUP_MIN_CELLS). Strided query set grows with the corpus —
+    # divide the raw factor by REPLICAS for the per-query serving cost
+    "ann_ivfpq_topk",
 ]
 
 # bump when the replica construction changes: a marker whose content
@@ -297,6 +302,13 @@ HUNDRED_TIER = [
     "dsir_sample",
     "sequence_pack_ffd",
     "training_order",
+    # round-14: the vectorized ADC families — flat PQ is the O(|Q| x N)
+    # exact-ADC baseline (broadcast query LUTs + partition-local pool
+    # cut), IVF-PQ the scale path (cogrouped per-cell gather). Both
+    # query sets grow 100x with the corpus here — divide the raw factor
+    # by HUNDRED for the per-query serving cost
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 

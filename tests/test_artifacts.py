@@ -105,16 +105,17 @@ def test_consumer_reads_artifact_not_retrain(spark):
     """The no-retrain property, locked at the plan level: a PQ
     consumer's physical plan scans the checkpointed code table (an
     ExistingRDD — artifacts materialize at plan-construction time, so
-    this holds from the first call) and its only generator is the
-    query-side LUT posexplode (|queries| rows). The corpus-sized encode
-    chain (subspace posexplode over every vector plus the codebook seed
-    selection) must never appear in a consumer plan — the exact shape a
-    query over a persisted on-disk index would have."""
+    this holds from the first call) and contains NO generator at all
+    since round 14: the encode chain (subspace posexplode over every
+    vector plus the codebook seed selection) lives behind the artifact,
+    and the query-side LUT is computed driver-side from the collected
+    query set and broadcast into the vectorized scan — the exact shape
+    a query over a persisted on-disk index would have."""
     A.clear()
     drain()
     plan = ann_pq_topk(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in plan, plan
-    assert plan.lower().count("posexplode") == 1, plan
+    assert plan.lower().count("posexplode") == 0, plan
     A.clear()
     drain()
 

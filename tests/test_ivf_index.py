@@ -221,3 +221,16 @@ def test_compact_heals_retried_append_duplicates(spark):
         assert "SelectedBucketsCount" in plan, plan
     finally:
         emb.unpersist()
+
+
+def test_probe_vectorized_matches_relational_exactly(spark, built):
+    """The numpy query-side quantizer ranking (round-14) must be
+    byte-identical to the relational cross-join + window rank — the
+    _ivf_assign stable-argsort argument applied to the persisted-index
+    probe — and must keep the bucketed cells read (no index shuffle)."""
+    fast = IVF.probe_ivf_index(spark, built, prefix="t_ivfidx", vectorized=True)
+    slow = IVF.probe_ivf_index(spark, built, prefix="t_ivfidx", vectorized=False)
+    f_rows = [tuple(r) for r in fast.collect()]
+    assert f_rows == [tuple(r) for r in slow.collect()] and f_rows
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan, plan

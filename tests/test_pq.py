@@ -46,13 +46,26 @@ def test_codes_table_is_m_rows_per_vector(spark):
 
 
 def test_adc_scan_broadcasts_small_sides(spark):
-    """The codebook and the per-query LUT are the broadcast small sides;
-    the corpus-sized codes table must never be shuffled against them via
-    a sort-merge join, and nothing may degenerate to a nested-loop scan
-    of the corpus."""
+    """The corpus-sized codes table is scanned exactly once per ADC
+    pass and never shuffled against a corpus-sized side. Vectorized
+    default (round 14): the per-query LUTs ride a pool broadcast into
+    one MapInPandas over the per-vector codes — no join at all, no
+    nested-loop. Relational twin: the codebook and the per-query LUT
+    are broadcast-hash sides, never a sort-merge join."""
     plan = _physical(S.ann_pq_topk(spark, SF_SMOKE))
-    assert "BroadcastHashJoin" in plan, plan
-    assert "CartesianProduct" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+    from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain, managed_persist
+
+    emb = managed_persist(S._quantized(spark, SF_SMOKE))
+    rel = _physical(S._pq_scored(spark, SF_SMOKE, emb, canonical=False, vectorized=False))
+    # LUT and codebook joins broadcast; the corpus-sized nbh join may
+    # legitimately sort-merge (two corpus-sized sides) — only a
+    # cartesian degeneration is forbidden
+    assert "BroadcastHashJoin" in rel, rel
+    assert "CartesianProduct" not in rel, rel
+    drain()
 
 
 def test_rerank_recall_dominates_adc_recall(spark):
