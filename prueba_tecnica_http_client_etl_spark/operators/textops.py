@@ -593,3 +593,238 @@ ORDER BY labeled_lang, predicted_lang"""
 
 
 SQL_LANG_CONFUSION = _sql_lang_confusion()
+
+
+# --- cross-source token drift (integer-exact rate comparison) -----------------
+
+DRIFT_TOP_K = 50
+
+
+def token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K tokens whose usage RATE differs most between the corpus's two
+    largest sources (by non-stopword token volume; ties broken by source
+    name) — the distribution-shift monitor a training-data pipeline runs
+    between snapshots, domains, or crawl batches.
+
+    The score is the cross-multiplied rate difference
+    drift = c_top * n_second - c_second * n_top — the sign/magnitude of
+    (c_top/n_top - c_second/n_second) scaled by n_top*n_second, kept in
+    exact BIGINT arithmetic so the ranking is bit-deterministic in both
+    engines (no log/ratio floats in the ORDER BY; exact while per-source
+    token counts stay under ~3e9, i.e. far past any bench scale — at true
+    100 TB promote the product to DECIMAL(38,0)). The rate columns are
+    presentation-only (single correctly-rounded divides).
+
+    Plan shape at 100 TB: explode -> map-side-combined (token) aggregate
+    whose shuffle carries |vocab| partial rows; the 2-row source table
+    rides a broadcast; the final top-K is TakeOrdered, never a full sort."""
+    tok = (
+        docs_normalized(spark, sf_dir)
+        .select("source", F.explode("toks").alias("token"))
+        .filter(~F.col("token").isin(STOPWORDS))
+    )
+    per_src = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_tok"))
+    w2 = Window.orderBy(F.col("n_tok").desc(), F.col("source"))
+    top2 = per_src.withColumn("r", F.row_number().over(w2)).filter(F.col("r") <= 2)
+    counts = (
+        tok.join(F.broadcast(top2.select("source", "r")), "source")
+        .groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("r") == 1, 1).otherwise(0)).cast("long").alias("count_top"),
+            F.sum(F.when(F.col("r") == 2, 1).otherwise(0)).cast("long").alias("count_second"),
+        )
+    )
+    scalars = top2.groupBy().agg(
+        F.max(F.when(F.col("r") == 1, F.col("n_tok"))).alias("n_top"),
+        F.max(F.when(F.col("r") == 2, F.col("n_tok"))).alias("n_second"),
+    )
+    scored = counts.crossJoin(F.broadcast(scalars)).withColumn(
+        "drift", F.col("count_top") * F.col("n_second") - F.col("count_second") * F.col("n_top")
+    )
+    wr = Window.orderBy(F.abs(F.col("drift")).desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= DRIFT_TOP_K)
+        .select(
+            "rank",
+            "token",
+            "count_top",
+            "count_second",
+            "drift",
+            roundn(F.col("count_top").cast("double") / F.col("n_top"), 6).alias("rate_top"),
+            roundn(F.col("count_second").cast("double") / F.col("n_second"), 6).alias("rate_second"),
+        )
+        .orderBy("rank")
+    )
+
+
+def _sql_token_drift() -> str:
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH {DUCK_DOCS_CTE},
+tok AS (
+  SELECT source, unnest(toks) AS token FROM sh_t
+),
+tok_f AS (
+  SELECT source, token FROM tok WHERE token NOT IN ({sw})
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tok FROM tok_f GROUP BY source
+),
+top2 AS (
+  SELECT source, n_tok, row_number() OVER (ORDER BY n_tok DESC, source) AS r
+  FROM per_src QUALIFY r <= 2
+),
+counts AS (
+  SELECT token,
+         CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS count_top,
+         CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS count_second
+  FROM tok_f JOIN top2 USING (source) GROUP BY token
+),
+scalars AS (
+  SELECT max(CASE WHEN r = 1 THEN n_tok END) AS n_top,
+         max(CASE WHEN r = 2 THEN n_tok END) AS n_second
+  FROM top2
+),
+scored AS (
+  SELECT token, count_top, count_second,
+         count_top * n_second - count_second * n_top AS drift,
+         n_top, n_second
+  FROM counts CROSS JOIN scalars
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY abs(drift) DESC, token) AS rank FROM scored
+)
+SELECT rank, token, count_top, count_second, drift,
+       {sql_roundn('CAST(count_top AS DOUBLE) / n_top', 6)} AS rate_top,
+       {sql_roundn('CAST(count_second AS DOUBLE) / n_second', 6)} AS rate_second
+FROM ranked WHERE rank <= {DRIFT_TOP_K}
+ORDER BY rank"""
+
+
+SQL_TOKEN_DRIFT = _sql_token_drift()
+
+
+# --- sparse lexical k-NN (IDF-weighted shingle cosine) -------------------------
+
+SPARSE_KNN_TOPK = 5
+# posting lists longer than this are dropped from the vector space: a
+# shingle shared by >cap docs contributes ~nothing to cosine contrast but
+# costs df^2 pair rows in the join — the classic boilerplate cutoff
+SPARSE_KNN_DF_CAP = 64
+# integer IDF quantization: w = IDF_SCALE div (df + 1) keeps every weight,
+# dot product and squared norm an exact BIGINT (w <= 2^19, w^2 <= 2^38,
+# sums bounded by the doc's shingle count), so the only floats are the
+# final correctly-rounded sqrt/divide — bit-identical in both engines
+SPARSE_IDF_SCALE = 1 << 20
+
+
+def sparse_doc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K nearest documents per document under IDF-weighted cosine over
+    the distinct-3-gram shingle space — the sparse (lexical) counterpart
+    of the dense embedding ANN tiers: candidates come from the inverted
+    index, so only pairs that SHARE a shingle are ever scored (the
+    cosine > 0 set, exactly), never the corpus square.
+
+    Vector space: shingles with 2 <= df <= SPARSE_KNN_DF_CAP (df=1
+    shingles can't co-occur; ultra-common ones are boilerplate). Shingle
+    sets are distinct per doc, so tf == 1 and the weight is pure
+    quantized IDF (see SPARSE_IDF_SCALE — all-integer dots/norms, one
+    final sqrt/divide).
+
+    Plan shape at 100 TB: posting join keyed on shingle with per-key
+    fanout bounded by the df cap (pair volume <= cap * |postings|), pair
+    aggregation with map-side combine, then a per-doc top-K window over
+    each doc's own candidate list. The undirected half-pair set is
+    computed once and mirrored."""
+    from .dedup import lsh_shingle_postings
+
+    from ..functions.cachepool import managed_persist
+
+    post = lsh_shingle_postings(spark, sf_dir).select("doc_id", "s")
+    df_t = (
+        post.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= SPARSE_KNN_DF_CAP))
+        .withColumn("w", F.expr(f"{SPARSE_IDF_SCALE} div (df + 1)"))
+    )
+    # three consumers (both pair-join sides + the norm aggregate) read the
+    # weighted posting table: persist it once, drained at the next query
+    wpost = managed_persist(post.join(df_t.select("s", "w"), "s"))
+    n2 = wpost.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a = wpost.select("s", F.col("doc_id").alias("doc_a"), F.col("w").alias("wa"))
+    b = wpost.select("s", F.col("doc_id").alias("doc_b"), F.col("w").alias("wb"))
+    half = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    sym = half.unionByName(
+        half.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"), F.col("dot")
+        )
+    )
+    na = n2.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a"))
+    nb = n2.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2b"))
+    scored = (
+        sym.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "cosine_raw",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("n2a").cast("double") * F.col("n2b").cast("double")),
+        )
+    )
+    wk = Window.partitionBy("doc_a").orderBy(F.col("cosine_raw").desc(), F.col("doc_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= SPARSE_KNN_TOPK)
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            "rank",
+            F.col("doc_b").alias("neighbor_id"),
+            "dot",
+            roundn(F.col("cosine_raw"), 6).alias("cosine"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+SQL_SPARSE_DOC_KNN = f"""
+WITH {DUCK_DOCS_CTE},
+post AS (SELECT doc_id, unnest(sh) AS s FROM sh_t),
+df_t AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY s
+  HAVING count(*) BETWEEN 2 AND {SPARSE_KNN_DF_CAP}
+),
+wpost AS (
+  SELECT doc_id, post.s, {SPARSE_IDF_SCALE} // (df + 1) AS w
+  FROM post JOIN df_t ON post.s = df_t.s
+),
+n2 AS (
+  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM wpost GROUP BY doc_id
+),
+half AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(sum(a.w * b.w) AS BIGINT) AS dot
+  FROM wpost a JOIN wpost b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT doc_a, doc_b, dot FROM half
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b, dot FROM half
+),
+scored AS (
+  SELECT doc_a, doc_b, dot,
+         CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine_raw
+  FROM sym JOIN n2 na ON doc_a = na.doc_id JOIN n2 nb ON doc_b = nb.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_a ORDER BY cosine_raw DESC, doc_b) AS rank
+  FROM scored
+)
+SELECT doc_a AS doc_id, rank, doc_b AS neighbor_id, dot,
+       {sql_roundn('cosine_raw', 6)} AS cosine
+FROM ranked WHERE rank <= {SPARSE_KNN_TOPK}
+ORDER BY doc_id, rank"""

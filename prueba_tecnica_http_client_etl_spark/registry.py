@@ -138,6 +138,12 @@ _ANALYTICS = [
 
 _LLM_EXTRA = [
     ("audio_decode_stats", multimodal.audio_decode_stats, multimodal.SQL_AUDIO_DECODE_STATS),
+    # round 14: q-gram-blocked banded-Levenshtein near-dup tier
+    ("dedup_edit_distance", dedup.dedup_edit_distance, dedup.SQL_DEDUP_EDIT_DISTANCE),
+    # round 14: integer-exact cross-source token-rate drift monitor
+    ("token_drift", textops.token_drift, textops.SQL_TOKEN_DRIFT),
+    # round 14: sparse lexical k-NN over the shingle inverted index
+    ("sparse_doc_knn", textops.sparse_doc_knn, textops.SQL_SPARSE_DOC_KNN),
 ]
 _ANALYTICS.extend(_LLM_EXTRA)
 
@@ -1147,6 +1153,10 @@ LAST_CERTIFIED: dict[str, int | None] = {
     # round-13 registrations — certified green in their first window (r13)
     "ivf_cell_profile": 13,
     "pii_scrub_stream": 13,
+    # round-14 registrations — never certified, auto-enter the r14 window
+    "dedup_edit_distance": None,
+    "token_drift": None,
+    "sparse_doc_knn": None,
 }
 
 # the reference-surface anchor: always driver-certified (VERDICT r5 item 1)

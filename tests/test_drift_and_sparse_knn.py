@@ -1,0 +1,117 @@
+"""token_drift (integer-exact cross-source rate drift) and sparse_doc_knn
+(IDF-weighted shingle cosine k-NN): contract checks plus an independent
+brute-force recomputation of the k-NN from the raw posting table.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from prueba_tecnica_http_client_etl_spark.operators.textops import (
+    SPARSE_IDF_SCALE,
+    SPARSE_KNN_DF_CAP,
+    SPARSE_KNN_TOPK,
+    STOPWORDS,
+    sparse_doc_knn,
+    token_drift,
+)
+from prueba_tecnica_http_client_etl_spark.operators.dedup import (
+    docs_normalized,
+    lsh_shingle_postings,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_token_drift_is_the_exact_cross_multiplication(spark):
+    """Recompute the two largest sources and each token's cross-multiplied
+    rate difference driver-side from the raw corpus; the operator's rows
+    must agree exactly (the BIGINT arithmetic leaves no rounding slack)."""
+    rows = token_drift(spark, SF).collect()
+    assert rows, "drift output empty"
+    toks = (
+        docs_normalized(spark, SF)
+        .select("source", F.explode("toks").alias("t"))
+        .filter(~F.col("t").isin(STOPWORDS))
+        .collect()
+    )
+    per_src = defaultdict(int)
+    counts = defaultdict(lambda: defaultdict(int))
+    for r in toks:
+        per_src[r.source] += 1
+        counts[r.t][r.source] += 1
+    (src_top, n_top), (src_second, n_second) = sorted(
+        per_src.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:2]
+    expected = {}
+    for t, by_src in counts.items():
+        c1, c2 = by_src.get(src_top, 0), by_src.get(src_second, 0)
+        if c1 or c2:
+            expected[t] = (c1, c2, c1 * n_second - c2 * n_top)
+    ranked = sorted(expected.items(), key=lambda kv: (-abs(kv[1][2]), kv[0]))
+    for i, r in enumerate(rows):
+        t, (c1, c2, drift) = ranked[i]
+        assert (r.rank, r.token, r.count_top, r.count_second, r.drift) == (
+            i + 1,
+            t,
+            c1,
+            c2,
+            drift,
+        )
+    # |drift| must be non-increasing down the ranking
+    mags = [abs(r.drift) for r in rows]
+    assert mags == sorted(mags, reverse=True)
+
+
+def test_sparse_knn_matches_brute_force_over_the_posting_table(spark):
+    """Independent ground truth: pull the raw (doc, shingle) postings,
+    build the capped-IDF vectors in plain Python, score every co-occurring
+    pair, and take each doc's top-K — must equal the operator's output
+    (dot exactly; rank order including the neighbor-id tie-break)."""
+    posts = lsh_shingle_postings(spark, SF).select("doc_id", "s").collect()
+    df_count = defaultdict(int)
+    for r in posts:
+        df_count[r.s] += 1
+    w = {
+        s: SPARSE_IDF_SCALE // (d + 1)
+        for s, d in df_count.items()
+        if 2 <= d <= SPARSE_KNN_DF_CAP
+    }
+    docs = defaultdict(dict)
+    by_shingle = defaultdict(list)
+    for r in posts:
+        if r.s in w:
+            docs[r.doc_id][r.s] = w[r.s]
+            by_shingle[r.s].append(r.doc_id)
+    n2 = {d: sum(x * x for x in vec.values()) for d, vec in docs.items()}
+    dots = defaultdict(int)
+    for s, members in by_shingle.items():
+        ws2 = w[s] * w[s]
+        for i, da in enumerate(members):
+            for db in members[i + 1 :]:
+                key = (min(da, db), max(da, db))
+                dots[key] += ws2
+    per_doc = defaultdict(list)
+    for (da, db), dot in dots.items():
+        ca = dot / (n2[da] * n2[db]) ** 0.5
+        per_doc[da].append((-ca, db, dot))
+        per_doc[db].append((-ca, da, dot))
+    expected = {}
+    for d, lst in per_doc.items():
+        lst.sort()
+        expected[d] = [(nb, dot) for _, nb, dot in lst[:SPARSE_KNN_TOPK]]
+    rows = sparse_doc_knn(spark, SF).collect()
+    got = defaultdict(list)
+    for r in rows:
+        assert 0.0 < r.cosine <= 1.0  # Cauchy-Schwarz in the same space
+        got[r.doc_id].append((r.neighbor_id, r.dot))
+        assert r.rank == len(got[r.doc_id])
+    assert got == expected
+
+
+def test_sparse_knn_plan_has_no_cartesian(spark):
+    plan = sparse_doc_knn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
