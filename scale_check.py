@@ -136,6 +136,18 @@ LLM_TIER = [
     # IVF_COGROUP_MIN_CELLS). Strided query set grows with the corpus —
     # divide the raw factor by REPLICAS for the per-query serving cost
     "ann_ivfpq_topk",
+    # round-14 registrations: per-replica token renaming keeps shingle
+    # co-occurrence WITHIN replicas, so sparse_doc_knn's rows_ratio is
+    # exactly 10 (measured 10.0) and both posting joins scale linearly.
+    # dedup_edit_distance's OUTPUT ratio is ~1.3, not 10 — renaming does
+    # NOT preserve character-level distances (a renamed token pair can
+    # leave the |Δ| <= k budget), so replicas 1..9 keep only the pairs
+    # whose renamed edits still fit; the candidate-join volume underneath
+    # is the 10x signal. token_drift's output is capped at DRIFT_TOP_K
+    # (the exploded token scan and |vocab|-row shuffle are what grow 10x)
+    "dedup_edit_distance",
+    "sparse_doc_knn",
+    "token_drift",
 ]
 
 # bump when the replica construction changes: a marker whose content
@@ -309,6 +321,11 @@ HUNDRED_TIER = [
     # by HUNDRED for the per-query serving cost
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    # round-14 registrations (see LLM_TIER notes): the blocked
+    # Levenshtein tier and the inverted-index k-NN — both stay
+    # within-replica by construction, so candidate volume is linear
+    "dedup_edit_distance",
+    "sparse_doc_knn",
 ]
 
 
