@@ -1872,3 +1872,45 @@ SELECT doc_a, doc_b, len_a, len_b, levenshtein(na, nb) AS edit_distance
 FROM banded
 WHERE levenshtein(na, nb) <= {EDIT_MAX_DIST}
 ORDER BY doc_a, doc_b"""
+
+
+# The streaming edit-probe replays every document against the frozen
+# corpus, so its certified output is the SAME pair set seen from both
+# ends (self-pairs excluded by doc identity). Sharing the batch tier's
+# CTEs keeps one definition of the semantics.
+SQL_DEDUP_EDIT_PROBE = f"""
+WITH {DUCK_DOCS_CTE},
+meta AS (
+  SELECT doc_id, norm, length(norm) AS nlen, len(sh) AS n_sh FROM sh_t
+),
+post AS (SELECT doc_id, unnest(sh) AS s FROM sh_t),
+long_cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+short_cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM meta a JOIN meta b
+    ON a.doc_id < b.doc_id
+   AND a.n_sh <= {EDIT_SHORT_MAX_SHINGLES} AND b.n_sh <= {EDIT_SHORT_MAX_SHINGLES}
+),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b
+  FROM (SELECT * FROM long_cand UNION ALL SELECT * FROM short_cand)
+),
+banded AS (
+  SELECT doc_a, doc_b, a.norm AS na, b.norm AS nb, a.nlen AS len_a, b.nlen AS len_b
+  FROM cand JOIN meta a ON doc_a = a.doc_id JOIN meta b ON doc_b = b.doc_id
+  WHERE abs(a.nlen - b.nlen) <= {EDIT_MAX_DIST}
+),
+pairs AS (
+  SELECT doc_a, doc_b, len_a, len_b, levenshtein(na, nb) AS edit_distance
+  FROM banded
+  WHERE levenshtein(na, nb) <= {EDIT_MAX_DIST}
+)
+SELECT doc_a AS doc_id, doc_b AS neighbor_id,
+       len_a AS len_self, len_b AS len_neighbor, edit_distance
+FROM pairs
+UNION ALL
+SELECT doc_b, doc_a, len_b, len_a, edit_distance FROM pairs
+ORDER BY doc_id, neighbor_id"""

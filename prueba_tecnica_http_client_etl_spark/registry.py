@@ -976,6 +976,44 @@ def q_pii_scrub_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register("dedup_edit_probe_stream", dedup.SQL_DEDUP_EDIT_PROBE)
+def q_dedup_edit_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming edit-distance probe against the frozen corpus
+    (streaming/edit_probe_stream.py): the snapshot's shingle posting
+    index and verify metadata are built once (the same trained
+    artifacts batch dedup_edit_distance reads), the corpus replays as a
+    file stream, and every micro-batch is probed for Levenshtein
+    near-dup hits with the batch tier's lossless blocking sided for
+    streaming (arriving shingles join the posting index; arriving short
+    docs join the corpus's short-doc length buckets).
+
+    Oracle: hits reference only the frozen corpus state, never other
+    in-flight docs, so the union over micro-batches equals probing the
+    whole incoming set at once — the SYMMETRIZED dedup_edit_distance
+    pair set (each pair seen from both ends, self-pairs excluded).
+    SQL_DEDUP_EDIT_PROBE certifies the stream's full output
+    (rows+schema+hash) — the thirteenth hash-certified stream."""
+    from .streaming import edit_probe_stream as EPS
+
+    tmp, tag = _stream_staging_path(sf_dir, "edit_probe_in", "documents")
+    _ensure_staged(
+        tmp,
+        lambda p: load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(4)
+        .write.mode("overwrite")
+        .json(p),
+    )
+    out_root, checkpoint = _stream_run_dirs(sf_dir, "edit_probe")
+    out = (
+        EPS.run_edit_probe(spark, tmp, out_root, sf_dir=sf_dir, checkpoint=checkpoint)
+        .select("doc_id", "neighbor_id", "len_self", "len_neighbor", "edit_distance")
+        .orderBy("doc_id", "neighbor_id")
+    )
+    _finish_stream_run(out_root)  # replay terminated inside run_*
+    return out
+
+
 # --- certification ledger + rotation -----------------------------------------
 #
 # The external driver records correctness entries for the FIRST 50
@@ -1157,6 +1195,7 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "dedup_edit_distance": None,
     "token_drift": None,
     "sparse_doc_knn": None,
+    "dedup_edit_probe_stream": None,
 }
 
 # the reference-surface anchor: always driver-certified (VERDICT r5 item 1)
