@@ -1763,16 +1763,31 @@ EDIT_MAX_DIST = 4
 # shingle of the edited text, so every pair within edit distance k where
 # EITHER side has > k*(q+1) shingles shares at least one shingle. The
 # floor below is 2*q*k = 24, over-covering that bound; docs at or below it
-# form the small quadratic "short tier". Verified exhaustively against
-# the unblocked all-pairs oracle: 24/24 pairs at sf0.01, 251/251 at sf0.1.
+# fall to the token tier. Verified exhaustively against the unblocked
+# all-pairs oracle: 24/24 pairs at sf0.01, 251/251 at sf0.1.
 EDIT_SHORT_MAX_SHINGLES = 2 * 3 * EDIT_MAX_DIST
+# The same lemma at q=1: a char edit destroys at most 2 TOKEN occurrences
+# (the space-delete merging two tokens), so k edits erase at most 2k
+# distinct tokens — any short doc with more distinct tokens still shares
+# a token with its within-k partner. Short pairs where either side clears
+# this floor are caught by a token-posting join; only BOTH-ultra pairs
+# (<= 2k distinct tokens each) need the quadratic length-bucket tier.
+# This tiering is what keeps the 100x replica linear: shingles and tokens
+# are replica-disjoint under the sweep's renaming, but LENGTHS are not —
+# a length-bucket join over all short docs was measured quadratic across
+# replicas (627 s at 100x; the token tier restores ~linear cost while the
+# ultra residue is 42 of 5000 docs at sf0.1).
+EDIT_ULTRA_MAX_TOKENS = 2 * EDIT_MAX_DIST
 
 
 def _edit_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, norm, nlen, n_sh) verify-side table for the edit-distance
-    tier — checkpointed once per snapshot so the candidate join's two
-    sides and the short tier read pinned blocks instead of re-normalizing
-    the corpus."""
+    """(doc_id, norm, nlen, n_sh, n_dtok, dtoks_short) verify-side table
+    for the edit-distance tier — checkpointed once per snapshot so the
+    candidate join's sides and the short tiers read pinned blocks instead
+    of re-normalizing the corpus. dtoks_short (the distinct-token array
+    the short token tier explodes) is materialized ONLY for short docs;
+    long docs carry null, keeping the artifact near the width of the
+    norm column it must hold anyway."""
     return _corpus_sized(
         trained_artifact(
             artifact_key("edit_meta", spark, sf_dir, "documents"),
@@ -1781,6 +1796,10 @@ def _edit_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "norm",
                 F.length("norm").cast("long").alias("nlen"),
                 F.size("sh").alias("n_sh"),
+                F.size(F.array_distinct("toks")).alias("n_dtok"),
+                F.when(
+                    F.size("sh") <= EDIT_SHORT_MAX_SHINGLES, F.array_distinct("toks")
+                ).alias("dtoks_short"),
             ),
         )
     )
@@ -1793,10 +1812,14 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     - long tier: candidates from the shared-shingle posting join over the
       memoized inverted index (lsh_shingle_postings) — lossless above the
       derived shingle floor (see EDIT_SHORT_MAX_SHINGLES);
-    - short tier: docs at/below the floor, self-joined within (k+1)-wide
-      length buckets (each doc posts its own bucket and the next one, so
-      any pair inside the |Δlen| <= k band collides on some key) —
-      quadratic only inside tiny buckets of an already-small slice;
+    - token tier: short-doc pairs from a distinct-token posting join —
+      the q=1 form of the same lemma covers every short pair where either
+      side has > 2k distinct tokens (see EDIT_ULTRA_MAX_TOKENS);
+    - ultra tier: BOTH-ultra pairs (<= 2k distinct tokens each),
+      self-joined within (k+1)-wide length buckets (each doc posts its
+      own bucket and the next one, so any pair inside the |Δlen| <= k
+      band collides on some key) — quadratic only on the tiny residue
+      content blocking cannot reach;
     - verify: length band |Δlen| <= k (a Levenshtein lower bound), then
       Spark's THRESHOLD Levenshtein — the banded O(k·n) DP that abandons
       a pair the moment its distance provably exceeds k, not the full
@@ -1805,31 +1828,56 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: the long tier's skew risk is hot shingles (same mitigation
     note as dedup_ngram_jaccard — cap/drop top-df shingles, which here
     costs recall only for pairs whose every shared shingle is hot); the
-    short tier is bounded by the short-doc share times bucket occupancy;
-    the verify join touches only candidates, never the corpus square."""
+    token tier inherits the analogous hot-token caveat on the short
+    slice; the ultra tier is bounded by the ultra-doc share squared over
+    the bucket count; the verify join touches only candidates, never the
+    corpus square."""
+    from ..functions.cachepool import managed_persist
+
     k = EDIT_MAX_DIST
-    post = lsh_shingle_postings(spark, sf_dir).select("doc_id", "s")
-    a = post.select("s", F.col("doc_id").alias("doc_a"))
-    b = post.select("s", F.col("doc_id").alias("doc_b"))
+    meta = _edit_meta(spark, sf_dir)
+    # the length band is pushed INTO candidate generation: at the 100x
+    # replica the raw shingle pair join emits 113M distinct pairs of
+    # which only ~3M survive |Δlen| <= k — banding at the join keeps the
+    # distinct and every downstream join at the small side (measured
+    # 286 s -> see BASELINE). The posting-with-length frame is persisted
+    # once for its two self-join sides.
+    post_n = managed_persist(
+        lsh_shingle_postings(spark, sf_dir)
+        .select("doc_id", "s")
+        .join(meta.select("doc_id", "nlen"), "doc_id")
+    )
+    a = post_n.select("s", F.col("doc_id").alias("doc_a"), F.col("nlen").alias("la"))
+    b = post_n.select("s", F.col("doc_id").alias("doc_b"), F.col("nlen").alias("lb"))
     long_cand = (
         a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.abs(F.col("la") - F.col("lb")) <= k))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    meta = _edit_meta(spark, sf_dir)
-    short = meta.filter(F.col("n_sh") <= EDIT_SHORT_MAX_SHINGLES).select("doc_id", "nlen")
+    tok_post = meta.filter(F.col("n_sh") <= EDIT_SHORT_MAX_SHINGLES).select(
+        "doc_id", "nlen", F.explode_outer("dtoks_short").alias("t")
+    )
+    ta = tok_post.select("t", F.col("doc_id").alias("doc_a"), F.col("nlen").alias("la"))
+    tb = tok_post.select("t", F.col("doc_id").alias("doc_b"), F.col("nlen").alias("lb"))
+    token_cand = (
+        ta.join(tb, "t")
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.abs(F.col("la") - F.col("lb")) <= k))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ultra = meta.filter(F.col("n_dtok") <= EDIT_ULTRA_MAX_TOKENS).select("doc_id", "nlen")
     bkt = F.floor(F.col("nlen") / (k + 1))
-    keys = short.select("doc_id", "nlen", F.explode(F.array(bkt, bkt + 1)).alias("bkt"))
+    keys = ultra.select("doc_id", "nlen", F.explode(F.array(bkt, bkt + 1)).alias("bkt"))
     sa = keys.select("bkt", F.col("doc_id").alias("doc_a"), F.col("nlen").alias("la"))
     sb = keys.select("bkt", F.col("doc_id").alias("doc_b"), F.col("nlen").alias("lb"))
-    short_cand = (
+    ultra_cand = (
         sa.join(sb, "bkt")
         .filter((F.col("doc_a") < F.col("doc_b")) & (F.abs(F.col("la") - F.col("lb")) <= k))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    cand = long_cand.unionByName(short_cand).distinct()
+    cand = long_cand.unionByName(token_cand).unionByName(ultra_cand).distinct()
     ma = meta.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("na"), F.col("nlen").alias("len_a"))
     mb = meta.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("nb"), F.col("nlen").alias("len_b"))
     return (
@@ -1846,22 +1894,37 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_EDIT_DISTANCE = f"""
 WITH {DUCK_DOCS_CTE},
 meta AS (
-  SELECT doc_id, norm, length(norm) AS nlen, len(sh) AS n_sh FROM sh_t
+  SELECT doc_id, norm, length(norm) AS nlen, len(sh) AS n_sh,
+         len(list_distinct(toks)) AS n_dtok FROM sh_t
 ),
 post AS (SELECT doc_id, unnest(sh) AS s FROM sh_t),
+post_n AS (
+  SELECT post.doc_id, s, nlen FROM post JOIN meta ON post.doc_id = meta.doc_id
+),
 long_cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM post_n a JOIN post_n b
+    ON a.s = b.s AND a.doc_id < b.doc_id AND abs(a.nlen - b.nlen) <= {EDIT_MAX_DIST}
 ),
-short_cand AS (
+tok_post AS (
+  SELECT doc_id, length(norm) AS nlen, unnest(list_distinct(toks)) AS t FROM sh_t
+  WHERE len(sh) <= {EDIT_SHORT_MAX_SHINGLES}
+),
+token_cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM tok_post a JOIN tok_post b
+    ON a.t = b.t AND a.doc_id < b.doc_id AND abs(a.nlen - b.nlen) <= {EDIT_MAX_DIST}
+),
+ultra_cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM meta a JOIN meta b
     ON a.doc_id < b.doc_id
-   AND a.n_sh <= {EDIT_SHORT_MAX_SHINGLES} AND b.n_sh <= {EDIT_SHORT_MAX_SHINGLES}
+   AND a.n_dtok <= {EDIT_ULTRA_MAX_TOKENS} AND b.n_dtok <= {EDIT_ULTRA_MAX_TOKENS}
 ),
 cand AS (
   SELECT DISTINCT doc_a, doc_b
-  FROM (SELECT * FROM long_cand UNION ALL SELECT * FROM short_cand)
+  FROM (SELECT * FROM long_cand UNION ALL SELECT * FROM token_cand
+        UNION ALL SELECT * FROM ultra_cand)
 ),
 banded AS (
   SELECT doc_a, doc_b, a.norm AS na, b.norm AS nb, a.nlen AS len_a, b.nlen AS len_b
@@ -1881,22 +1944,37 @@ ORDER BY doc_a, doc_b"""
 SQL_DEDUP_EDIT_PROBE = f"""
 WITH {DUCK_DOCS_CTE},
 meta AS (
-  SELECT doc_id, norm, length(norm) AS nlen, len(sh) AS n_sh FROM sh_t
+  SELECT doc_id, norm, length(norm) AS nlen, len(sh) AS n_sh,
+         len(list_distinct(toks)) AS n_dtok FROM sh_t
 ),
 post AS (SELECT doc_id, unnest(sh) AS s FROM sh_t),
+post_n AS (
+  SELECT post.doc_id, s, nlen FROM post JOIN meta ON post.doc_id = meta.doc_id
+),
 long_cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM post_n a JOIN post_n b
+    ON a.s = b.s AND a.doc_id < b.doc_id AND abs(a.nlen - b.nlen) <= {EDIT_MAX_DIST}
 ),
-short_cand AS (
+tok_post AS (
+  SELECT doc_id, length(norm) AS nlen, unnest(list_distinct(toks)) AS t FROM sh_t
+  WHERE len(sh) <= {EDIT_SHORT_MAX_SHINGLES}
+),
+token_cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM tok_post a JOIN tok_post b
+    ON a.t = b.t AND a.doc_id < b.doc_id AND abs(a.nlen - b.nlen) <= {EDIT_MAX_DIST}
+),
+ultra_cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM meta a JOIN meta b
     ON a.doc_id < b.doc_id
-   AND a.n_sh <= {EDIT_SHORT_MAX_SHINGLES} AND b.n_sh <= {EDIT_SHORT_MAX_SHINGLES}
+   AND a.n_dtok <= {EDIT_ULTRA_MAX_TOKENS} AND b.n_dtok <= {EDIT_ULTRA_MAX_TOKENS}
 ),
 cand AS (
   SELECT DISTINCT doc_a, doc_b
-  FROM (SELECT * FROM long_cand UNION ALL SELECT * FROM short_cand)
+  FROM (SELECT * FROM long_cand UNION ALL SELECT * FROM token_cand
+        UNION ALL SELECT * FROM ultra_cand)
 ),
 banded AS (
   SELECT doc_a, doc_b, a.norm AS na, b.norm AS nb, a.nlen AS len_a, b.nlen AS len_b

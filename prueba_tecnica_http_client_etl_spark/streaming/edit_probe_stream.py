@@ -17,9 +17,13 @@ The probe keeps the batch tier's lossless blocking, sided for streaming:
   index — by the k(q+1) lemma any within-distance pair where EITHER side
   clears the shingle floor shares a shingle, and the posting index holds
   ALL corpus docs, so only both-short pairs can escape;
-- short tier: arriving short docs emit their (k+1)-wide length bucket and
-  its successor and equi-join the corpus's short-doc bucket keys (the
-  bucket-cover lemma, hypothesis-tested in tests/test_edit_distance.py);
+- token tier: arriving short docs' distinct tokens equi-join the corpus's
+  short-doc token postings (the q=1 lemma — covers short pairs where
+  either side has > 2k distinct tokens);
+- ultra tier: arriving BOTH-ultra docs emit their (k+1)-wide length
+  bucket and its successor and equi-join the corpus's ultra-doc bucket
+  keys (the bucket-cover lemma, hypothesis-tested in
+  tests/test_edit_distance.py);
 - verify: |Δlen| <= k band then Spark's threshold (banded O(k·n))
   Levenshtein on candidates only.
 
@@ -34,7 +38,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import textprep as tp
-from ..operators.dedup import EDIT_MAX_DIST, EDIT_SHORT_MAX_SHINGLES, _edit_meta, lsh_shingle_postings
+from ..operators.dedup import (
+    EDIT_MAX_DIST,
+    EDIT_SHORT_MAX_SHINGLES,
+    EDIT_ULTRA_MAX_TOKENS,
+    _edit_meta,
+    lsh_shingle_postings,
+)
 
 DOC_SCHEMA = "doc_id long, text string"
 
@@ -52,6 +62,8 @@ def _prepped_batch(docs: DataFrame) -> DataFrame:
             "norm",
             F.length("norm").cast("long").alias("nlen"),
             F.size("sh").alias("n_sh"),
+            F.size(F.array_distinct("toks")).alias("n_dtok"),
+            F.array_distinct("toks").alias("dtoks"),
             "sh",
         )
     )
@@ -73,25 +85,37 @@ def probe_edit_batch(spark: SparkSession, batch: DataFrame, sf_dir: str) -> Data
         .distinct()
     )
     meta = _edit_meta(spark, sf_dir)
+    tok_b = batch.filter(F.col("n_sh") <= EDIT_SHORT_MAX_SHINGLES).select(
+        "doc_id", F.explode_outer("dtoks").alias("t")
+    )
+    tok_c = meta.filter(F.col("n_sh") <= EDIT_SHORT_MAX_SHINGLES).select(
+        F.col("doc_id").alias("neighbor_id"), F.explode_outer("dtoks_short").alias("t")
+    )
+    token_cand = (
+        tok_b.join(tok_c, "t")
+        .filter(F.col("doc_id") != F.col("neighbor_id"))
+        .select("doc_id", "neighbor_id")
+        .distinct()
+    )
     bkt_b = F.floor(F.col("nlen") / (k + 1))
-    short_b = (
-        batch.filter(F.col("n_sh") <= EDIT_SHORT_MAX_SHINGLES)
+    ultra_b = (
+        batch.filter(F.col("n_dtok") <= EDIT_ULTRA_MAX_TOKENS)
         .select("doc_id", F.explode(F.array(bkt_b, bkt_b + 1)).alias("bkt"))
     )
-    short_c = (
-        meta.filter(F.col("n_sh") <= EDIT_SHORT_MAX_SHINGLES)
+    ultra_c = (
+        meta.filter(F.col("n_dtok") <= EDIT_ULTRA_MAX_TOKENS)
         .select(
             F.col("doc_id").alias("neighbor_id"),
             F.explode(F.array(bkt_b, bkt_b + 1)).alias("bkt"),
         )
     )
-    short_cand = (
-        short_b.join(short_c, "bkt")
+    ultra_cand = (
+        ultra_b.join(ultra_c, "bkt")
         .filter(F.col("doc_id") != F.col("neighbor_id"))
         .select("doc_id", "neighbor_id")
         .distinct()
     )
-    cand = long_cand.unionByName(short_cand).distinct()
+    cand = long_cand.unionByName(token_cand).unionByName(ultra_cand).distinct()
     own = batch.select("doc_id", F.col("norm").alias("na"), F.col("nlen").alias("len_self"))
     other = meta.select(
         F.col("doc_id").alias("neighbor_id"),

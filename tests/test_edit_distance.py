@@ -112,3 +112,12 @@ def test_short_floor_matches_the_derivation():
     """2*q*k with q=3 token shingles — the floor the losslessness comment
     derives; a silent constant drift would invalidate the lemma."""
     assert EDIT_SHORT_MAX_SHINGLES == 2 * 3 * EDIT_MAX_DIST
+
+
+def test_ultra_floor_matches_the_q1_derivation():
+    """The token tier is the q=1 instance of the same lemma: a char edit
+    destroys at most 2 token occurrences, so only docs with <= 2k
+    distinct tokens may fall through to the length-bucket ultra tier."""
+    from prueba_tecnica_http_client_etl_spark.operators.dedup import EDIT_ULTRA_MAX_TOKENS
+
+    assert EDIT_ULTRA_MAX_TOKENS == 2 * EDIT_MAX_DIST
