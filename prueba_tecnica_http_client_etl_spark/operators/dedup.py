@@ -1805,6 +1805,26 @@ def _edit_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _edit_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, nlen, s) shingle posting table carrying the normalized
+    length — the edit tier's candidate index. Carrying nlen is what lets
+    the |Δlen| <= k band ride the pair join itself (measured at the 100x
+    replica: 113M raw shared-shingle pairs, ~3.4M banded — banding after
+    the distinct paid that 33x in shuffle). Built once per snapshot;
+    the batch tier self-joins it and the streaming probe joins arriving
+    docs against it."""
+    return _corpus_sized(
+        trained_artifact(
+            artifact_key("edit_postings", spark, sf_dir, "documents"),
+            lambda: docs_normalized(spark, sf_dir).select(
+                "doc_id",
+                F.length("norm").cast("long").alias("nlen"),
+                F.explode_outer("sh").alias("s"),
+            ),
+        )
+    )
+
+
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs within Levenshtein distance EDIT_MAX_DIST on
     the normalized text, found WITHOUT the O(n^2) distance matrix:
@@ -1832,21 +1852,15 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice; the ultra tier is bounded by the ultra-doc share squared over
     the bucket count; the verify join touches only candidates, never the
     corpus square."""
-    from ..functions.cachepool import managed_persist
-
     k = EDIT_MAX_DIST
     meta = _edit_meta(spark, sf_dir)
     # the length band is pushed INTO candidate generation: at the 100x
     # replica the raw shingle pair join emits 113M distinct pairs of
     # which only ~3M survive |Δlen| <= k — banding at the join keeps the
     # distinct and every downstream join at the small side (measured
-    # 286 s -> see BASELINE). The posting-with-length frame is persisted
-    # once for its two self-join sides.
-    post_n = managed_persist(
-        lsh_shingle_postings(spark, sf_dir)
-        .select("doc_id", "s")
-        .join(meta.select("doc_id", "nlen"), "doc_id")
-    )
+    # 286 s -> 16.6 s, BASELINE). The length-carrying posting table is a
+    # per-snapshot artifact shared with the streaming probe.
+    post_n = _edit_postings(spark, sf_dir)
     a = post_n.select("s", F.col("doc_id").alias("doc_a"), F.col("nlen").alias("la"))
     b = post_n.select("s", F.col("doc_id").alias("doc_b"), F.col("nlen").alias("lb"))
     long_cand = (

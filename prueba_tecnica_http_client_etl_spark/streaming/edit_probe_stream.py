@@ -43,7 +43,7 @@ from ..operators.dedup import (
     EDIT_SHORT_MAX_SHINGLES,
     EDIT_ULTRA_MAX_TOKENS,
     _edit_meta,
-    lsh_shingle_postings,
+    _edit_postings,
 )
 
 DOC_SCHEMA = "doc_id long, text string"
@@ -74,26 +74,34 @@ def probe_edit_batch(spark: SparkSession, batch: DataFrame, sf_dir: str) -> Data
     corpus artifacts: (doc_id, neighbor_id, len_self, len_neighbor,
     edit_distance), self-pairs excluded."""
     k = EDIT_MAX_DIST
-    post = lsh_shingle_postings(spark, sf_dir).select(
-        F.col("doc_id").alias("neighbor_id"), "s"
+    post = _edit_postings(spark, sf_dir).select(
+        F.col("doc_id").alias("neighbor_id"), F.col("nlen").alias("lb"), "s"
     )
-    bx = batch.select("doc_id", F.explode_outer("sh").alias("s"))
+    bx = batch.select("doc_id", "nlen", F.explode_outer("sh").alias("s"))
     long_cand = (
         bx.join(post, "s")
-        .filter(F.col("doc_id") != F.col("neighbor_id"))
+        .filter(
+            (F.col("doc_id") != F.col("neighbor_id"))
+            & (F.abs(F.col("nlen") - F.col("lb")) <= k)
+        )
         .select("doc_id", "neighbor_id")
         .distinct()
     )
     meta = _edit_meta(spark, sf_dir)
     tok_b = batch.filter(F.col("n_sh") <= EDIT_SHORT_MAX_SHINGLES).select(
-        "doc_id", F.explode_outer("dtoks").alias("t")
+        "doc_id", "nlen", F.explode_outer("dtoks").alias("t")
     )
     tok_c = meta.filter(F.col("n_sh") <= EDIT_SHORT_MAX_SHINGLES).select(
-        F.col("doc_id").alias("neighbor_id"), F.explode_outer("dtoks_short").alias("t")
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("nlen").alias("lb"),
+        F.explode_outer("dtoks_short").alias("t"),
     )
     token_cand = (
         tok_b.join(tok_c, "t")
-        .filter(F.col("doc_id") != F.col("neighbor_id"))
+        .filter(
+            (F.col("doc_id") != F.col("neighbor_id"))
+            & (F.abs(F.col("nlen") - F.col("lb")) <= k)
+        )
         .select("doc_id", "neighbor_id")
         .distinct()
     )
@@ -158,7 +166,7 @@ def run_edit_probe(
     a continuous ingest loop."""
     from .runner import run_transform_stream
 
-    lsh_shingle_postings(spark, sf_dir).count()
+    _edit_postings(spark, sf_dir).count()
     _edit_meta(spark, sf_dir).count()
     return run_transform_stream(
         spark,
