@@ -1830,7 +1830,9 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the normalized text, found WITHOUT the O(n^2) distance matrix:
 
     - long tier: candidates from the shared-shingle posting join over the
-      memoized inverted index (lsh_shingle_postings) — lossless above the
+      tier's own length-carrying inverted index (_edit_postings — a
+      second corpus-sized posting artifact next to lsh_shingle_postings,
+      stored so the |Δlen| band can ride the join) — lossless above the
       derived shingle floor (see EDIT_SHORT_MAX_SHINGLES);
     - token tier: short-doc pairs from a distinct-token posting join —
       the q=1 form of the same lemma covers every short pair where either

@@ -1236,11 +1236,13 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration's state is integral and engine-independent — ties in the
     assignment break on cent_id identically in both engines.
 
-    Scale shape per round: centroids broadcast (k rows), assignment is a
-    map-side argmin (row_number over a k-row per-vector window), update
-    is posexplode + partial-aggregated sums so the shuffle carries
-    k x 64 partials — the corpus itself shuffles zero times. The
-    driver-side loop is KMEANS_ITERS plan compositions, not actions."""
+    Scale shape per round: centroids are collected once per iteration
+    (<= CENTROID_MAX_K rows — one tiny action per Lloyd round since the
+    round-14 vectorization) and broadcast into _kmeans_assign's Arrow
+    argmin (numpy matmul; the relational row_number-over-k-rows twin
+    remains the certified-plan mirror); the update is posexplode +
+    partial-aggregated sums so the shuffle carries k x 64 partials —
+    the corpus itself shuffles zero times per round."""
     emb = managed_persist(_quantized(spark, sf_dir))
     assigned = _kmeans_assign(emb, _coarse_centroids(spark, sf_dir, emb))
     return (
@@ -2111,8 +2113,20 @@ def _pq_scored(
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
     if vectorized:
         return _pq_scan_vectorized(codes, queries, cb_arrays, pool=pool)
+    # zero-norm guards symmetric with the vectorized twin (which raises
+    # on zero query norms and zero reconstructed norms): NaN/Inf cosines
+    # order differently across physical paths, so the relational plan
+    # fails loudly on the same inputs instead of silently diverging
     nbh = codes.groupBy("vec_id").agg(
         F.sqrt(F.sum("cself").cast("double")).alias("nbh")
+    ).where(
+        F.assert_true(
+            F.col("nbh") != 0,
+            F.concat(
+                F.lit("_pq_scored: zero reconstructed norm vec_id="),
+                F.col("vec_id").cast("string"),
+            ),
+        ).isNull()
     )
     lut = (
         _pq_subspaces(queries, "query_id")
@@ -2122,7 +2136,15 @@ def _pq_scored(
             F.expr(_SPARK_SUB_DOT).alias("l"),
         )
     )
-    qn = queries.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("na"))
+    qn = queries.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("na")).where(
+        F.assert_true(
+            F.col("nrm") != 0,
+            F.concat(
+                F.lit("_pq_scored: zero-norm query vector vec_id="),
+                F.col("vec_id").cast("string"),
+            ),
+        ).isNull()
+    )
     return (
         codes.join(F.broadcast(lut), ["sub", "code_id"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
@@ -2911,6 +2933,19 @@ def _ivfpq_scored(
         .agg(F.sum("l").alias("res_dot"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .join(nb2, "neighbor_id")
+        # symmetric with _ivfpq_score_cells' raise on (na==0)|(nbh==0):
+        # NaN cosines order differently across the two physical paths
+        .where(
+            F.assert_true(
+                (F.col("na") != 0) & (F.col("nbh") != 0),
+                F.concat(
+                    F.lit("_ivfpq_scored: zero norm query_id="),
+                    F.col("query_id").cast("string"),
+                    F.lit(" neighbor_id="),
+                    F.col("neighbor_id").cast("string"),
+                ),
+            ).isNull()
+        )
         .withColumn(
             "cos_hat",
             (F.col("qdotc") + F.col("res_dot")).cast("double") / (F.col("na") * F.col("nbh")),

@@ -1,10 +1,14 @@
 """Text-analysis operators over `documents` — language ID, quality
 scoring, token stats, fingerprinting (driver north star, SURVEY.md §2.8).
 
-Everything is a map-side projection over array/string built-ins (no UDFs,
-no shuffles except final presentation sorts): at 100 TB these run at scan
+The per-document operators (stats, language ID, fingerprints, token
+counts) are map-side projections over array/string built-ins (no UDFs, no
+shuffles except final presentation sorts): at 100 TB they run at scan
 speed inside whole-stage codegen, and the only cost that matters is that
-filters/projections reach the parquet reader.
+filters/projections reach the parquet reader. The corpus-level operators
+(TF-IDF, overlap matrix, commonness, token_drift, sparse_doc_knn) add the
+aggregates/joins their docstrings size out — each one map-side-combined
+or posting-bounded, never an all-pairs shuffle.
 """
 
 from __future__ import annotations
@@ -618,7 +622,14 @@ def token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape at 100 TB: explode -> map-side-combined (token) aggregate
     whose shuffle carries |vocab| partial rows; the 2-row source table
     rides a broadcast; the final top-K is TakeOrdered, never a full sort."""
-    tok = (
+    from ..functions.cachepool import managed_persist
+
+    # three consumers read the exploded token frame (the counts groupBy,
+    # and per_src twice through top2's broadcast + the scalars row):
+    # persist it once so the interpreted explode/stopword filter — the
+    # dominant per-row cost — runs one corpus pass, drained at the next
+    # registry-level query
+    tok = managed_persist(
         docs_normalized(spark, sf_dir)
         .select("source", F.explode("toks").alias("token"))
         .filter(~F.col("token").isin(STOPWORDS))

@@ -281,8 +281,19 @@ def probe_ivf_index(
         w_probe = Window.partitionBy("vec_id").orderBy(
             F.col("cent_cos").desc(), F.col("cent_id")
         )
+        # symmetric with _probe_cells_vectorized's zero-norm raise: a
+        # NaN cent_cos orders differently across the two physical paths
+        guarded = queries.where(
+            F.assert_true(
+                F.col("nrm") != 0,
+                F.concat(
+                    F.lit("probe_ivf_index: zero-norm query vector vec_id="),
+                    F.col("vec_id").cast("string"),
+                ),
+            ).isNull()
+        )
         probes = (
-            queries.join(F.broadcast(cents), F.lit(True))
+            guarded.join(F.broadcast(cents), F.lit(True))
             .withColumn("cent_cos", _cos_to_cent() / (F.col("nrm") * F.col("nc")))
             .withColumn("cent_rank", F.row_number().over(w_probe))
             .filter(F.col("cent_rank") <= nprobe)

@@ -1219,7 +1219,9 @@ _TOUCHED_THIS_ROUND: list[str] = [
     # pq_quantization_error now reads the codes artifact's d2 column.
     # Outputs bit-identical (dual-path tests in tests/test_corpus_ops,
     # 9/9 oracles re-checked at sf0.01 pre-commit); every family
-    # member's executed plan changed:
+    # member's executed plan changed. Late in the round the RELATIONAL
+    # twins also gained the symmetric zero-norm assert_true guards
+    # (review finding — same class as the r13 _ivf_assign ADVICE):
     "ann_pq_topk",
     "ann_pq_rerank",
     "ann_pq_recall",
@@ -1265,8 +1267,12 @@ _TOUCHED_THIS_ROUND: list[str] = [
 # hit the MAX_STALENESS=4 ceiling THIS round — oldest fill, so they
 # rotate automatically. Head budget: 50 - 4 anchors - 17 forced = 29
 # slots for never-certified + touched. The IVF-PQ vectorization
-# (verdict item 1) touches up to 9 PQ-family rows, 6 of which are in
-# the forced set anyway — net head cost ~3.
+# (verdict item 1) touches up to 9 PQ-family rows, 7 of which
+# (ann_pq_rerank/_recall/_rerank_recall, pq_quantization_error,
+# ann_ivfpq_recall/_rerank/_rerank_recall) are r10 forced rows anyway —
+# net head cost 2. Round-14 closed with head 29/29: 4 anchors + 4
+# never-certified (dedup_edit_distance, token_drift, sparse_doc_knn,
+# dedup_edit_probe_stream) + 21 touched.
 
 _WINDOW_SIZE = 50
 
