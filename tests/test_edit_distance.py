@@ -121,3 +121,60 @@ def test_ultra_floor_matches_the_q1_derivation():
     from prueba_tecnica_http_client_etl_spark.operators.dedup import EDIT_ULTRA_MAX_TOKENS
 
     assert EDIT_ULTRA_MAX_TOKENS == 2 * EDIT_MAX_DIST
+
+
+# --- pure-model property: the q-gram survival lemmas themselves ---------------
+#
+# The blocking's losslessness rests on two claims about CHARACTER edits:
+# (shingle lemma) a pair within edit distance k where either side has
+# > 2qk distinct 3-token shingles shares a shingle; (token lemma) where
+# either side has > 2k distinct tokens, shares a token. Both are
+# exercised here directly: random base strings over a tiny alphabet get
+# <= k random character edits (insert/delete/substitute, spaces
+# included, so tokens split and merge), and whenever the floor condition
+# holds the derived sets must intersect.
+
+import random as _random
+
+
+def _toks(s: str) -> list[str]:
+    return [t for t in " ".join(s.split()).split(" ") if t]
+
+
+def _shingles(toks: list[str]) -> set[str]:
+    if len(toks) >= 3:
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    return {" ".join(toks)}
+
+
+@given(
+    st.integers(min_value=0, max_value=10_000_000),
+    st.integers(min_value=0, max_value=_K),
+)
+def test_edit_survival_lemmas_on_random_edits(seed, n_edits):
+    rng = _random.Random(seed)
+    alphabet = "ab x"  # tiny alphabet makes token splits/merges frequent
+    base = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 120)))
+    edited = list(base)
+    for _ in range(n_edits):
+        op = rng.choice("ids")
+        pos = rng.randrange(len(edited) + 1) if op == "i" else (
+            rng.randrange(len(edited)) if edited else 0
+        )
+        if op == "i":
+            edited.insert(pos, rng.choice(alphabet))
+        elif edited and op == "d":
+            del edited[pos]
+        elif edited:
+            edited[pos] = rng.choice(alphabet)
+    other = "".join(edited)
+    ta, tb = _toks(base), _toks(other)
+    if not ta or not tb:
+        return
+    sa, sb = _shingles(ta), _shingles(tb)
+    da, db = set(ta), set(tb)
+    # true edit distance <= n_edits by construction
+    if max(len(sa), len(sb)) > 2 * 3 * _K:
+        assert sa & sb, (base, other)
+    if max(len(da), len(db)) > 2 * _K:
+        assert da & db, (base, other)
