@@ -753,16 +753,23 @@ def sparse_doc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.cachepool import managed_persist
 
     post = lsh_shingle_postings(spark, sf_dir).select("doc_id", "s")
+    # every frame below scales with the corpus (qualifying-shingle count,
+    # posting rows, per-doc norms) — merge hints keep Catalyst from
+    # auto-broadcasting them off small cached-size estimates, the same
+    # 100 TB hazard _corpus_sized documents for the artifact frames
+    # (measured here: without hints the planner broadcast the weight
+    # table, one side of the posting self-join AND the norms)
     df_t = (
         post.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter((F.col("df") >= 2) & (F.col("df") <= SPARSE_KNN_DF_CAP))
         .withColumn("w", F.expr(f"{SPARSE_IDF_SCALE} div (df + 1)"))
+        .hint("merge")
     )
     # three consumers (both pair-join sides + the norm aggregate) read the
     # weighted posting table: persist it once, drained at the next query
-    wpost = managed_persist(post.join(df_t.select("s", "w"), "s"))
-    n2 = wpost.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    wpost = managed_persist(post.join(df_t.select("s", "w"), "s")).hint("merge")
+    n2 = wpost.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2")).hint("merge")
     a = wpost.select("s", F.col("doc_id").alias("doc_a"), F.col("w").alias("wa"))
     b = wpost.select("s", F.col("doc_id").alias("doc_b"), F.col("w").alias("wb"))
     half = (
