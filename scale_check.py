@@ -323,9 +323,11 @@ HUNDRED_TIER = [
     "ann_ivfpq_topk",
     # round-14 registrations (see LLM_TIER notes): the blocked
     # Levenshtein tier and the inverted-index k-NN — both stay
-    # within-replica by construction, so candidate volume is linear
+    # within-replica by construction, so candidate volume is linear —
+    # plus the drift monitor (one exploded scan + |vocab|-row shuffle)
     "dedup_edit_distance",
     "sparse_doc_knn",
+    "token_drift",
 ]
 
 
