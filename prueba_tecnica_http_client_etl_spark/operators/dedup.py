@@ -1753,18 +1753,22 @@ ORDER BY df_octave"""
 # --- edit-distance near-dup (q-gram blocked banded Levenshtein) ---------------
 
 EDIT_MAX_DIST = 4
-# Losslessness floor for the shared-shingle candidate filter, derived:
-# one character edit touches at most one token boundary, so it alters at
-# most q+1 = 4 of the q=3-token shingle OCCURRENCES (the window fusing two
-# tokens when a space is deleted is the worst case); k edits therefore
-# erase at most k*(q+1) = 16 distinct shingles from a document's shingle
-# SET, and any document with MORE distinct shingles keeps one occurrence
-# intact — an untouched run of q consecutive tokens is still a contiguous
-# shingle of the edited text, so every pair within edit distance k where
-# EITHER side has > k*(q+1) shingles shares at least one shingle. The
-# floor below is 2*q*k = 24, over-covering that bound; docs at or below it
-# fall to the token tier. Verified exhaustively against the unblocked
-# all-pairs oracle: 24/24 pairs at sf0.01, 251/251 at sf0.1.
+# Losslessness floor for the shared-shingle candidate filter, stated in
+# terms of the DISTINCT-shingle count the code actually measures (n_sh =
+# size(sh) where sh is array_distinct-ed): one character edit touches at
+# most one token boundary, so at most q+1 = 4 shingle occurrences change
+# (the window fusing two tokens when a space is deleted is the worst
+# case). A distinct shingle leaves the SET only when its last occurrence
+# changes, so k edits remove at most k*(q+1) = 16 DISTINCT shingles —
+# removals <= changed occurrences, since each removal consumes at least
+# one of them. Any document with more than k*(q+1) distinct shingles
+# keeps one intact — an untouched run of q consecutive tokens is still a
+# contiguous shingle of the edited text — so every pair within edit
+# distance k where EITHER side's n_sh clears the floor shares at least
+# one shingle. The floor below is 2*q*k = 24 distinct shingles,
+# over-covering the 16-bound; docs at or below it fall to the token
+# tier. Verified exhaustively against the unblocked all-pairs oracle:
+# 24/24 pairs at sf0.01, 251/251 at sf0.1.
 EDIT_SHORT_MAX_SHINGLES = 2 * 3 * EDIT_MAX_DIST
 # The same lemma at q=1: a char edit destroys at most 2 TOKEN occurrences
 # (the space-delete merging two tokens), so k edits erase at most 2k

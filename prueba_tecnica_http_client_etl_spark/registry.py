@@ -1043,19 +1043,19 @@ def q_dedup_edit_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #            order), which bounds staleness: the test asserts every
 #            query older than MAX_STALENESS rounds is in this window.
 
-CURRENT_ROUND = 14
+CURRENT_ROUND = 15
 MAX_STALENESS = 4  # a row certified at round R must re-enter the window
 # by round R + MAX_STALENESS (asserted in tests/test_rotation_ledger.py)
 
 LAST_CERTIFIED: dict[str, int | None] = {
-    "clean_coerce": 13,
-    "kpi_daily": 13,
-    "kpi_report_endpoint": 13,
-    "kpi_global": 13,
+    "clean_coerce": 14,
+    "kpi_daily": 14,
+    "kpi_report_endpoint": 14,
+    "kpi_global": 14,
     "kpi_global_exact": 13,
-    "kpi_anomaly_days": 11,
+    "kpi_anomaly_days": 14,
     "kpi_rollup": 13,
-    "pricing_summary": 11,
+    "pricing_summary": 14,
     "top_revenue_orders": 13,
     "region_revenue": 13,
     "customers_with_open_orders": 13,
@@ -1082,25 +1082,25 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "event_value_by_type_salted": 13,
     "purchases_near_views_range": 13,
     "snapshot_merge": 12,
-    "user_retention_cohorts": 11,
+    "user_retention_cohorts": 14,
     "event_funnel": 12,
-    "suppliers_blocking_orders": 10,
-    "rolling_active_users": 10,
+    "suppliers_blocking_orders": 14,
+    "rolling_active_users": 14,
     "audio_decode_stats": 12,
-    "dedup_exact": 10,
-    "dedup_minhash_lsh": 10,
-    "dedup_simhash": 10,
-    "dedup_ngram_jaccard": 11,
-    "dedup_components": 11,
+    "dedup_exact": 14,
+    "dedup_minhash_lsh": 14,
+    "dedup_simhash": 14,
+    "dedup_ngram_jaccard": 14,
+    "dedup_components": 14,
     "dedup_embedding_cosine": 12,
-    "ann_cosine_topk": 11,
-    "lsh_bucket_histogram": 11,
-    "ann_ivf_topk": 13,
-    "ann_lsh_topk": 11,
-    "ann_ivf_recall": 13,
-    "ann_lsh_recall": 11,
-    "embedding_centroids": 11,
-    "text_stats": 11,
+    "ann_cosine_topk": 14,
+    "lsh_bucket_histogram": 14,
+    "ann_ivf_topk": 14,
+    "ann_lsh_topk": 14,
+    "ann_ivf_recall": 14,
+    "ann_lsh_recall": 14,
+    "embedding_centroids": 14,
+    "text_stats": 14,
     "token_counts": 11,
     "lang_id": 11,
     "doc_fingerprint": 11,
@@ -1111,7 +1111,7 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "pii_scrub": 12,
     "contamination_check": 12,
     "quality_gate": 12,
-    "kmeans_embeddings": 12,
+    "kmeans_embeddings": 14,
     "vocab_topk": 12,
     "repetition_score": 12,
     "sequence_pack": 12,
@@ -1127,34 +1127,34 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "quality_score": 12,
     "sequence_pack_ids": 12,
     "dedup_substring": 12,
-    "ann_ivf_learned_topk": 13,
-    "ann_ivf_learned_recall": 13,
+    "ann_ivf_learned_topk": 14,
+    "ann_ivf_learned_recall": 14,
     "bpe_pair_counts": 12,
     "domain_mixture_plan": 12,
-    "dedup_survivors": 10,
+    "dedup_survivors": 14,
     "source_overlap_matrix": 12,
     "doc_commonness": 12,
     "duplicate_rate_by_source": 11,
-    "dedup_cluster_sizes": 10,
+    "dedup_cluster_sizes": 14,
     "pii_stats_by_source": 12,
     "lang_confusion": 12,
     "image_decode_stats": 12,
     "dedup_lsh_capped": 11,
     "dedup_lsh_cap_audit": 11,
-    "embedding_pca_top": 10,
-    "ann_pq_topk": 11,
-    "ann_pq_rerank": 10,
-    "ann_pq_recall": 10,
-    "ann_pq_rerank_recall": 10,
+    "embedding_pca_top": 14,
+    "ann_pq_topk": 14,
+    "ann_pq_rerank": 14,
+    "ann_pq_recall": 14,
+    "ann_pq_rerank_recall": 14,
     "minhash_calibration": 11,
     "dedup_lsh_recall": 11,
     "dedup_jaccard_prefix": 11,
-    "corpus_sample_per_source": 10,
-    "pq_quantization_error": 10,
-    "ann_ivfpq_topk": 12,
-    "ann_ivfpq_recall": 10,
-    "ann_ivfpq_rerank": 10,
-    "ann_ivfpq_rerank_recall": 10,
+    "corpus_sample_per_source": 14,
+    "pq_quantization_error": 14,
+    "ann_ivfpq_topk": 14,
+    "ann_ivfpq_recall": 14,
+    "ann_ivfpq_rerank": 14,
+    "ann_ivfpq_rerank_recall": 14,
     "corpus_split": 12,
     "corpus_split_stats": 12,
     "lm_bigram_score": 11,
@@ -1166,15 +1166,15 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "lm_bigram_score_pruned": 13,
     "dsir_importance": 13,
     "dsir_score_stream": 13,
-    "ann_filtered_topk": 13,
-    "ann_filtered_learned_topk": 13,
-    "ann_filtered_recall": 13,
-    "ann_filtered_learned_recall": 13,
+    "ann_filtered_topk": 14,
+    "ann_filtered_learned_topk": 14,
+    "ann_filtered_recall": 14,
+    "ann_filtered_learned_recall": 14,
     "dsir_resample_plan": 11,
-    "dsir_sample": 13,
+    "dsir_sample": 14,
     "sequence_pack_ffd": 12,
     "training_order": 13,
-    "dsir_sample_stream": 13,
+    "dsir_sample_stream": 14,
     "sequence_pack_greedy": 11,
     "contamination_stats_by_source": 11,
     "kpi_daily_approx_p90": 11,
@@ -1185,18 +1185,17 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "dedup_stream": 12,
     "quality_gate_stream": 13,
     "dedup_index_probe_stream": 13,
-    "range_join_stream": 10,
+    "range_join_stream": 14,
     "contamination_bloom_stream": 13,
     "dedup_stream_ttl": 12,
-    # round-13 registrations — certified green in their first window (r13)
-    "ivf_cell_profile": 13,
+    "ivf_cell_profile": 14,
     "pii_scrub_stream": 13,
-    # round-14 registrations — never certified, auto-enter the r14 window
-    "dedup_edit_distance": None,
-    "token_drift": None,
-    "sparse_doc_knn": None,
-    "dedup_edit_probe_stream": None,
+    "dedup_edit_distance": 14,
+    "token_drift": 14,
+    "sparse_doc_knn": 14,
+    "dedup_edit_probe_stream": 14,
 }
+
 
 # the reference-surface anchor: always driver-certified (VERDICT r5 item 1)
 _ANCHORS = ["clean_coerce", "kpi_daily", "kpi_report_endpoint", "kpi_global"]
@@ -1210,69 +1209,23 @@ _ANCHORS = ["clean_coerce", "kpi_daily", "kpi_report_endpoint", "kpi_global"]
 # Window budget: 4 anchors + |never| + touched + forced-stale rows
 # must stay <= 50.
 _TOUCHED_THIS_ROUND: list[str] = [
-    # round-14 verdict item 1 (the r13 `weak`): the IVF-PQ/PQ serving
-    # chain vectorized — _pq_encode (einsum argmin encode, both
-    # families), _pq_scan_vectorized (flat-ADC partition scan with
-    # broadcast query LUTs + lossless local pool cut),
-    # _ivfpq_probe_cells (numpy L2 probe), _ivfpq_score_cells (per-cell
-    # cogrouped ADC gather, auto-gated at IVF_COGROUP_MIN_CELLS), and
-    # pq_quantization_error now reads the codes artifact's d2 column.
-    # Outputs bit-identical (dual-path tests in tests/test_corpus_ops,
-    # 9/9 oracles re-checked at sf0.01 pre-commit); every family
-    # member's executed plan changed. Late in the round the RELATIONAL
-    # twins also gained the symmetric zero-norm assert_true guards
-    # (review finding — same class as the r13 _ivf_assign ADVICE):
-    "ann_pq_topk",
-    "ann_pq_rerank",
-    "ann_pq_recall",
-    "ann_pq_rerank_recall",
-    "pq_quantization_error",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_recall",
-    "ann_ivfpq_rerank",
-    "ann_ivfpq_rerank_recall",
-    # round-14 verdict item 5: _kmeans_assign vectorized (the
-    # _ivf_assign pattern; dual-path test incl. the qc payload) — the
-    # Lloyd-update artifact build and the final assignment plans change
-    # for every trained-quantizer consumer:
-    "kmeans_embeddings",
-    "ann_ivf_learned_topk",
-    "ann_ivf_learned_recall",
-    "ann_filtered_learned_topk",
-    "ann_filtered_learned_recall",
-    # round-13 ADVICE: zero-norm guard made symmetric — _ivf_assign now
-    # fails loudly on zero-norm VECTORS in both physical paths (the
-    # mapInPandas lambda bytes changed for every _ivf_assign consumer):
-    "ann_ivf_topk",
-    "ann_ivf_recall",
-    "ann_filtered_topk",
-    "ann_filtered_recall",
-    "ivf_cell_profile",
-    # round-13 ADVICE: dsir_select_docs now asserts the single
-    # (sb, threshold_log2) invariant and attaches the scalars as typed
-    # literals instead of a cross join — selection plan changed in the
-    # batch sampler and the streaming gate:
-    "dsir_sample",
-    "dsir_sample_stream",
+    # round-14 ADVICE item 1: token_drift gained the fail-loud
+    # degenerate-corpus guard (assert_true on the scalars aggregate +
+    # error() in the DuckDB twin) — executed plan and oracle changed:
+    "token_drift",
+    # round-14 ADVICE item 2: the edit probe stream's ultra tier now
+    # builds a corpus-side bucket expression bound to meta's own nlen
+    # (was an unbound name-coincidence rebind) — probe plan re-certified:
+    "dedup_edit_probe_stream",
 ]
-# Round-14 projection (ledger after r13, verified against the
-# CORRECTNESS files: 50@r13 / 38@r12 / 37@r11 / 17@r10 — the r13
-# verdict's "34@r11" undercounted, same class as r10's "29@r8";
-# CORRECTNESS files win). The 17 r10 rows (ann_pq_recall,
-# ann_pq_rerank, ann_pq_rerank_recall, ann_ivfpq_recall,
-# ann_ivfpq_rerank, ann_ivfpq_rerank_recall, pq_quantization_error,
-# dedup_exact, dedup_minhash_lsh, dedup_simhash, dedup_cluster_sizes,
-# dedup_survivors, corpus_sample_per_source, embedding_pca_top,
-# range_join_stream, rolling_active_users, suppliers_blocking_orders)
-# hit the MAX_STALENESS=4 ceiling THIS round — oldest fill, so they
-# rotate automatically. Head budget: 50 - 4 anchors - 17 forced = 29
-# slots for never-certified + touched. The IVF-PQ vectorization
-# (verdict item 1) touches up to 9 PQ-family rows, 7 of which
-# (ann_pq_rerank/_recall/_rerank_recall, pq_quantization_error,
-# ann_ivfpq_recall/_rerank/_rerank_recall) are r10 forced rows anyway —
-# net head cost 2. Round-14 closed with head 29/29: 4 anchors + 4
-# never-certified (dedup_edit_distance, token_drift, sparse_doc_knn,
-# dedup_edit_probe_stream) + 21 touched.
+
+# Round-15 projection (ledger after r14, verified against the
+# CORRECTNESS files: 50@r14 / 35@r13 / 36@r12 / 25@r11). No row is
+# hard-overdue at round 15 (oldest certification is r11; 15 - 11 = 4 ==
+# MAX_STALENESS, due by r16) — but oldest-fill places all 25 r11 rows in
+# this window, which is exactly the judge's r15 rotation ask. Head
+# budget: 50 - 4 anchors - 25 r11 oldest-fill = 21 slots for
+# never-certified + touched this round.
 
 _WINDOW_SIZE = 50
 

@@ -105,16 +105,23 @@ def probe_edit_batch(spark: SparkSession, batch: DataFrame, sf_dir: str) -> Data
         .select("doc_id", "neighbor_id")
         .distinct()
     )
-    bkt_b = F.floor(F.col("nlen") / (k + 1))
+    # One bucket expression PER FRAME, bound to that frame's own nlen
+    # (round-14 ADVICE: a single unbound F.col("nlen") expression reused
+    # on both sides only resolved against meta by name coincidence — a
+    # rename of either column would silently rebind or break).
+    def _len_buckets(nlen_col):
+        b = F.floor(nlen_col / (k + 1))
+        return F.explode(F.array(b, b + 1)).alias("bkt")
+
     ultra_b = (
         batch.filter(F.col("n_dtok") <= EDIT_ULTRA_MAX_TOKENS)
-        .select("doc_id", F.explode(F.array(bkt_b, bkt_b + 1)).alias("bkt"))
+        .select("doc_id", _len_buckets(batch["nlen"]))
     )
     ultra_c = (
         meta.filter(F.col("n_dtok") <= EDIT_ULTRA_MAX_TOKENS)
         .select(
             F.col("doc_id").alias("neighbor_id"),
-            F.explode(F.array(bkt_b, bkt_b + 1)).alias("bkt"),
+            _len_buckets(meta["nlen"]),
         )
     )
     ultra_cand = (

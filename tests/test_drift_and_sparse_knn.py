@@ -115,3 +115,20 @@ def test_sparse_knn_plan_has_no_cartesian(spark):
     plan = sparse_doc_knn(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_token_drift_fails_loudly_on_a_single_source_corpus(spark, tmp_path):
+    """Round-14 ADVICE: with < 2 sources the second-largest rate is
+    undefined — the operator must raise (assert_true guard on the scalars
+    aggregate), never rank on NULL drift. The DuckDB twin carries the
+    same error() check, so both engines fail identically."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from prueba_tecnica_http_client_etl_spark.schemas import load_table
+
+    docs = load_table(spark, SF, "documents")
+    one = docs.filter(F.col("source") == docs.select("source").first()[0])
+    sf1 = str(tmp_path / "single_src")
+    one.coalesce(1).write.parquet(f"{sf1}/documents.parquet")
+    with pytest.raises(SparkRuntimeException, match="token_drift needs >= 2 sources"):
+        token_drift(spark, sf1).collect()
