@@ -994,36 +994,73 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECILE_APPROX_ACCURACY = 10_000  # 1/accuracy = published per-cut rank-error fraction
+
+
 def customer_value_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB tier of customer_value_deciles: decile CUT POINTS from
     percentile_approx (mergeable KLL-style sketch, bounded memory), then a
     map-side bucket assignment — no unpartitioned window, no single-task
     global sort of |customers|. The 9 cut points broadcast as one row;
-    bucketing is an array scan over them. Bucket populations are only
-    approximately equal (sketch rank error), which is the documented
-    tradeoff vs the exact ntile variant; rows-only like
-    kpi_daily_approx_p90 because sketch outputs are engine-specific."""
+    bucketing is an array scan over them.
+
+    Bounded-error certification (round-14 verdict item 4): bucket
+    POPULATIONS are engine-specific (sketch rank error + tie placement),
+    so they are validated in-plan instead of emitted. Each cut point
+    carries rank error <= eps*N (eps = 1/accuracy, the percentile_approx
+    contract); a bucket bounded by two cut points can therefore deviate
+    from N/10 by at most 2*eps*N, plus the mass of tied spend values a
+    cut cannot split (ntile splits ties across buckets; a value-based
+    bucketing cannot) — bounded by 2*(T + 1) where T = the exact maximum
+    multiplicity of any per-customer spend, computed in-plan. The emitted
+    columns are engine-portable: decile 1..10, the exact customer count,
+    and the boolean verdict the DuckDB twin asserts TRUE."""
     orders = _t(spark, sf_dir, "orders")
     spend_cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     per_cust = orders.groupBy("o_custkey").agg(F.sum(spend_cents).alias("spend_cents"))
     cuts = per_cust.agg(
-        F.percentile_approx("spend_cents", [i / 10 for i in range(1, 10)], 10_000).alias("cuts")
+        F.percentile_approx(
+            "spend_cents", [i / 10 for i in range(1, 10)], DECILE_APPROX_ACCURACY
+        ).alias("cuts")
     )
     # decile 1 = top spenders (same orientation as the exact ntile DESC):
     # 1 + number of ascending cut points strictly above this spend.
     decile = F.lit(1) + F.size(F.filter("cuts", lambda c: F.col("spend_cents") < c))
-    return (
+    buckets = (
         per_cust.join(F.broadcast(cuts), F.lit(True))
         .withColumn("decile", decile.cast("int"))
         .groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            (F.sum("spend_cents").cast("double") / 100).alias("total_spend"),
-            (F.min("spend_cents").cast("double") / 100).alias("min_spend"),
-            (F.max("spend_cents").cast("double") / 100).alias("max_spend"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_bucket"))
+    )
+    scal = per_cust.groupBy("spend_cents").agg(F.count(F.lit(1)).alias("m")).agg(
+        F.sum("m").alias("n_total"), F.max("m").alias("max_tie")
+    )
+    eps = 1.0 / DECILE_APPROX_ACCURACY
+    slack = 2.0 * (eps * F.col("n_total").cast("double") + F.col("max_tie") + 1)
+    in_bound = (
+        F.abs(F.col("n_bucket").cast("double") - F.col("n_total").cast("double") / 10.0)
+        <= slack
+    )
+    tens = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
+    return (
+        tens.join(buckets, "decile", "left")
+        .na.fill({"n_bucket": 0})
+        .join(F.broadcast(scal), F.lit(True))
+        .select("decile", "n_total", in_bound.alias("count_in_bound"))
         .orderBy("decile")
     )
+
+
+SQL_CUSTOMER_VALUE_DECILES_APPROX = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend_cents
+  FROM orders GROUP BY o_custkey
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM per_cust)
+SELECT CAST(d AS INT) AS decile, n_total, TRUE AS count_in_bound
+FROM generate_series(1, 10) t(d) CROSS JOIN n
+ORDER BY decile"""
 
 
 SQL_CUSTOMER_VALUE_DECILES = """

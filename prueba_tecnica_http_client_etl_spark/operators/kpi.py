@@ -73,6 +73,79 @@ def kpi_daily(clean_log: DataFrame, *, exact_percentile: bool = True) -> DataFra
     )
 
 
+P90_APPROX_ACCURACY = 10_000  # percentile_approx accuracy; 1/accuracy = published rank-error fraction
+
+
+def kpi_daily_p90_bound(clean_log: DataFrame) -> DataFrame:
+    """The bounded-error certification of the A8 sketch tier
+    (kpi_daily_approx_p90). Sketch OUTPUTS are engine-specific (DuckDB's
+    approx_quantile is a different sketch), so the sketch value itself
+    can never be hash-certified — but its PUBLISHED CONTRACT can:
+    Spark's percentile_approx(col, p, accuracy) returns an element of
+    the dataset whose rank is within eps*N of the target rank, where
+    eps = 1/accuracy (the documented guarantee of the underlying
+    Greenwald-Khanna summary). This query validates that contract
+    IN-PLAN — count the sketch value's exact rank interval
+    [cnt_lt + 1, cnt_le] and check it intersects
+    [(0.9 - eps)*N - 1, (0.9 + eps)*N + 1] (the +-1 absorbs the
+    rank-targeting convention at tiny N) — and emits only
+    engine-portable columns: the group keys, N, the EXACT p90 (already
+    certified bit-equal to DuckDB's quantile_cont by kpi_daily), and
+    the boolean verdict, which the DuckDB twin asserts TRUE.
+
+    Scale shape: one grouped pass for (N, exact, sketch), then the
+    |groups|-row aggregate broadcasts back onto the log for the rank
+    counts — the map-side work stays one conditional count per row; no
+    extra shuffle of the fact table. (The exact percentile here is the
+    certification cost, paid at gate scale; the production sketch tier
+    at 100 TB runs percentile_approx alone — bounded memory, mergeable
+    map-side — with this query as its standing contract check.)"""
+    keys = ["date_utc", "endpoint_base"]
+    grp = clean_log.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("requests_total"),
+        round2(F.percentile(F.col("elapsed_ms"), F.lit(0.9))).alias("p90_exact"),
+        F.percentile_approx(
+            F.col("elapsed_ms"), F.lit(0.9), F.lit(P90_APPROX_ACCURACY)
+        ).alias("p90_sketch"),
+    )
+    ranks = (
+        clean_log.select(*keys, "elapsed_ms")
+        .join(F.broadcast(grp), keys)
+        .groupBy(*keys)
+        .agg(
+            F.max("requests_total").alias("requests_total"),
+            F.max("p90_exact").alias("p90_exact"),
+            _count_if(F.col("elapsed_ms") < F.col("p90_sketch")).alias("cnt_lt"),
+            _count_if(F.col("elapsed_ms") <= F.col("p90_sketch")).alias("cnt_le"),
+        )
+    )
+    n = F.col("requests_total").cast("double")
+    eps = 1.0 / P90_APPROX_ACCURACY
+    in_bound = (
+        F.col("cnt_le").cast("double") >= (0.9 - eps) * n - 1.0
+    ) & ((F.col("cnt_lt") + 1).cast("double") <= (0.9 + eps) * n + 1.0)
+    return ranks.select(
+        *keys,
+        "requests_total",
+        "p90_exact",
+        in_bound.alias("p90_rank_in_bound"),
+    ).orderBy(*keys)
+
+
+def sql_kpi_daily_p90_bound(source: str = "clean_log") -> str:
+    """DuckDB twin of kpi_daily_p90_bound: the exact columns recomputed
+    independently, the contract verdict asserted TRUE."""
+    p902 = sql_round2("quantile_cont(elapsed_ms, 0.9)")
+    return f"""
+SELECT date_utc, endpoint_base,
+  count(*) AS requests_total,
+  {p902} AS p90_exact,
+  TRUE AS p90_rank_in_bound
+FROM {source}
+GROUP BY date_utc, endpoint_base
+ORDER BY date_utc, endpoint_base"""
+
+
 def sql_kpi_daily_select(source: str = "clean_log", include_p90: bool = True) -> str:
     """DuckDB twin of kpi_daily (depends on a clean_log CTE/view).
 

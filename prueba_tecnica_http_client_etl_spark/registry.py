@@ -144,6 +144,12 @@ _LLM_EXTRA = [
     ("token_drift", textops.token_drift, textops.SQL_TOKEN_DRIFT),
     # round 14: sparse lexical k-NN over the shingle inverted index
     ("sparse_doc_knn", textops.sparse_doc_knn, textops.SQL_SPARSE_DOC_KNN),
+    # round 15 (verdict item 7): WAND-style pruned serving tier — each
+    # doc keeps its TOP_R highest-IDF postings — plus its measured
+    # recall gate, mirroring the exact/approx ladder every other
+    # similarity family carries
+    ("sparse_doc_knn_approx", textops.sparse_doc_knn_approx, textops.SQL_SPARSE_DOC_KNN_APPROX),
+    ("sparse_doc_knn_recall", textops.sparse_doc_knn_recall, textops.SQL_SPARSE_DOC_KNN_RECALL),
 ]
 _ANALYTICS.extend(_LLM_EXTRA)
 
@@ -250,36 +256,71 @@ for _name, _fn, _sql in _LLM_PIPELINE:
     ORACLES[_name] = _sql
 
 
-# --- rows-only entries (no SQL-expressible oracle; driver records the
-# weaker rows-only check) ----------------------------------------------------
+# --- bounded-error sketch tiers (round-14 verdict item 4) --------------------
+# Sketch VALUES are engine-specific (DuckDB's approx_quantile /
+# approx_count_distinct are different sketches), so these queries emit
+# only engine-portable columns — group keys, exact counterparts, and a
+# boolean verdict that the sketch landed within its PUBLISHED error
+# contract — which the DuckDB twin asserts TRUE. The sketch runs
+# Spark-side inside the plan; an out-of-contract sketch hash-mismatches
+# (false vs TRUE) instead of passing silently.
+
+HLL_RSD = 0.02  # approx_count_distinct relative standard deviation
+# acceptance bound in sigmas of the published rsd: HLL++'s rsd is the
+# standard error of the estimate; 3 sigma + 2 absolute (tiny-cardinality
+# slack) is far outside any plausible deviation (measured 0.0-0.2 sigma
+# at sf0.01/sf0.1) while still failing on a broken sketch
+HLL_BOUND_SIGMAS = 3.0
 
 
-@register("kpi_daily_approx_p90")
+@register(
+    "kpi_daily_approx_p90",
+    _LOG_CTES + kpi_ops.sql_kpi_daily_p90_bound(),
+)
 def q_kpi_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 at the 100 TB tier: percentile_approx (mergeable KLL-style
-    sketch, bounded memory) instead of the exact sort-based percentile.
-    No oracle: DuckDB's approx_quantile is a different sketch with
-    different outputs — approximate answers are engine-specific by
-    nature (SURVEY §4.3 trap 4)."""
-    return kpi_ops.kpi_daily(_events_clean_log(spark, sf_dir), exact_percentile=False)
+    sketch, bounded memory) instead of the exact sort-based percentile —
+    certified against the sketch's published rank-error contract
+    (eps = 1/accuracy); see kpi_ops.kpi_daily_p90_bound."""
+    return kpi_ops.kpi_daily_p90_bound(_events_clean_log(spark, sf_dir))
 
 
-@register("events_distinct_users_approx")
+@register(
+    "events_distinct_users_approx",
+    """
+SELECT event_type,
+  count(*) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  TRUE AS hll_in_bound
+FROM events
+GROUP BY event_type
+ORDER BY event_type""",
+)
 def q_events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB tier of events_distinct_users: approx_count_distinct
     (HyperLogLog++, bounded memory, mergeable across partitions) instead
-    of the exact distinct, which shuffles every distinct key. No oracle:
-    DuckDB's approx_count_distinct is a different HLL implementation with
-    different estimates — sketch outputs are engine-specific, like
-    kpi_daily_approx_p90."""
+    of the exact distinct, which shuffles every distinct key. Certified
+    against the sketch's published error contract: rsd is the standard
+    error of the HLL++ estimate, so |approx - exact| must be within
+    HLL_BOUND_SIGMAS * rsd * exact (+2 absolute for tiny cardinalities).
+    The estimate itself is deterministic for a fixed dataset (hash-based,
+    no RNG), so the verdict is stable across runs; the exact count rides
+    along and is hash-certified against DuckDB."""
     from pyspark.sql import functions as F
 
+    approx = F.approx_count_distinct("user_id", rsd=HLL_RSD)
+    exact = F.count_distinct(F.col("user_id"))
+    in_bound = (
+        F.abs(approx.cast("double") - exact.cast("double"))
+        <= F.lit(HLL_BOUND_SIGMAS * HLL_RSD) * exact.cast("double") + F.lit(2.0)
+    )
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.count(F.lit(1)).alias("n_events"),
+            exact.alias("n_users"),
+            in_bound.alias("hll_in_bound"),
         )
         .orderBy("event_type")
     )
@@ -419,12 +460,15 @@ def _ensure_staged(path: str, write_fn) -> None:
                 shutil.rmtree(tmp, ignore_errors=True)
 
 
-@register("customer_value_deciles_approx")
+@register(
+    "customer_value_deciles_approx",
+    analytics.SQL_CUSTOMER_VALUE_DECILES_APPROX,
+)
 def q_customer_value_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB tier of customer_value_deciles: sketch cut points
-    applied map-side instead of a global ntile sort. No oracle: DuckDB's
-    approx_quantile is a different sketch — engine-specific outputs, same
-    contract as kpi_daily_approx_p90."""
+    applied map-side instead of a global ntile sort — certified against
+    the cut points' published rank-error contract (bucket deviation
+    <= 2*(eps*N + max_tie + 1)); see analytics.customer_value_deciles_approx."""
     return analytics.customer_value_deciles_approx(spark, sf_dir)
 
 
@@ -1194,6 +1238,9 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "token_drift": 14,
     "sparse_doc_knn": 14,
     "dedup_edit_probe_stream": 14,
+    # round-15 registrations — never certified, auto-enter the r15 window
+    "sparse_doc_knn_approx": None,
+    "sparse_doc_knn_recall": None,
 }
 
 
@@ -1217,6 +1264,16 @@ _TOUCHED_THIS_ROUND: list[str] = [
     # builds a corpus-side bucket expression bound to meta's own nlen
     # (was an unbound name-coincidence rebind) — probe plan re-certified:
     "dedup_edit_probe_stream",
+    # round-14 verdict item 4: the three sketch tiers upgraded from
+    # rows-only to bounded-error certification — new output surface
+    # (exact counterparts + in-contract boolean) and first-ever oracles:
+    "kpi_daily_approx_p90",
+    "events_distinct_users_approx",
+    "customer_value_deciles_approx",
+    # round-15 verdict item 7: the exact sparse tier now routes through
+    # the shared _sparse_knn_frame (top_r=None) — plan intended
+    # byte-identical, re-certified anyway per the touched discipline:
+    "sparse_doc_knn",
 ]
 
 # Round-15 projection (ledger after r14, verified against the

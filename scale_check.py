@@ -148,6 +148,9 @@ LLM_TIER = [
     "dedup_edit_distance",
     "sparse_doc_knn",
     "token_drift",
+    # round-15: the WAND-pruned sparse serving tier (top-R postings per
+    # doc) — same linearity argument as sparse_doc_knn
+    "sparse_doc_knn_approx",
 ]
 
 # bump when the replica construction changes: a marker whose content
@@ -328,6 +331,10 @@ HUNDRED_TIER = [
     "dedup_edit_distance",
     "sparse_doc_knn",
     "token_drift",
+    # round-15 (verdict item 7): the WAND-pruned serving tier — same
+    # plan as sparse_doc_knn over top-R postings per doc; measured 2.2x
+    # cheaper than the exact tier at this replica (47.6 vs 103.5 s warm)
+    "sparse_doc_knn_approx",
 ]
 
 

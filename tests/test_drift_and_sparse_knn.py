@@ -132,3 +132,103 @@ def test_token_drift_fails_loudly_on_a_single_source_corpus(spark, tmp_path):
     one.coalesce(1).write.parquet(f"{sf1}/documents.parquet")
     with pytest.raises(SparkRuntimeException, match="token_drift needs >= 2 sources"):
         token_drift(spark, sf1).collect()
+
+
+def test_sparse_knn_approx_matches_brute_force_in_the_pruned_space(spark):
+    """The pruned tier is the exact tier's algorithm over the top-R
+    highest-IDF postings per doc: rebuild that pruned space in plain
+    Python and its top-K must equal the operator's output exactly."""
+    from prueba_tecnica_http_client_etl_spark.operators.textops import (
+        SPARSE_KNN_TOP_R,
+        sparse_doc_knn_approx,
+    )
+
+    posts = lsh_shingle_postings(spark, SF).select("doc_id", "s").collect()
+    df_count = defaultdict(int)
+    for r in posts:
+        df_count[r.s] += 1
+    w = {
+        s: SPARSE_IDF_SCALE // (d + 1)
+        for s, d in df_count.items()
+        if 2 <= d <= SPARSE_KNN_DF_CAP
+    }
+    docs = defaultdict(dict)
+    for r in posts:
+        if r.s in w:
+            docs[r.doc_id][r.s] = w[r.s]
+    # per-doc top-R prune (w desc, shingle asc — the operator's tie-break)
+    pruned = {
+        d: dict(sorted(vec.items(), key=lambda kv: (-kv[1], kv[0]))[:SPARSE_KNN_TOP_R])
+        for d, vec in docs.items()
+    }
+    by_shingle = defaultdict(list)
+    for d, vec in pruned.items():
+        for s in vec:
+            by_shingle[s].append(d)
+    n2 = {d: sum(x * x for x in vec.values()) for d, vec in pruned.items()}
+    dots = defaultdict(int)
+    for s, members in by_shingle.items():
+        ws2 = w[s] * w[s]
+        for i, da in enumerate(members):
+            for db in members[i + 1 :]:
+                key = (min(da, db), max(da, db))
+                dots[key] += ws2
+    per_doc = defaultdict(list)
+    for (da, db), dot in dots.items():
+        ca = dot / (n2[da] * n2[db]) ** 0.5
+        per_doc[da].append((-ca, db, dot))
+        per_doc[db].append((-ca, da, dot))
+    expected = {}
+    for d, lst in per_doc.items():
+        lst.sort()
+        expected[d] = [(nb, dot) for _, nb, dot in lst[:SPARSE_KNN_TOPK]]
+    got = defaultdict(list)
+    for r in sparse_doc_knn_approx(spark, SF).collect():
+        got[r.doc_id].append((r.neighbor_id, r.dot))
+        assert r.rank == len(got[r.doc_id])
+    assert got == expected
+
+
+def test_sparse_knn_recall_gate_is_the_set_intersection(spark):
+    """recall_at_5 must equal |exact ∩ approx| / |exact| per doc, over
+    docs that HAVE exact neighbors — recomputed from the two tiers."""
+    from prueba_tecnica_http_client_etl_spark.operators.textops import (
+        sparse_doc_knn_approx,
+        sparse_doc_knn_recall,
+    )
+
+    ex, ap = defaultdict(set), defaultdict(set)
+    for r in sparse_doc_knn(spark, SF).collect():
+        ex[r.doc_id].add(r.neighbor_id)
+    for r in sparse_doc_knn_approx(spark, SF).collect():
+        ap[r.doc_id].add(r.neighbor_id)
+    rows = {r.doc_id: r for r in sparse_doc_knn_recall(spark, SF).collect()}
+    assert set(rows) == set(ex)
+    mean = 0.0
+    for d, exact_set in ex.items():
+        hits = len(exact_set & ap.get(d, set()))
+        assert rows[d].n_hits == hits
+        assert abs(rows[d].recall_at_5 - hits / len(exact_set)) < 1e-9
+        mean += hits / len(exact_set)
+    # the pinned R's measured quality floor (0.8085 at sf0.1; sf0.01 is
+    # in the same band) — a blocking/weighting regression shows up here
+    assert mean / len(ex) > 0.70
+
+
+def test_sparse_knn_approx_never_broadcasts_corpus_sized_frames(spark):
+    """Same audit as the exact tier: every join input scales with the
+    corpus (pruned postings, norms, pair sets) — none may ride a
+    BroadcastExchange off a small cached-size estimate."""
+    from prueba_tecnica_http_client_etl_spark.operators.textops import (
+        sparse_doc_knn_approx,
+    )
+
+    plan = (
+        sparse_doc_knn_approx(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
