@@ -52,9 +52,17 @@ DOC_SCHEMA = "doc_id long, text string"
 def _prepped_batch(docs: DataFrame) -> DataFrame:
     """(doc_id, norm, nlen, n_sh, sh) from a raw (doc_id, text)
     micro-batch — the same normalize/shingle expressions as
-    docs_normalized, applied to streaming rows."""
+    docs_normalized, applied to streaming rows.
+
+    The sized repartition below the lambda columns is the
+    docs_normalized discipline: a replayed batch arrives as ONE file =
+    one input partition, and without the spread every interpreted
+    normalize/shingle lambda would run in a single task."""
+    from ..session import default_parallelism
+
     return (
-        docs.withColumn("norm", F.expr(tp.SPARK_NORM))
+        docs.repartition(default_parallelism(), F.col("doc_id"))
+        .withColumn("norm", F.expr(tp.SPARK_NORM))
         .withColumn("toks", F.expr(tp.SPARK_TOKS))
         .withColumn("sh", F.expr(tp.SPARK_SHINGLES))
         .select(
@@ -72,7 +80,23 @@ def _prepped_batch(docs: DataFrame) -> DataFrame:
 def probe_edit_batch(spark: SparkSession, batch: DataFrame, sf_dir: str) -> DataFrame:
     """Edit-near-dup hits of one prepped micro-batch against the frozen
     corpus artifacts: (doc_id, neighbor_id, len_self, len_neighbor,
-    edit_distance), self-pairs excluded."""
+    edit_distance), self-pairs excluded.
+
+    The batch is pool-persisted here because FOUR consumers read it
+    (shingle explode, token tier, ultra tier, verify side) and its
+    normalize/shingle lambdas are the per-row cost: without the persist,
+    Catalyst pushes each tier's computed-column filter (n_sh, n_dtok)
+    below the batch's repartition and re-runs the whole interpreted
+    lambda chain in the scan's single input task — the round-3
+    explode-generator trap, rediscovered by the round-15 probe profile
+    (the token tier alone was 11.6 of the 12.5 s one-shot probe; with
+    the persist the one-shot probe is 2.7 s and the registered stream
+    query dropped 4.8 -> 2.7 s warm). The stream runner drains the pool
+    after every micro-batch (drain_pool_per_batch), so state stays
+    bounded in a continuous ingest loop."""
+    from ..functions.cachepool import managed_persist
+
+    batch = managed_persist(batch)
     k = EDIT_MAX_DIST
     post = _edit_postings(spark, sf_dir).select(
         F.col("doc_id").alias("neighbor_id"), F.col("nlen").alias("lb"), "s"
