@@ -100,7 +100,14 @@ def kpi_daily_p90_bound(clean_log: DataFrame) -> DataFrame:
     certification cost, paid at gate scale; the production sketch tier
     at 100 TB runs percentile_approx alone — bounded memory, mergeable
     map-side — with this query as its standing contract check.)"""
+    from ..functions.cachepool import managed_persist
+
     keys = ["date_utc", "endpoint_base"]
+    # two consumers read the cleaned log (the grouped sketch/exact pass
+    # and the rank-count join-back): persist it once — the interpreted
+    # log-line parse is the query's dominant cost, and without the pool
+    # persist it ran twice (bench: 5.5 -> ~3 s warm at sf0.1)
+    clean_log = managed_persist(clean_log)
     grp = clean_log.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("requests_total"),
         round2(F.percentile(F.col("elapsed_ms"), F.lit(0.9))).alias("p90_exact"),

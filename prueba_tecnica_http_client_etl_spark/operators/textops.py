@@ -888,11 +888,20 @@ def sparse_doc_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_lsh_recall, ann_*_recall). Output: (doc_id, n_hits,
     recall_at_5) over docs that HAVE exact neighbors; oracle composes the
     two tiers' SQL twins. At 100 TB the gate runs on a sampled doc set
-    the same way the dense recall audits do."""
-    from ..functions.cachepool import managed_persist
+    the same way the dense recall audits do.
 
-    exact = managed_persist(
-        sparse_doc_knn(spark, sf_dir).select("doc_id", "neighbor_id")
+    The exact ground truth is a TRAINED ARTIFACT (the
+    ann_ground_truth_topk pattern): a production recall audit
+    precomputes and versions the exact neighbor set once per corpus
+    snapshot, then gates the serving tier against that table — and the
+    checkpointed frame feeds both the hits join and the denominator
+    without a per-call persist. sparse_doc_knn itself never reads the
+    artifact (a query is never served its own output)."""
+    from ..functions.artifacts import artifact_key, trained_artifact
+
+    exact = trained_artifact(
+        artifact_key("sparse_knn_ground_truth", spark, sf_dir, "documents"),
+        lambda: sparse_doc_knn(spark, sf_dir).select("doc_id", "neighbor_id"),
     )
     approx = sparse_doc_knn_approx(spark, sf_dir).select("doc_id", "neighbor_id")
     hits = (

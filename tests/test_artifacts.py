@@ -36,6 +36,9 @@ def test_memoized_equals_fresh(spark):
         dsir_sample,
         lm_bigram_score,
     )
+    from prueba_tecnica_http_client_etl_spark.operators.textops import (
+        sparse_doc_knn_recall as _sparse_recall,
+    )
 
     for fn in (
         dedup_components,
@@ -46,6 +49,8 @@ def test_memoized_equals_fresh(spark):
         lm_bigram_score,
         # the DSIR acceptance-plan artifact via the batch selector
         dsir_sample,
+        # the sparse exact-neighbor ground truth via its recall gate
+        _sparse_recall,
     ):
         A.clear()
         drain()
