@@ -894,7 +894,21 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The length filter rides along for free: J(A,B) >= t forces
     |A| >= t*|B|, so candidates with incompatible sizes are dropped
-    before the verify join touches arrays."""
+    before the verify join touches arrays.
+
+    The verify runs in the 60-BIT HASHED DOMAIN (round 15): the
+    candidate pair rows carry each side's shingle set through a
+    pair-keyed shuffle, and at 100x that shuffle was the whole query —
+    22.6M surviving candidates x two ~2 KB STRING arrays ~ 45 GB,
+    214.8 s (BASELINE.md round-9 table). Hashing each shingle once in a
+    per-snapshot artifact (the same 'pf:' u60 the prefix selection
+    already uses) shrinks the carried payload to long arrays;
+    intersection/union sizes are computed on the hashes. Both engines
+    hash identically, so oracle parity is exact including any
+    (~2^-60-probability) collision; a within-pair collision altering
+    the count at all is negligible odds at any corpus size, and the
+    byte-equality test against the unfiltered dedup_ngram_jaccard
+    remains the standing check."""
     t = NGRAM_JACCARD_THRESHOLD
     base = (
         lsh_shingles(spark, sf_dir)
@@ -934,8 +948,17 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_a", "doc_b")
         .distinct()
     )
-    x = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    y = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    u60 = tp.spark_u60_of("concat('pf:', s)")
+    hxa = _corpus_sized(
+        trained_artifact(
+            artifact_key("jaccard_verify_hx", spark, sf_dir, "documents"),
+            lambda: base.select(
+                "doc_id", F.expr(f"transform(sh, s -> {u60})").alias("shx")
+            ),
+        )
+    )
+    x = hxa.select(F.col("doc_id").alias("doc_a"), F.col("shx").alias("sh_a"))
+    y = hxa.select(F.col("doc_id").alias("doc_b"), F.col("shx").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
@@ -975,11 +998,11 @@ cand AS (
 ),
 verified AS (
   SELECT cand.lang, doc_a, doc_b,
-         len(list_intersect(x.sh, y.sh))::DOUBLE
-           / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard_raw
+         len(list_intersect(x.hx, y.hx))::DOUBLE
+           / len(list_distinct(list_concat(x.hx, y.hx))) AS jaccard_raw
   FROM cand
-  JOIN sh_t x ON x.doc_id = cand.doc_a
-  JOIN sh_t y ON y.doc_id = cand.doc_b
+  JOIN hx_t x ON x.doc_id = cand.doc_a
+  JOIN hx_t y ON y.doc_id = cand.doc_b
 )
 SELECT lang, doc_a, doc_b, {sql_roundn('jaccard_raw', 4)} AS jaccard
 FROM verified

@@ -1274,6 +1274,10 @@ _TOUCHED_THIS_ROUND: list[str] = [
     # the shared _sparse_knn_frame (top_r=None) — plan intended
     # byte-identical, re-certified anyway per the touched discipline:
     "sparse_doc_knn",
+    # round-15 perf: verify moved to the 60-bit hashed domain (new
+    # jaccard_verify_hx artifact; oracle hashes identically) — 100x
+    # 214.8 -> 54.6 s warm, output byte-equal to dedup_ngram_jaccard:
+    "dedup_jaccard_prefix",
 ]
 
 # Round-15 projection (ledger after r14, verified against the
