@@ -1015,9 +1015,16 @@ def customer_value_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     multiplicity of any per-customer spend, computed in-plan. The emitted
     columns are engine-portable: decile 1..10, the exact customer count,
     and the boolean verdict the DuckDB twin asserts TRUE."""
+    from ..functions.cachepool import managed_persist
+
     orders = _t(spark, sf_dir, "orders")
     spend_cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-    per_cust = orders.groupBy("o_custkey").agg(F.sum(spend_cents).alias("spend_cents"))
+    # three consumers read the per-customer spend table (the cuts
+    # sketch, the bucket-count join, and the tie/n_total scalars):
+    # persist it once, drained at the next registry query
+    per_cust = managed_persist(
+        orders.groupBy("o_custkey").agg(F.sum(spend_cents).alias("spend_cents"))
+    )
     cuts = per_cust.agg(
         F.percentile_approx(
             "spend_cents", [i / 10 for i in range(1, 10)], DECILE_APPROX_ACCURACY

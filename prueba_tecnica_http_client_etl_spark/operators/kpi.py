@@ -156,10 +156,12 @@ ORDER BY date_utc, endpoint_base"""
 def sql_kpi_daily_select(source: str = "clean_log", include_p90: bool = True) -> str:
     """DuckDB twin of kpi_daily (depends on a clean_log CTE/view).
 
-    include_p90=False is the kpi_daily_stream oracle: the stream's p90 is
-    a percentile_approx sketch (engine-specific output, same rationale as
-    kpi_daily_approx_p90 having no oracle), so the driver-certified
-    projection is the 8 exact columns."""
+    include_p90=False is the kpi_daily_stream oracle: the stream's p90
+    is a percentile_approx sketch whose VALUE is engine-specific, so the
+    stream's driver-certified projection is the 8 exact columns. (The
+    batch sketch tier kpi_daily_approx_p90 is certified differently —
+    via kpi_daily_p90_bound's in-plan rank-error contract check; the
+    per-micro-batch stream does not pay that rank join.)"""
     avg2 = sql_round2(sql_exact_avg("elapsed_ms", 100))
     p902 = sql_round2("quantile_cont(elapsed_ms, 0.9)")
     p90_line = f",\n  {p902} AS p90_elapsed_ms" if include_p90 else ""

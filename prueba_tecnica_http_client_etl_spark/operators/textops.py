@@ -925,7 +925,23 @@ def sparse_doc_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_sparse_knn() -> str:
+def _sql_sparse_knn(top_r: int | None = None) -> str:
+    """DuckDB twin builder shared by the exact (top_r=None) and pruned
+    (top_r=R) tiers — one scoring pipeline, mirroring _sparse_knn_frame,
+    so an edit to the shared SQL can never diverge the two oracles."""
+    prune = (
+        f""",
+wpost AS (
+  SELECT doc_id, s, w FROM (
+    SELECT doc_id, s, w,
+           row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, s) AS pr
+    FROM wfull
+  ) WHERE pr <= {top_r}
+)"""
+        if top_r is not None
+        else ""
+    )
+    base_name = "wfull" if top_r is not None else "wpost"
     return f"""
 WITH {DUCK_DOCS_CTE},
 post AS (SELECT doc_id, unnest(sh) AS s FROM sh_t),
@@ -933,10 +949,10 @@ df_t AS (
   SELECT s, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY s
   HAVING count(*) BETWEEN 2 AND {SPARSE_KNN_DF_CAP}
 ),
-wpost AS (
+{base_name} AS (
   SELECT doc_id, post.s, {SPARSE_IDF_SCALE} // (df + 1) AS w
   FROM post JOIN df_t ON post.s = df_t.s
-),
+){prune},
 n2 AS (
   SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM wpost GROUP BY doc_id
 ),
@@ -966,52 +982,7 @@ ORDER BY doc_id, rank"""
 
 
 SQL_SPARSE_DOC_KNN = _sql_sparse_knn()
-
-SQL_SPARSE_DOC_KNN_APPROX = f"""
-WITH {DUCK_DOCS_CTE},
-post AS (SELECT doc_id, unnest(sh) AS s FROM sh_t),
-df_t AS (
-  SELECT s, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY s
-  HAVING count(*) BETWEEN 2 AND {SPARSE_KNN_DF_CAP}
-),
-wfull AS (
-  SELECT doc_id, post.s, {SPARSE_IDF_SCALE} // (df + 1) AS w
-  FROM post JOIN df_t ON post.s = df_t.s
-),
-wpost AS (
-  SELECT doc_id, s, w FROM (
-    SELECT doc_id, s, w,
-           row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, s) AS pr
-    FROM wfull
-  ) WHERE pr <= {SPARSE_KNN_TOP_R}
-),
-n2 AS (
-  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM wpost GROUP BY doc_id
-),
-half AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(sum(a.w * b.w) AS BIGINT) AS dot
-  FROM wpost a JOIN wpost b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-sym AS (
-  SELECT doc_a, doc_b, dot FROM half
-  UNION ALL
-  SELECT doc_b AS doc_a, doc_a AS doc_b, dot FROM half
-),
-scored AS (
-  SELECT doc_a, doc_b, dot,
-         CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine_raw
-  FROM sym JOIN n2 na ON doc_a = na.doc_id JOIN n2 nb ON doc_b = nb.doc_id
-),
-ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY doc_a ORDER BY cosine_raw DESC, doc_b) AS rank
-  FROM scored
-)
-SELECT doc_a AS doc_id, rank, doc_b AS neighbor_id, dot,
-       {sql_roundn('cosine_raw', 6)} AS cosine
-FROM ranked WHERE rank <= {SPARSE_KNN_TOPK}
-ORDER BY doc_id, rank"""
-
+SQL_SPARSE_DOC_KNN_APPROX = _sql_sparse_knn(SPARSE_KNN_TOP_R)
 
 SQL_SPARSE_DOC_KNN_RECALL = f"""
 WITH exact AS (

@@ -484,8 +484,10 @@ def q_kpi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-equal to the batch kpi_daily (integer partial sums + cents
     fixed-point avg are mergeable across micro-batches, asserted by
     tests/test_streaming.py), so the batch oracle SQL certifies them; the
-    sketch p90 column is projected out of the certified surface
-    (engine-specific output, like kpi_daily_approx_p90)."""
+    sketch p90 column is projected out of the certified surface (its
+    VALUE is engine-specific; the batch tier kpi_daily_approx_p90
+    certifies the sketch's rank-error CONTRACT instead — the stream does
+    not pay that per-micro-batch rank join)."""
     from .streaming import kpi_stream as KS
 
     tmp, tag = _stream_staging_path(sf_dir, "kpi_stream_in", "events")
