@@ -71,6 +71,10 @@ FLAGSHIPS = [
     "latest_event_per_user",
     "dedup_exact",
     "quality_score",
+    # round-15: the bounded-error p90 certification — its rank-count
+    # join-back (|groups|-row broadcast onto the log) is a new shape
+    # that deserves its own scale point
+    "kpi_daily_approx_p90",
 ]
 
 # the LLM tier measured on the structure-preserving replica (judge
