@@ -33,21 +33,26 @@ def _p90_in_bound(values, v):
 
 @settings(max_examples=200, deadline=None)
 @given(st.lists(st.integers(0, 50), min_size=1, max_size=400))
-def test_p90_predicate_accepts_every_contract_compliant_element(values):
-    """Soundness: ANY element whose rank interval touches the published
-    band [(0.9-eps)N, (0.9+eps)N] must be accepted — i.e. a sketch that
-    honors its contract can never fail certification (no false alarms),
-    including under heavy ties where one value owns a wide rank run."""
+def test_p90_predicate_is_the_interval_overlap(values):
+    """The acceptance predicate must equal an INDEPENDENTLY formulated
+    interval-overlap test: v's rank interval [cnt_lt+1, cnt_le] (every
+    rank v occupies under ties) intersects the acceptance band
+    [0.9N - epsN - 1, 0.9N + epsN + 1] iff max(lo) <= min(hi). The
+    operator's two-inequality form and this max/min form are different
+    expressions of the same set — a flipped fudge term or inverted band
+    in either breaks the equality. Also: the exact p90 order statistic
+    (rank ceil(0.9N)) must always be accepted (a contract-honoring
+    sketch can never fail certification), including under heavy ties."""
     n = len(values)
     s = sorted(values)
-    lo = (0.9 - EPS_P90) * n - 1.0
-    hi = (0.9 + EPS_P90) * n + 1.0
+    band_lo = 0.9 * n - EPS_P90 * n - 1.0
+    band_hi = 0.9 * n + EPS_P90 * n + 1.0
     for v in set(values):
         cnt_lt = sum(1 for x in values if x < v)
         cnt_le = sum(1 for x in values if x <= v)
-        touches = cnt_le >= lo and cnt_lt + 1 <= hi
-        assert _p90_in_bound(values, v) == touches
-        # the true exact p90 order statistic always touches the band
+        overlap = max(float(cnt_lt + 1), band_lo) <= min(float(cnt_le), band_hi)
+        assert _p90_in_bound(values, v) == overlap, (v, cnt_lt, cnt_le, n)
+    # the true exact p90 order statistic always touches the band
     k = max(0, min(n - 1, math.ceil(0.9 * n) - 1))
     assert _p90_in_bound(values, s[k])
 
