@@ -1039,8 +1039,12 @@ def customer_value_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("decile")
         .agg(F.count(F.lit(1)).alias("n_bucket"))
     )
+    # coalesce: over an EMPTY orders table sum/max aggregate to NULL,
+    # but DuckDB's count(*) twin yields 0 — both engines must emit the
+    # same 10-row all-empty-bucket result on the degenerate corpus
     scal = per_cust.groupBy("spend_cents").agg(F.count(F.lit(1)).alias("m")).agg(
-        F.sum("m").alias("n_total"), F.max("m").alias("max_tie")
+        F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("n_total"),
+        F.coalesce(F.max("m"), F.lit(0)).cast("long").alias("max_tie"),
     )
     eps = 1.0 / DECILE_APPROX_ACCURACY
     slack = 2.0 * (eps * F.col("n_total").cast("double") + F.col("max_tie") + 1)

@@ -130,3 +130,30 @@ def test_decile_bound_true_on_distinct_spends(spark):
     assert [r.decile for r in rows] == list(range(1, 11))
     assert all(r.count_in_bound for r in rows)
     assert len({r.n_total for r in rows}) == 1
+
+
+def test_decile_bound_on_an_empty_orders_table(spark, tmp_path):
+    """Degenerate corpus: zero orders. Both engines must emit the same
+    10-row frame (n_total 0, empty buckets trivially in bound) — Spark's
+    sum/max aggregate to NULL over zero rows where DuckDB's count(*)
+    yields 0, so the operator coalesces."""
+    import duckdb
+
+    empty = spark.createDataFrame([], "o_custkey long, o_totalprice double")
+    sf = str(tmp_path / "empty_orders")
+    empty.write.parquet(f"{sf}/orders.parquet")
+    rows = customer_value_deciles_approx(spark, sf).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert all(r.n_total == 0 and r.count_in_bound for r in rows)
+    from prueba_tecnica_http_client_etl_spark.operators.analytics import (
+        SQL_CUSTOMER_VALUE_DECILES_APPROX,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet/*.parquet')"
+    )
+    drows = con.sql(SQL_CUSTOMER_VALUE_DECILES_APPROX).fetchall()
+    assert [(r.decile, r.n_total, r.count_in_bound) for r in rows] == [
+        (int(d), int(n), bool(b)) for d, n, b in drows
+    ]
