@@ -645,18 +645,24 @@ def token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("r") == 2, 1).otherwise(0)).cast("long").alias("count_second"),
         )
     )
-    # Fail-loud degenerate-corpus guard (round-14 ADVICE): with fewer than
-    # two sources n_second is NULL and every drift would be NULL — the
-    # ranking would silently order on NULLs. assert_true on the
-    # always-1-row aggregate (the broadcast side) follows the lazy-guard
-    # pattern of similarity._pq_codebook; the DuckDB twin carries the
-    # same check via error(), so both engines fail identically.
+    # Fail-loud degenerate-corpus guard (round-14 ADVICE): with exactly
+    # ONE token-bearing source n_second is NULL and every drift would be
+    # NULL — the ranking would silently order on NULLs. assert_true on
+    # the always-1-row aggregate (the broadcast side) follows the
+    # lazy-guard pattern of similarity._pq_codebook; the DuckDB twin
+    # carries the same check via error(), so both engines fail
+    # identically. The condition is "n_top set but n_second missing" —
+    # NOT "either missing": over an EMPTY corpus both are NULL and both
+    # engines must return the empty result instead of raising (the
+    # empty case cannot rely on AQE's empty-relation propagation
+    # silencing the guard — that is an optimizer artifact, not a
+    # contract).
     scalars = top2.groupBy().agg(
         F.max(F.when(F.col("r") == 1, F.col("n_tok"))).alias("n_top"),
         F.max(F.when(F.col("r") == 2, F.col("n_tok"))).alias("n_second"),
     ).where(
         F.assert_true(
-            F.col("n_top").isNotNull() & F.col("n_second").isNotNull(),
+            F.col("n_top").isNull() | F.col("n_second").isNotNull(),
             F.lit("token_drift needs >= 2 sources with non-stopword tokens"),
         ).isNull()
     )
@@ -708,7 +714,7 @@ scalars AS (
     SELECT max(CASE WHEN r = 1 THEN n_tok END) AS n_top,
            max(CASE WHEN r = 2 THEN n_tok END) AS n_second
     FROM top2
-  ) WHERE CASE WHEN n_top IS NULL OR n_second IS NULL
+  ) WHERE CASE WHEN n_top IS NOT NULL AND n_second IS NULL
           THEN error('token_drift needs >= 2 sources with non-stopword tokens')
           ELSE TRUE END
 ),
