@@ -2150,13 +2150,22 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.portable import salted
     from .dedup import dedup_minhash_lsh, lsh_shingles
 
+    from ..functions.cachepool import managed_persist
+
     u = salted("split", F.col("digest")) % 100
-    asg = lsh_shingles(spark, sf_dir).select(
-        "doc_id",
-        F.when(u < SPLIT_TRAIN_PCT, F.lit("train"))
-        .when(u < SPLIT_VAL_PCT, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
+    # two consumers (the doc_a and doc_b joins) read the assignment
+    # map, and the shingle artifact's checkpointed rows are WIDE (the
+    # sh arrays ride along — checkpoint storage has no column pruning):
+    # persist the lean (doc_id, split) projection once so the second
+    # join reads ~50 B rows instead of re-scanning ~KB-wide blocks
+    asg = managed_persist(
+        lsh_shingles(spark, sf_dir).select(
+            "doc_id",
+            F.when(u < SPLIT_TRAIN_PCT, F.lit("train"))
+            .when(u < SPLIT_VAL_PCT, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
     )
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     j = (

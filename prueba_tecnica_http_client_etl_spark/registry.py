@@ -1280,6 +1280,9 @@ _TOUCHED_THIS_ROUND: list[str] = [
     # jaccard_verify_hx artifact; oracle hashes identically) — 100x
     # 214.8 -> 54.6 s warm, output byte-equal to dedup_ngram_jaccard:
     "dedup_jaccard_prefix",
+    # round-15 perf: the split-assignment map is pool-persisted (two
+    # join consumers re-scanned the wide shingle checkpoint):
+    "split_leakage_check",
 ]
 
 # Round-15 projection (ledger after r14, verified against the
