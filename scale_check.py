@@ -71,10 +71,12 @@ FLAGSHIPS = [
     "latest_event_per_user",
     "dedup_exact",
     "quality_score",
-    # round-15: the bounded-error p90 certification — its rank-count
-    # join-back (|groups|-row broadcast onto the log) is a new shape
-    # that deserves its own scale point
+    # round-15: the three bounded-error sketch certifications — the
+    # rank-count join-back, the exact+HLL dual aggregate, and the
+    # cut-point bucket audit are new shapes that deserve scale points
     "kpi_daily_approx_p90",
+    "events_distinct_users_approx",
+    "customer_value_deciles_approx",
 ]
 
 # the LLM tier measured on the structure-preserving replica (judge
