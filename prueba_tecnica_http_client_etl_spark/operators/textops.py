@@ -773,25 +773,38 @@ SPARSE_KNN_TOP_R = 32
 
 
 def _sparse_wpost(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s, w) — the full IDF-weighted posting table both sparse
-    k-NN tiers read (unpersisted; callers pool-persist their copy).
-    Every frame derived from it scales with the corpus (qualifying-
-    shingle count, posting rows, per-doc norms) — merge hints keep
-    Catalyst from auto-broadcasting them off small cached-size
-    estimates, the same 100 TB hazard _corpus_sized documents for the
-    artifact frames (measured here: without hints the planner broadcast
-    the weight table, one side of the posting self-join AND the norms)."""
-    from .dedup import lsh_shingle_postings
+    """(doc_id, s, w) — the full IDF-weighted posting table, a TRAINED
+    ARTIFACT per snapshot (round 15): the df counting pass + weight join
+    run once per corpus, and all three sparse k-NN queries (exact,
+    pruned, recall gate) read the same checkpointed lean rows — the
+    inverted index a production pipeline maintains at ingest, exactly
+    like the LSH shingle/band artifacts. Every frame derived from it
+    scales with the corpus (qualifying-shingle count, posting rows,
+    per-doc norms) — merge hints keep Catalyst from auto-broadcasting
+    them off small cached-size estimates, the same 100 TB hazard
+    _corpus_sized documents for the artifact frames (measured here:
+    without hints the planner broadcast the weight table, one side of
+    the posting self-join AND the norms). Checkpointed = multi-branch
+    safe: consumers must NOT pool it (no lineage)."""
+    from ..functions.artifacts import artifact_key, trained_artifact
+    from .dedup import _corpus_sized, lsh_shingle_postings
 
-    post = lsh_shingle_postings(spark, sf_dir).select("doc_id", "s")
-    df_t = (
-        post.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= SPARSE_KNN_DF_CAP))
-        .withColumn("w", F.expr(f"{SPARSE_IDF_SCALE} div (df + 1)"))
-        .hint("merge")
+    def _build() -> DataFrame:
+        post = lsh_shingle_postings(spark, sf_dir).select("doc_id", "s")
+        df_t = (
+            post.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter((F.col("df") >= 2) & (F.col("df") <= SPARSE_KNN_DF_CAP))
+            .withColumn("w", F.expr(f"{SPARSE_IDF_SCALE} div (df + 1)"))
+            .hint("merge")
+        )
+        return post.join(df_t.select("s", "w"), "s")
+
+    return _corpus_sized(
+        trained_artifact(
+            artifact_key("sparse_wpost", spark, sf_dir, "documents"), _build
+        )
     )
-    return post.join(df_t.select("s", "w"), "s")
 
 
 def _sparse_knn_frame(spark: SparkSession, sf_dir: str, top_r: int | None) -> DataFrame:
@@ -804,14 +817,18 @@ def _sparse_knn_frame(spark: SparkSession, sf_dir: str, top_r: int | None) -> Da
     wp = _sparse_wpost(spark, sf_dir)
     if top_r is not None:
         wr = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("s"))
-        wp = (
+        # the pruned projection is DERIVED per query (cheap window over
+        # the artifact) and pool-persisted for its three consumers; the
+        # artifact frame itself is checkpointed and must not be pooled
+        wp = managed_persist(
             wp.withColumn("pr", F.row_number().over(wr))
             .filter(F.col("pr") <= top_r)
             .drop("pr")
         )
-    # three consumers (both pair-join sides + the norm aggregate) read the
-    # weighted posting table: persist it once, drained at the next query
-    wpost = managed_persist(wp).hint("merge")
+    # three consumers (both pair-join sides + the norm aggregate) read
+    # the weighted posting table: exact tier reads the checkpointed
+    # artifact's pinned blocks directly, pruned tier its pooled derivation
+    wpost = wp.hint("merge")
     n2 = wpost.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2")).hint("merge")
     a = wpost.select("s", F.col("doc_id").alias("doc_a"), F.col("w").alias("wa"))
     b = wpost.select("s", F.col("doc_id").alias("doc_b"), F.col("w").alias("wb"))
