@@ -651,12 +651,14 @@ def token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the always-1-row aggregate (the broadcast side) follows the
     # lazy-guard pattern of similarity._pq_codebook; the DuckDB twin
     # carries the same check via error(), so both engines fail
-    # identically. The condition is "n_top set but n_second missing" —
-    # NOT "either missing": over an EMPTY corpus both are NULL and both
-    # engines must return the empty result instead of raising (the
-    # empty case cannot rely on AQE's empty-relation propagation
-    # silencing the guard — that is an optimizer artifact, not a
-    # contract).
+    # identically. The exact contract (pinned by tests in both
+    # engines): ONE token-bearing source -> raise; ZERO token-bearing
+    # sources -> the empty result, whether because the corpus is empty
+    # or because every token is a stopword — "nothing to rank" is an
+    # answer, and it must not depend on AQE's empty-relation
+    # propagation silencing the guard (optimizer artifact, not a
+    # contract). Hence "n_top set but n_second missing", NOT "either
+    # missing".
     scalars = top2.groupBy().agg(
         F.max(F.when(F.col("r") == 1, F.col("n_tok"))).alias("n_top"),
         F.max(F.when(F.col("r") == 2, F.col("n_tok"))).alias("n_second"),

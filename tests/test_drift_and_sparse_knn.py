@@ -234,21 +234,35 @@ def test_sparse_knn_approx_never_broadcasts_corpus_sized_frames(spark):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_token_drift_returns_empty_on_an_empty_corpus(spark, tmp_path):
-    """Zero documents is NOT the single-source failure mode: both
-    engines must return the empty top-K (no rows to rank), not raise —
-    the guard fires only on 'one token-bearing source', where a silent
-    NULL ranking would otherwise hide the problem."""
+def test_token_drift_returns_empty_when_nothing_is_rankable(spark, tmp_path):
+    """The pinned zero-token-bearing-sources contract: both engines
+    return the empty top-K (nothing to rank), not an error — whether
+    the corpus has ZERO documents or documents whose tokens are ALL
+    stopwords (round-15 review: the latter is deliberate, documented
+    behavior, not an accidental relaxation — the guard fires only on
+    'exactly one token-bearing source', where a silent NULL ranking
+    would otherwise hide the problem)."""
     import duckdb
-    from prueba_tecnica_http_client_etl_spark.operators.textops import SQL_TOKEN_DRIFT
+    from pyspark.sql import functions as F2
+    from prueba_tecnica_http_client_etl_spark.operators.textops import (
+        SQL_TOKEN_DRIFT,
+        STOPWORDS,
+    )
     from prueba_tecnica_http_client_etl_spark.schemas import load_table
 
     docs = load_table(spark, SF, "documents")
-    sf1 = str(tmp_path / "empty_docs")
-    docs.limit(0).coalesce(1).write.parquet(f"{sf1}/documents.parquet")
-    assert token_drift(spark, sf1).collect() == []
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf1}/documents.parquet/*.parquet')"
-    )
-    assert con.sql(SQL_TOKEN_DRIFT).fetchall() == []
+    cases = {
+        "empty_docs": docs.limit(0),
+        "all_stopwords": docs.limit(4).withColumn(
+            "text", F2.lit(" ".join(STOPWORDS[:4]))
+        ),
+    }
+    for name, frame in cases.items():
+        sf1 = str(tmp_path / name)
+        frame.coalesce(1).write.parquet(f"{sf1}/documents.parquet")
+        assert token_drift(spark, sf1).collect() == [], name
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf1}/documents.parquet/*.parquet')"
+        )
+        assert con.sql(SQL_TOKEN_DRIFT).fetchall() == [], name
