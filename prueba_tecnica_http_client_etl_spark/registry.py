@@ -1089,15 +1089,15 @@ def q_dedup_edit_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #            order), which bounds staleness: the test asserts every
 #            query older than MAX_STALENESS rounds is in this window.
 
-CURRENT_ROUND = 15
+CURRENT_ROUND = 16
 MAX_STALENESS = 4  # a row certified at round R must re-enter the window
 # by round R + MAX_STALENESS (asserted in tests/test_rotation_ledger.py)
 
 LAST_CERTIFIED: dict[str, int | None] = {
-    "clean_coerce": 14,
-    "kpi_daily": 14,
-    "kpi_report_endpoint": 14,
-    "kpi_global": 14,
+    "clean_coerce": 15,
+    "kpi_daily": 15,
+    "kpi_report_endpoint": 15,
+    "kpi_global": 15,
     "kpi_global_exact": 13,
     "kpi_anomaly_days": 14,
     "kpi_rollup": 13,
@@ -1127,47 +1127,53 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "events_hourly_window": 13,
     "event_value_by_type_salted": 13,
     "purchases_near_views_range": 13,
-    "snapshot_merge": 12,
+    "snapshot_merge": 15,
     "user_retention_cohorts": 14,
-    "event_funnel": 12,
+    "event_funnel": 15,
     "suppliers_blocking_orders": 14,
     "rolling_active_users": 14,
-    "audio_decode_stats": 12,
+    "audio_decode_stats": 15,
+    "dedup_edit_distance": 14,
+    "token_drift": 15,
+    "sparse_doc_knn": 15,
+    "sparse_doc_knn_approx": 15,
+    "sparse_doc_knn_recall": 15,
     "dedup_exact": 14,
     "dedup_minhash_lsh": 14,
     "dedup_simhash": 14,
     "dedup_ngram_jaccard": 14,
     "dedup_components": 14,
-    "dedup_embedding_cosine": 12,
+    "dedup_embedding_cosine": 15,
     "ann_cosine_topk": 14,
     "lsh_bucket_histogram": 14,
     "ann_ivf_topk": 14,
+    "ivf_cell_profile": 14,
     "ann_lsh_topk": 14,
     "ann_ivf_recall": 14,
     "ann_lsh_recall": 14,
     "embedding_centroids": 14,
     "text_stats": 14,
-    "token_counts": 11,
-    "lang_id": 11,
-    "doc_fingerprint": 11,
-    "tfidf_top_terms": 11,
-    "corpus_mix": 11,
-    "multimodal_meta": 12,
-    "multimodal_frame_sample": 12,
-    "pii_scrub": 12,
-    "contamination_check": 12,
-    "quality_gate": 12,
+    "token_counts": 15,
+    "lang_id": 15,
+    "doc_fingerprint": 15,
+    "tfidf_top_terms": 15,
+    "corpus_mix": 15,
+    "multimodal_meta": 15,
+    "multimodal_frame_sample": 15,
+    "pii_scrub": 15,
+    "contamination_check": 15,
+    "quality_gate": 15,
     "kmeans_embeddings": 14,
-    "vocab_topk": 12,
-    "repetition_score": 12,
-    "sequence_pack": 12,
-    "dedup_containment": 11,
-    "corpus_length_profile": 12,
-    "curation_pipeline": 12,
-    "tokenize_ids": 12,
-    "embedding_center_by_label": 12,
+    "vocab_topk": 15,
+    "repetition_score": 15,
+    "sequence_pack": 15,
+    "dedup_containment": 15,
+    "corpus_length_profile": 15,
+    "curation_pipeline": 15,
+    "tokenize_ids": 15,
+    "embedding_center_by_label": 15,
     "sequence_pack_manifest": 12,
-    "dedup_incremental": 11,
+    "dedup_incremental": 15,
     "dedup_semantic": 12,
     "dedup_lines": 12,
     "quality_score": 12,
@@ -1180,21 +1186,21 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "dedup_survivors": 14,
     "source_overlap_matrix": 12,
     "doc_commonness": 12,
-    "duplicate_rate_by_source": 11,
+    "duplicate_rate_by_source": 15,
     "dedup_cluster_sizes": 14,
     "pii_stats_by_source": 12,
     "lang_confusion": 12,
     "image_decode_stats": 12,
-    "dedup_lsh_capped": 11,
-    "dedup_lsh_cap_audit": 11,
+    "dedup_lsh_capped": 15,
+    "dedup_lsh_cap_audit": 15,
     "embedding_pca_top": 14,
     "ann_pq_topk": 14,
     "ann_pq_rerank": 14,
     "ann_pq_recall": 14,
     "ann_pq_rerank_recall": 14,
-    "minhash_calibration": 11,
-    "dedup_lsh_recall": 11,
-    "dedup_jaccard_prefix": 11,
+    "minhash_calibration": 15,
+    "dedup_lsh_recall": 15,
+    "dedup_jaccard_prefix": 15,
     "corpus_sample_per_source": 14,
     "pq_quantization_error": 14,
     "ann_ivfpq_topk": 14,
@@ -1203,46 +1209,39 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "ann_ivfpq_rerank_recall": 14,
     "corpus_split": 12,
     "corpus_split_stats": 12,
-    "lm_bigram_score": 11,
-    "embedding_outliers": 11,
-    "shingle_df_profile": 11,
-    "lm_score_stream": 11,
-    "contamination_bloom": 11,
-    "split_leakage_check": 11,
+    "lm_bigram_score": 15,
+    "embedding_outliers": 15,
+    "shingle_df_profile": 15,
+    "contamination_bloom": 15,
+    "split_leakage_check": 15,
     "lm_bigram_score_pruned": 13,
     "dsir_importance": 13,
-    "dsir_score_stream": 13,
     "ann_filtered_topk": 14,
     "ann_filtered_learned_topk": 14,
     "ann_filtered_recall": 14,
     "ann_filtered_learned_recall": 14,
-    "dsir_resample_plan": 11,
+    "dsir_resample_plan": 15,
     "dsir_sample": 14,
     "sequence_pack_ffd": 12,
     "training_order": 13,
-    "dsir_sample_stream": 14,
-    "sequence_pack_greedy": 11,
-    "contamination_stats_by_source": 11,
-    "kpi_daily_approx_p90": 11,
-    "events_distinct_users_approx": 11,
-    "customer_value_deciles_approx": 11,
+    "sequence_pack_greedy": 15,
+    "contamination_stats_by_source": 15,
+    "kpi_daily_approx_p90": 15,
+    "events_distinct_users_approx": 15,
+    "customer_value_deciles_approx": 15,
     "kpi_daily_stream": 12,
     "sessionize_stream": 12,
     "dedup_stream": 12,
+    "dedup_stream_ttl": 12,
     "quality_gate_stream": 13,
     "dedup_index_probe_stream": 13,
-    "range_join_stream": 14,
+    "lm_score_stream": 15,
+    "dsir_score_stream": 13,
+    "dsir_sample_stream": 14,
     "contamination_bloom_stream": 13,
-    "dedup_stream_ttl": 12,
-    "ivf_cell_profile": 14,
     "pii_scrub_stream": 13,
-    "dedup_edit_distance": 14,
-    "token_drift": 14,
-    "sparse_doc_knn": 14,
-    "dedup_edit_probe_stream": 14,
-    # round-15 registrations — never certified, auto-enter the r15 window
-    "sparse_doc_knn_approx": None,
-    "sparse_doc_knn_recall": None,
+    "dedup_edit_probe_stream": 15,
+    "range_join_stream": 14,
 }
 
 
@@ -1258,40 +1257,19 @@ _ANCHORS = ["clean_coerce", "kpi_daily", "kpi_report_endpoint", "kpi_global"]
 # Window budget: 4 anchors + |never| + touched + forced-stale rows
 # must stay <= 50.
 _TOUCHED_THIS_ROUND: list[str] = [
-    # round-14 ADVICE item 1: token_drift gained the fail-loud
-    # degenerate-corpus guard (assert_true on the scalars aggregate +
-    # error() in the DuckDB twin) — executed plan and oracle changed:
-    "token_drift",
-    # round-14 ADVICE item 2: the edit probe stream's ultra tier now
-    # builds a corpus-side bucket expression bound to meta's own nlen
-    # (was an unbound name-coincidence rebind) — probe plan re-certified:
-    "dedup_edit_probe_stream",
-    # round-14 verdict item 4: the three sketch tiers upgraded from
-    # rows-only to bounded-error certification — new output surface
-    # (exact counterparts + in-contract boolean) and first-ever oracles:
-    "kpi_daily_approx_p90",
-    "events_distinct_users_approx",
-    "customer_value_deciles_approx",
-    # round-15 verdict item 7: the exact sparse tier now routes through
-    # the shared _sparse_knn_frame (top_r=None) — plan intended
-    # byte-identical, re-certified anyway per the touched discipline:
-    "sparse_doc_knn",
-    # round-15 perf: verify moved to the 60-bit hashed domain (new
-    # jaccard_verify_hx artifact; oracle hashes identically) — 100x
-    # 214.8 -> 54.6 s warm, output byte-equal to dedup_ngram_jaccard:
-    "dedup_jaccard_prefix",
-    # round-15 perf: the split-assignment map is pool-persisted (two
-    # join consumers re-scanned the wide shingle checkpoint):
-    "split_leakage_check",
+    # round-16 starts empty after the ledger refresh; queries re-enter
+    # here as their executed plans or oracles change during the round.
 ]
 
-# Round-15 projection (ledger after r14, verified against the
-# CORRECTNESS files: 50@r14 / 35@r13 / 36@r12 / 25@r11). No row is
-# hard-overdue at round 15 (oldest certification is r11; 15 - 11 = 4 ==
-# MAX_STALENESS, due by r16) — but oldest-fill places all 25 r11 rows in
-# this window, which is exactly the judge's r15 rotation ask. Head
-# budget: 50 - 4 anchors - 25 r11 oldest-fill = 21 slots for
-# never-certified + touched this round.
+# Round-16 projection (ledger after r15, verified against the
+# CORRECTNESS files: 50@r15 / 43@r14 / 35@r13 / 20@r12 — first round
+# with zero never-certified rows and zero rows-only rows). The 20 r12
+# rows are due by this window (16 - 12 = 4 == MAX_STALENESS) and
+# oldest-fill places all of them; remaining fill comes from the r13
+# block in registration order. Head budget: 50 - 4 anchors - 20 r12
+# oldest-fill = 26 slots for round-16 registrations + touched entries —
+# judge r15 item 8: keep this head clear so the r17 window can absorb
+# the 35-row r13 block without a crunch.
 
 _WINDOW_SIZE = 50
 
