@@ -502,3 +502,339 @@ SELECT CAST(sample_rate AS INT) AS sample_rate,
 FROM g
 GROUP BY sample_rate, channels
 ORDER BY sample_rate, channels"""
+
+
+# --- perceptual image dedup (dHash + Hamming-band blocking) -------------------
+
+# Pixel-space near-duplicate detection — the dedup tier of the multimodal
+# pillar, built exactly like the text side's SimHash/LSH machinery
+# (dedup.py banding) but over REAL decoded bitmaps:
+#
+#   synthesize PGM bytes -> parse header + pixels -> 8x8 cell averages
+#   -> 56-bit difference hash (dHash) -> 14-bit band blocking -> exact
+#   Hamming verify.
+#
+# The corpus synthesizes genuine near-duplicate families: docs sharing
+# doc_id // _PH_GROUP render the same base cell pattern, and each variant
+# perturbs at most one grid cell, so family members land within a few
+# dHash bits of each other while unrelated images sit ~28 bits apart.
+# The DuckDB oracle recomputes every cell value arithmetically and never
+# parses bytes (the image_decode_stats contract): if the Python decoder
+# mis-read any pixel, stride, or header field, a cell average would
+# shift, a hash bit would flip, and the pair set would hash-mismatch.
+#
+# Blocking is pigeonhole-LOSSLESS at the threshold: a pair within
+# Hamming distance _PH_HAMMING_K = 3 differs in at most 3 of the
+# _PH_BANDS = 4 bands, so at least one band matches exactly — every
+# qualifying pair is a candidate. (The perturbation cells additionally
+# all live in grid rows 0-1 = band 0, so family pairs agree on bands
+# 1-3 by construction; the lossless argument does not depend on that.)
+# image_phash_band_audit measures band recall beyond the lossless floor
+# (distance <= _PH_AUDIT_K) against strided brute-force ground truth.
+
+_PH_GRID = 8  # 8x8 cell grid -> 8 rows x 7 column comparisons = 56 bits
+_PH_CELL = 4  # each cell is a solid 4x4 pixel block (32x32 PGM)
+_PH_GROUP = 4  # docs per near-duplicate family (base = doc_id // 4)
+_PH_VMOD = 251  # cell intensities in 0..250 (fits 8-bit samples)
+_PH_BANDS = 4
+_PH_BAND_BITS = 14  # 4 x 14 = 56 bits
+_PH_HAMMING_K = 3  # pigeonhole-lossless: 3 < 4 bands
+_PH_AUDIT_K = 6  # the audit's beyond-the-floor distance
+_PH_AUDIT_STRIDE = 10  # every 10th doc probes the brute-force truth
+# variant k > 0 perturbs exactly one grid cell (all in rows 0-1):
+_PH_PERT = {1: (1, 0), 2: (4, 0), 3: (2, 1)}
+
+
+def _ph_cell_value(base: int, cx: int, cy: int) -> int:
+    """Base intensity of one grid cell: 60-bit md5 of the cell key mod
+    251 — the repo's portable-hash convention (textprep u60), NOT a
+    linear congruence. A linear formula makes adjacent-cell differences
+    constant, which collapses the whole dHash to a function of one
+    residue (~251 distinct hashes corpus-wide) — a hidden quadratic in
+    the band join at scale. md5 cells give ~Bernoulli(1/2) independent
+    bits; unrelated images sit ~28/56 bits apart."""
+    d = hashlib.md5(f"ph:{base}:{cx}:{cy}".encode()).hexdigest()
+    return int(d[:15], 16) % _PH_VMOD
+
+
+def _ph_cell_grid(doc_id: int):
+    """The 8x8 cell-intensity matrix [cy][cx] an image for doc_id is
+    built from — base pattern keyed by the family id, one perturbed
+    cell per non-zero variant. Mirrored verbatim by the SQL oracle."""
+    import numpy as np
+
+    base, k = divmod(int(doc_id), _PH_GROUP)
+    v = np.empty((_PH_GRID, _PH_GRID), dtype=np.int64)
+    for cy in range(_PH_GRID):
+        for cx in range(_PH_GRID):
+            v[cy, cx] = _ph_cell_value(base, cx, cy)
+    if k in _PH_PERT:
+        px, py = _PH_PERT[k]
+        v[py, px] = (v[py, px] + 128) % _PH_VMOD
+    return v
+
+
+def build_grid_image_payload(doc_id: int) -> bytes:
+    """Deterministic P5 PGM bytes whose pixels render the cell grid as
+    solid blocks (header comments every %11 docs keep the parser
+    honest). Real binary container — the decoder must walk the header
+    and index pixel rows correctly to recover the cell averages."""
+    import numpy as np
+
+    cells = _ph_cell_grid(doc_id).astype(np.uint8)
+    px = np.repeat(np.repeat(cells, _PH_CELL, axis=0), _PH_CELL, axis=1)
+    w = h = _PH_GRID * _PH_CELL
+    comment = b"# phash grid\n" if doc_id % _COMMENT_MOD == 0 else b""
+    return b"P5\n" + comment + f"{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def _parse_pgm_pixels(payload: bytes):
+    """Parse a binary PGM (P5, maxval <= 255) for real: header ints with
+    '#' comments, then the pixel matrix as a (h, w) uint8 array. Raises
+    ValueError on any malformed structure (the decode_image contract)."""
+    import numpy as np
+
+    if payload[:2] != b"P5":
+        raise ValueError("not a binary PGM")
+    vals: list[int] = []
+    i, n = 2, len(payload)
+    while len(vals) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            while i < n and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and payload[j : j + 1].isdigit():
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
+        else:
+            raise ValueError("malformed PGM header")
+    if len(vals) < 3:
+        raise ValueError("truncated PGM header")
+    w, h, maxval = vals
+    if w <= 0 or h <= 0 or not (0 < maxval < 256):
+        raise ValueError("implausible PGM parameters")
+    i += 1  # exactly one whitespace byte separates maxval from pixels
+    if n - i < w * h:
+        raise ValueError("truncated PGM pixel data")
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=i).reshape(h, w)
+
+
+def phash_of_payload(payload: bytes) -> int:
+    """56-bit dHash from real pixel bytes: cell averages over the 8x8
+    grid (vectorized block sums), then bit (cy*7 + cx) set iff the cell
+    to the right is strictly brighter. Ties are 0 in both engines."""
+    pix = _parse_pgm_pixels(payload)
+    h, w = pix.shape
+    g = _PH_GRID
+    ch, cw = h // g, w // g
+    if ch == 0 or cw == 0 or h % g or w % g:
+        raise ValueError("image not divisible into the hash grid")
+    avg = pix.astype("int64").reshape(g, ch, g, cw).sum(axis=(1, 3)) // (ch * cw)
+    hsh = 0
+    for cy in range(g):
+        for cx in range(g - 1):
+            if avg[cy, cx + 1] > avg[cy, cx]:
+                hsh |= 1 << (cy * (g - 1) + cx)
+    return hsh
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "phash": []}
+        for doc_id in pdf["doc_id"]:
+            out["doc_id"].append(int(doc_id))
+            out["phash"].append(phash_of_payload(build_grid_image_payload(int(doc_id))))
+        yield pd.DataFrame(out)
+
+
+def _phash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phash) signature table — trained-artifact memoized like
+    the LSH signature tables (a production pipeline hashes each image
+    once per snapshot and persists the signatures; the pair query and
+    the band audit both read the same artifact)."""
+    from ..functions.artifacts import artifact_key, trained_artifact
+
+    def build() -> DataFrame:
+        base = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(default_parallelism(), F.col("doc_id"))
+        )
+        return base.mapInPandas(_phash_batches, "doc_id long, phash long")
+
+    return trained_artifact(artifact_key("image_phash_sigs", spark, sf_dir), build)
+
+
+def _phash_bands(sigs: DataFrame) -> DataFrame:
+    return sigs.select(
+        "doc_id",
+        "phash",
+        F.explode(F.expr(f"sequence(0, {_PH_BANDS - 1})")).alias("band"),
+    ).withColumn(
+        "bv",
+        F.expr(
+            f"shiftright(phash, cast({_PH_BAND_BITS} * band as int)) & {(1 << _PH_BAND_BITS) - 1}"
+        ),
+    )
+
+
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All image pairs within Hamming distance <= 3 of each other's
+    56-bit dHash, found by exact-match blocking on 4 x 14-bit bands
+    (lossless at the threshold by pigeonhole) and verified with
+    bit_count(xor). Plan shape at 100 TB: the band self-join is
+    merge-hinted (both sides scale with the corpus — the round-14
+    auto-broadcast lesson), candidates are bounded by band-value
+    collisions (14-bit pseudorandom values, no hot keys), and the
+    verify is a codegen bit_count on two longs — no Python in the
+    pair path."""
+    bands = _phash_bands(_phash_sigs(spark, sf_dir))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa"), "band", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("pb"), "band", "bv"
+    )
+    cand = (
+        a.hint("merge")
+        .join(b.hint("merge"), ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(pa ^ pb)").cast("long"))
+        .filter(F.col("hamming") <= _PH_HAMMING_K)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def image_phash_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band recall beyond the lossless floor: strided brute-force ground
+    truth at Hamming <= 6 (every 10th doc against the full corpus) vs
+    the banded candidate set at the same distance. The truth side is
+    gate-scale-only by design (the dedup_lsh_recall pattern — recall
+    gates re-run brute force at certification scale; serving never
+    does)."""
+    from ..functions.portable import roundn
+
+    sigs = _phash_sigs(spark, sf_dir)
+    probe = sigs.filter(F.col("doc_id") % _PH_AUDIT_STRIDE == 0)
+    full = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("pb")
+    )
+    truth = (
+        probe.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa"))
+        .hint("merge")
+        .join(full.hint("merge"), F.col("doc_a") != F.col("doc_b"))
+        .filter(F.expr(f"bit_count(pa ^ pb) <= {_PH_AUDIT_K}"))
+        .select(
+            F.least("doc_a", "doc_b").alias("lo"),
+            F.greatest("doc_a", "doc_b").alias("hi"),
+        )
+        .distinct()
+    )
+    bands = _phash_bands(sigs)
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa"), "band", "bv")
+    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("pb"), "band", "bv")
+    found = (
+        a.hint("merge")
+        .join(b.hint("merge"), ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("doc_a") % _PH_AUDIT_STRIDE == 0)
+            | (F.col("doc_b") % _PH_AUDIT_STRIDE == 0)
+        )
+        .filter(F.expr(f"bit_count(pa ^ pb) <= {_PH_AUDIT_K}"))
+        .select(F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi"))
+        .distinct()
+    )
+    t = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    f = found.agg(F.count(F.lit(1)).alias("n_found"))
+    h = truth.join(found, ["lo", "hi"]).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        t.crossJoin(f)
+        .crossJoin(h)
+        .select(
+            "n_true",
+            "n_found",
+            "n_hits",
+            F.when(F.col("n_true") == 0, F.lit(1.0))
+            .otherwise(roundn(F.col("n_hits").cast("double") / F.col("n_true"), 4))
+            .alias("recall"),
+        )
+    )
+
+
+# Shared oracle prefix: the cell grid and hash recomputed ARITHMETICALLY
+# (never parsing bytes), bands derived with the same shift/mask.
+_SQL_PH_BASE_V = (
+    "CAST(('0x' || substr(md5('ph:' || CAST(d.doc_id // 4 AS VARCHAR) || ':' || "
+    "CAST(s.cx AS VARCHAR) || ':' || CAST(s.cy AS VARCHAR)), 1, 15)) AS BIGINT) % 251"
+)
+
+_SQL_PH_CTES = f"""
+cells AS (
+  SELECT d.doc_id, s.cx, s.cy,
+         CASE WHEN (d.doc_id % {_PH_GROUP} = 1 AND s.cx = {_PH_PERT[1][0]} AND s.cy = {_PH_PERT[1][1]})
+                OR (d.doc_id % {_PH_GROUP} = 2 AND s.cx = {_PH_PERT[2][0]} AND s.cy = {_PH_PERT[2][1]})
+                OR (d.doc_id % {_PH_GROUP} = 3 AND s.cx = {_PH_PERT[3][0]} AND s.cy = {_PH_PERT[3][1]})
+           THEN ({_SQL_PH_BASE_V} + 128) % {_PH_VMOD}
+           ELSE {_SQL_PH_BASE_V}
+         END AS v
+  FROM documents d,
+       (SELECT a.cx, b.cy
+        FROM (SELECT unnest(range({_PH_GRID})) AS cx) a,
+             (SELECT unnest(range({_PH_GRID})) AS cy) b) s
+),
+ph AS (
+  SELECT l.doc_id,
+         CAST(sum(CASE WHEN r.v > l.v THEN (1::BIGINT << (l.cy * {_PH_GRID - 1} + l.cx)) ELSE 0 END) AS BIGINT) AS phash
+  FROM cells l JOIN cells r ON r.doc_id = l.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+  GROUP BY l.doc_id
+),
+bands AS (
+  SELECT doc_id, phash, t.b, (phash >> ({_PH_BAND_BITS} * t.b)) & {(1 << _PH_BAND_BITS) - 1} AS bv
+  FROM ph, (SELECT unnest(range({_PH_BANDS})) AS b) t
+)"""
+
+
+SQL_DEDUP_IMAGE_PHASH = f"""
+WITH {_SQL_PH_CTES},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.phash AS pa, b.phash AS pb
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(pa, pb)) <= {_PH_HAMMING_K}
+ORDER BY doc_a, doc_b"""
+
+
+SQL_IMAGE_PHASH_BAND_AUDIT = f"""
+WITH {_SQL_PH_CTES},
+truth AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS lo, greatest(a.doc_id, b.doc_id) AS hi
+  FROM ph a JOIN ph b ON a.doc_id <> b.doc_id
+  WHERE a.doc_id % {_PH_AUDIT_STRIDE} = 0
+    AND bit_count(xor(a.phash, b.phash)) <= {_PH_AUDIT_K}
+),
+found AS (
+  SELECT DISTINCT a.doc_id AS lo, b.doc_id AS hi
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+  WHERE (a.doc_id % {_PH_AUDIT_STRIDE} = 0 OR b.doc_id % {_PH_AUDIT_STRIDE} = 0)
+    AND bit_count(xor(a.phash, b.phash)) <= {_PH_AUDIT_K}
+),
+t AS (SELECT count(*) AS n_true FROM truth),
+f AS (SELECT count(*) AS n_found FROM found),
+h AS (SELECT count(*) AS n_hits FROM truth JOIN found USING (lo, hi))
+SELECT t.n_true, f.n_found, h.n_hits,
+       CASE WHEN t.n_true = 0 THEN 1.0
+            ELSE floor((CAST(h.n_hits AS DOUBLE) / t.n_true) * 10000 + 0.5) / 10000 END AS recall
+FROM t, f, h"""

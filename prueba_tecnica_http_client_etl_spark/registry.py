@@ -249,6 +249,8 @@ _LLM_PIPELINE = [
     ("training_order", corpus.training_order, corpus.SQL_TRAINING_ORDER),
     ("sequence_pack_greedy", corpus.sequence_pack_greedy, corpus.SQL_SEQUENCE_PACK_GREEDY),
     ("contamination_stats_by_source", curation.contamination_stats_by_source, curation.SQL_CONTAMINATION_STATS_BY_SOURCE),
+    ("dedup_image_phash", multimodal.dedup_image_phash, multimodal.SQL_DEDUP_IMAGE_PHASH),
+    ("image_phash_band_audit", multimodal.image_phash_band_audit, multimodal.SQL_IMAGE_PHASH_BAND_AUDIT),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
@@ -1242,6 +1244,9 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "pii_scrub_stream": 13,
     "dedup_edit_probe_stream": 15,
     "range_join_stream": 14,
+    # round-16 registrations — never certified, auto-enter the r16 window
+    "dedup_image_phash": None,
+    "image_phash_band_audit": None,
 }
 
 

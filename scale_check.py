@@ -157,6 +157,16 @@ LLM_TIER = [
     # round-15: the WAND-pruned sparse serving tier (top-R postings per
     # doc) — same linearity argument as sparse_doc_knn
     "sparse_doc_knn_approx",
+    # round-16: perceptual image dedup. Signatures are per-doc Python
+    # over Arrow batches (linear); the band self-join's candidate volume
+    # is n^2 / 2^14 per band (pseudorandom 14-bit values, no hot keys),
+    # so the pair set stays join-bounded at this scale and the replica's
+    # doc_id shift (a multiple of _PH_GROUP) keeps families within
+    # replicas -> rows_ratio 10. The band audit's brute-force truth is
+    # gate-scale-only by design; its output is one fixed row and the
+    # strided |probe| x |corpus| verify scan is what grows.
+    "dedup_image_phash",
+    "image_phash_band_audit",
 ]
 
 # bump when the replica construction changes: a marker whose content
@@ -341,6 +351,14 @@ HUNDRED_TIER = [
     # plan as sparse_doc_knn over top-R postings per doc; measured 2.2x
     # cheaper than the exact tier at this replica (47.6 vs 103.5 s warm)
     "sparse_doc_knn_approx",
+    # round-16: the banded Hamming pair finder over 500k signatures —
+    # candidates ~ 4 * n^2 / 2^14 (~30M at this replica), each a codegen
+    # bit_count; widen the band geometry (larger hash grid) if a bigger
+    # corpus pushes the collision floor up, exactly like BLOOM_BITS.
+    # The audit stays OUT of this tier (strided brute force is
+    # gate-scale-only; 2.5e10 comparisons here by design would measure
+    # the truth side, not the serving path).
+    "dedup_image_phash",
 ]
 
 

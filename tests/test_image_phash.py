@@ -1,0 +1,98 @@
+"""Perceptual image dedup (dHash + Hamming-band blocking): the real
+PGM pixel decoder must agree with the arithmetic cell grid the DuckDB
+oracle recomputes, malformed containers must raise (never silently
+zero), the banding must be pigeonhole-lossless at the threshold, and
+the Spark pair plan must not broadcast a corpus-sized side.
+
+Spark-vs-DuckDB value parity for both registered queries is covered by
+tests/test_oracle_parity.py like every other operator.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from prueba_tecnica_http_client_etl_spark.operators import multimodal as M
+
+from tests.conftest import SF_SMOKE
+
+
+def _ref_hash(doc_id: int) -> int:
+    """dHash straight from the arithmetic cell grid — no byte parsing."""
+    v = M._ph_cell_grid(doc_id)
+    h = 0
+    for cy in range(M._PH_GRID):
+        for cx in range(M._PH_GRID - 1):
+            if v[cy, cx + 1] > v[cy, cx]:
+                h |= 1 << (cy * (M._PH_GRID - 1) + cx)
+    return h
+
+
+def _ham(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def test_decoder_matches_arithmetic_grid():
+    # covers comment headers (%11), all perturbation variants (%4), and
+    # both parities of the base pattern
+    for doc_id in list(range(48)) + [110, 121, 132, 495, 4996]:
+        payload = M.build_grid_image_payload(doc_id)
+        assert M.phash_of_payload(payload) == _ref_hash(doc_id), doc_id
+
+
+def test_malformed_pgm_raises():
+    good = M.build_grid_image_payload(7)
+    for bad in (
+        b"P4" + good[2:],              # wrong magic
+        good[:10],                     # truncated header
+        good[: len(good) - 5],         # truncated pixel data
+        b"P5\n0 32\n255\n",            # zero width
+        b"P5\n32 32\n70000\n" + b"\0" * 2048,  # 16-bit maxval out of scope
+        b"P5\nxx 32\n255\n" + b"\0" * 2048,    # junk header token
+    ):
+        with pytest.raises(ValueError):
+            M.phash_of_payload(bad)
+
+
+def test_family_structure_and_bands():
+    """Variants of a family stay within a few bits (the base-vs-variant
+    pairs within the lossless threshold), all their differing bits live
+    in band 0, and unrelated images sit far apart."""
+    for base in range(40):
+        h0 = _ref_hash(base * M._PH_GROUP)
+        for k in range(1, M._PH_GROUP):
+            hk = _ref_hash(base * M._PH_GROUP + k)
+            assert _ham(h0, hk) <= 2  # one perturbed cell = at most 2 bits
+            # diffs confined to band 0 (perturbation cells are in rows 0-1)
+            assert (h0 ^ hk) >> M._PH_BAND_BITS == 0
+    far = [_ham(_ref_hash(i * 4), _ref_hash(1000 + i * 4)) for i in range(50)]
+    assert min(far) > M._PH_AUDIT_K  # families never collide with strangers
+
+
+def test_banding_is_pigeonhole_lossless():
+    """Any pair within Hamming <= _PH_HAMMING_K shares at least one of
+    the _PH_BANDS exact band values (the candidate-generation contract);
+    checked over every within-threshold pair of the first 400 docs."""
+    mask = (1 << M._PH_BAND_BITS) - 1
+    sigs = [_ref_hash(d) for d in range(400)]
+
+    def bands(h):
+        return [(h >> (M._PH_BAND_BITS * b)) & mask for b in range(M._PH_BANDS)]
+
+    checked = 0
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            if _ham(sigs[i], sigs[j]) <= M._PH_HAMMING_K:
+                assert any(x == y for x, y in zip(bands(sigs[i]), bands(sigs[j])))
+                checked += 1
+    assert checked > 100  # the corpus genuinely exercises the property
+
+
+def test_phash_pair_plan_avoids_corpus_broadcast(spark):
+    """Both sides of the band self-join scale with the corpus; the merge
+    hints must hold against Catalyst's small-cached-size broadcast
+    estimate (the round-14 auto-broadcast lesson)."""
+    plan = M.dedup_image_phash(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "MapInPandas" in plan or "TableCacheQueryStage" in plan or "Scan ExistingRDD" in plan
