@@ -2218,3 +2218,270 @@ SELECT split_a, split_b, count(*) AS n_pairs,
 FROM j
 GROUP BY split_a, split_b
 ORDER BY split_a, split_b"""
+
+
+# --- iterative BPE merge training (round 16) ---------------------------------
+#
+# bpe_pair_counts is the counting pass of ONE merge step; this closes the
+# loop: BPE_MERGES fixed iterations of [count adjacent symbol pairs over
+# the word-frequency table] -> [pick the most frequent pair under a total
+# order] -> [apply the merge to every word], producing the ordered merge
+# table a tokenizer ships (Sennrich et al. 2016 trained on word counts —
+# the corpus is scanned ONCE; every iteration runs over the |vocab|-row
+# word table, the same corpus-size-independent shape as the DSIR models).
+#
+# Symbol sequences travel as SPACE-WRAPPED strings: a word's symbols are
+# each wrapped " sym " and concatenated, so adjacent symbols are separated
+# by exactly two spaces (" a  b  c "). Applying merge (l, r) is then ONE
+# literal string replace of " l  r " with " lr " — and because replace()
+# is left-to-right non-overlapping in Spark, DuckDB and Python alike
+# (verified: ' a  a  a  a ' -> ' aa  aa '), it implements BPE's greedy
+# leftmost-first merge semantics exactly, with no per-row lambda state.
+# Symbols can never contain a space (words come from a space-split), so
+# the encoding is unambiguous; at doc level (bpe_tokenize) words join
+# with ONE extra space (three between words), which a two-space pattern
+# can never straddle — merges are structurally word-bounded.
+
+BPE_MERGES = 12  # fixed iteration count (the KMEANS_ITERS rationale)
+
+# the wrapped-symbol encoding of one token, shared by both engines
+_SPARK_WRAP_TOK = (
+    "concat(' ', array_join(transform(sequence(1, length(tok)), "
+    "i -> substring(tok, i, 1)), '  '), ' ')"
+)
+_DUCK_WRAP_TOK = (
+    "' ' || array_to_string(list_transform(range(length(tok)), "
+    "i -> substr(tok, i + 1, 1)), '  ') || ' '"
+)
+
+
+def _bpe_word_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, cnt): every distinct corpus word as a wrapped character-symbol
+    string with its occurrence count — the ONLY corpus-sized pass of BPE
+    training."""
+    toks = docs_normalized(spark, sf_dir).select(F.explode("toks").alias("tok"))
+    return (
+        toks.filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.expr(_SPARK_WRAP_TOK).alias("w"), "cnt")
+        # the word table is |vocab|-sized, tiny next to the corpus; the
+        # 12-iteration loop re-scans it constantly, so narrow it to a
+        # handful of partitions once (32 tasks x 12 iterations is pure
+        # scheduler overhead on a 10k-row frame). At 100 TB |vocab| the
+        # right width is larger — scale with the table, not the corpus.
+        .coalesce(4)
+    )
+
+
+def _bpe_top_pair(words: DataFrame):
+    """The most frequent adjacent symbol pair of the current word table,
+    under the (count desc, left asc, right asc) total order — or None
+    when no word has two symbols left."""
+    pair_expr = (
+        "CASE WHEN size(s) >= 2 THEN "
+        "transform(sequence(0, size(s) - 2), i -> struct(s[i] AS l, s[i+1] AS r)) "
+        "ELSE array() END"
+    )
+    rows = (
+        words.withColumn("s", F.split(F.trim("w"), "  "))
+        .select("cnt", F.explode_outer(F.expr(pair_expr)).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("cnt").alias("c"))
+        .orderBy(F.desc("c"), "l", "r")
+        .limit(1)
+        .collect()
+    )
+    return rows[0] if rows else None
+
+
+def _bpe_merge_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Run the fixed-iteration training loop; returns the ordered merge
+    table rows. Each iteration is a |vocab|-row aggregate + a ONE-row
+    driver round-trip (the bounded kmeans-centroid pattern); the evolving
+    word table is pooled per step so iteration i never re-derives the
+    previous i-1 replaces from the corpus scan."""
+    from ..functions.cachepool import managed_persist
+
+    words = managed_persist(_bpe_word_table(spark, sf_dir))
+    out: list[tuple] = []
+    for rank in range(1, BPE_MERGES + 1):
+        top = _bpe_top_pair(words)
+        if top is None:
+            break
+        l, r, c = top["l"], top["r"], int(top["c"])
+        out.append((rank, l, r, l + r, c))
+        words = managed_persist(
+            words.select(
+                F.replace(
+                    F.col("w"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
+                ).alias("w"),
+                "cnt",
+            )
+        )
+    return out
+
+
+_BPE_MERGE_SCHEMA = (
+    "merge_rank long, pair_left string, pair_right string, merged string, pair_count long"
+)
+
+
+def _bpe_merges_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained merge table as a session artifact (a tokenizer trains
+    once per corpus snapshot and ships the merge list)."""
+    from ..functions.artifacts import artifact_key, trained_artifact
+
+    return trained_artifact(
+        artifact_key("bpe_merge_table", spark, sf_dir),
+        lambda: spark.createDataFrame(_bpe_merge_rows(spark, sf_dir), _BPE_MERGE_SCHEMA),
+    )
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered BPE merge table: BPE_MERGES greedy merges trained on
+    the corpus word-frequency table (exact integer counts, deterministic
+    total-order tie-break). The oracle replays the identical loop as
+    BPE_MERGES chained CTE steps — count, argmin, replace — so every
+    rank, pair and count is hash-certified."""
+    return _bpe_merges_artifact(spark, sf_dir).orderBy("merge_rank")
+
+
+def _sql_bpe_cte_chain() -> str:
+    """w0 + (p{i}, m{i}, w{i}) x BPE_MERGES: the training loop as pure
+    SQL. m{i} is empty once no pair remains; the guarded replace leaves
+    words untouched from then on, matching the Spark loop's early stop."""
+    parts = [
+        f"""w0 AS MATERIALIZED (
+  SELECT {_DUCK_WRAP_TOK} AS w, count(*) AS cnt
+  FROM (SELECT unnest(toks) AS tok FROM sh_t) WHERE length(tok) > 0
+  GROUP BY tok
+)"""
+    ]
+    for i in range(1, BPE_MERGES + 1):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT p.l AS l, p.r AS r, sum(cnt) AS c
+  FROM (SELECT cnt, string_split(trim(w), '  ') AS s FROM w{i - 1}) t,
+       LATERAL (SELECT unnest(list_transform(range(greatest(len(s) - 1, 0)),
+                                             j -> {{'l': s[j + 1], 'r': s[j + 2]}})) AS p) u
+  GROUP BY p.l, p.r
+),
+m{i} AS MATERIALIZED (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
+w{i} AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT count(*) FROM m{i}) = 0 THEN w
+              ELSE replace(w, ' ' || (SELECT l FROM m{i}) || '  ' || (SELECT r FROM m{i}) || ' ',
+                           ' ' || (SELECT l FROM m{i}) || (SELECT r FROM m{i}) || ' ') END AS w,
+         cnt
+  FROM w{i - 1}
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _sql_bpe_merge_table() -> str:
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, l AS pair_left, r AS pair_right, "
+        f"l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM m{i}"
+        for i in range(1, BPE_MERGES + 1)
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+SQL_BPE_TRAIN_MERGES = f"""
+WITH {DUCK_DOCS_CTE},
+{_sql_bpe_cte_chain()}
+SELECT * FROM (
+{_sql_bpe_merge_table()}
+)
+ORDER BY merge_rank"""
+
+
+# --- BPE application: tokenize the corpus with the trained merges ------------
+
+BPE_PREVIEW_SYMBOLS = 12
+
+
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained merge table to every document — the serving leg
+    that makes the tokenizer story end-to-end (train -> ship merge list
+    -> segment corpus). Each doc's words are wrapped into the symbol
+    encoding, joined with a third space (merges cannot straddle words),
+    and the BPE_MERGES replaces run IN RANK ORDER as literal string ops
+    from the broadcast-size merge table (a K-row driver round-trip, the
+    kmeans-centroid pattern). Emits exact per-doc symbol accounting and
+    a leading-symbols preview; the oracle re-trains the merges in its
+    own CTE chain and replays the same replaces."""
+    merges = [
+        (r["pair_left"], r["pair_right"])
+        for r in _bpe_merges_artifact(spark, sf_dir).orderBy("merge_rank").collect()
+    ]
+    wrap_doc = (
+        "concat(' ', array_join(transform(filter(toks, t -> length(t) > 0), "
+        "tok -> array_join(transform(sequence(1, length(tok)), "
+        "i -> substring(tok, i, 1)), '  ')), '   '), ' ')"
+    )
+    d = docs_normalized(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.filter("toks", lambda t: F.length(t) > 0)).cast("long").alias("n_words"),
+        F.expr(wrap_doc).alias("w"),
+    )
+    for l, r in merges:
+        d = d.withColumn(
+            "w", F.replace(F.col("w"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+        )
+    syms = F.expr("CASE WHEN trim(w) = '' THEN array() ELSE split(trim(w), ' +') END")
+    return (
+        d.select(
+            "doc_id",
+            "n_words",
+            F.size(syms).cast("long").alias("n_symbols"),
+            F.array_join(F.slice(syms, 1, BPE_PREVIEW_SYMBOLS), " ").alias(
+                "symbols_preview"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_bpe_apply_chain() -> str:
+    """d0 + d{i} x BPE_MERGES: the per-doc replay of the trained merges
+    (same guarded replace as the training chain's w{i} steps)."""
+    parts = [
+        """d0 AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(len(list_filter(toks, t -> length(t) > 0)) AS BIGINT) AS n_words,
+         ' ' || array_to_string(list_transform(list_filter(toks, t -> length(t) > 0),
+                 tok -> array_to_string(list_transform(range(length(tok)),
+                        i -> substr(tok, i + 1, 1)), '  ')), '   ') || ' ' AS w
+  FROM sh_t
+)"""
+    ]
+    for i in range(1, BPE_MERGES + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT doc_id, n_words,
+         CASE WHEN (SELECT count(*) FROM m{i}) = 0 THEN w
+              ELSE replace(w, ' ' || (SELECT l FROM m{i}) || '  ' || (SELECT r FROM m{i}) || ' ',
+                           ' ' || (SELECT l FROM m{i}) || (SELECT r FROM m{i}) || ' ') END AS w
+  FROM d{i - 1}
+)"""
+        )
+    return ",\n".join(parts)
+
+
+SQL_BPE_TOKENIZE = f"""
+WITH {DUCK_DOCS_CTE},
+{_sql_bpe_cte_chain()},
+{_sql_bpe_apply_chain()},
+fin AS (
+  SELECT doc_id, n_words,
+         CASE WHEN trim(w) = '' THEN [] ELSE string_split_regex(trim(w), ' +') END AS s
+  FROM d{BPE_MERGES}
+)
+SELECT doc_id, n_words,
+       CAST(len(s) AS BIGINT) AS n_symbols,
+       array_to_string(s[1:{BPE_PREVIEW_SYMBOLS}], ' ') AS symbols_preview
+FROM fin
+ORDER BY doc_id"""

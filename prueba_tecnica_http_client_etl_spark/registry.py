@@ -251,6 +251,8 @@ _LLM_PIPELINE = [
     ("contamination_stats_by_source", curation.contamination_stats_by_source, curation.SQL_CONTAMINATION_STATS_BY_SOURCE),
     ("dedup_image_phash", multimodal.dedup_image_phash, multimodal.SQL_DEDUP_IMAGE_PHASH),
     ("image_phash_band_audit", multimodal.image_phash_band_audit, multimodal.SQL_IMAGE_PHASH_BAND_AUDIT),
+    ("bpe_train_merges", corpus.bpe_train_merges, corpus.SQL_BPE_TRAIN_MERGES),
+    ("bpe_tokenize", corpus.bpe_tokenize, corpus.SQL_BPE_TOKENIZE),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
@@ -1247,6 +1249,8 @@ LAST_CERTIFIED: dict[str, int | None] = {
     # round-16 registrations — never certified, auto-enter the r16 window
     "dedup_image_phash": None,
     "image_phash_band_audit": None,
+    "bpe_train_merges": None,
+    "bpe_tokenize": None,
 }
 
 

@@ -167,6 +167,11 @@ LLM_TIER = [
     # strided |probe| x |corpus| verify scan is what grows.
     "dedup_image_phash",
     "image_phash_band_audit",
+    # round-16: BPE training scans the corpus once into the word table
+    # (renamed replica tokens grow |vocab| ~10x) and iterates over THAT;
+    # bpe_tokenize replays the 12 trained replaces corpus-wide (linear)
+    "bpe_train_merges",
+    "bpe_tokenize",
 ]
 
 # bump when the replica construction changes: a marker whose content
@@ -359,6 +364,11 @@ HUNDRED_TIER = [
     # gate-scale-only; 2.5e10 comparisons here by design would measure
     # the truth side, not the serving path).
     "dedup_image_phash",
+    # round-16: the BPE loop's per-iteration cost follows |vocab| (~100x
+    # distinct renamed tokens here), the corpus contributes one counting
+    # scan; tokenize is the linear 12-replace corpus pass
+    "bpe_train_merges",
+    "bpe_tokenize",
 ]
 
 
