@@ -1029,3 +1029,135 @@ SELECT n_ex.doc_id,
        {sql_roundn('CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / n_ex.n_exact', 4)} AS recall_at_5
 FROM n_ex LEFT JOIN hits ON n_ex.doc_id = hits.doc_id
 ORDER BY n_ex.doc_id"""
+
+
+# --- hybrid retrieval fusion (round 16) --------------------------------------
+#
+# Reciprocal-rank fusion of the two already-certified retrieval tiers —
+# the lexical sparse k-NN (WAND-pruned inverted index) and the dense
+# IVF-PQ + exact-rerank chain — into one top-k per query. This is the
+# retrieval shape RAG-corpus pipelines actually serve: sparse catches
+# exact-term matches dense embeddings blur, dense catches paraphrases
+# sparse can't see, and RRF needs ONLY the two rank lists (no score
+# calibration across spaces — Cormack et al. SIGIR'09).
+#
+# score(n) = sum over legs of 1 / (K0 + rank_leg(n)). To keep the fused
+# ordering bit-deterministic the division never happens in floats: every
+# contribution is HYBRID_RRF_SCALE // (K0 + rank), an EXACT integer
+# because the scale is lcm(K0+1 .. K0+TOPK) — summed and compared as
+# BIGINTs, ties broken by neighbor_id. The two legs' outputs are <= 15
+# rows per query; fusion is a union + one partial-aggregated groupBy +
+# a bounded per-query window. At 100 TB both legs already serve from
+# their persisted index artifacts; fusion adds no corpus-sized work.
+
+import math as _math
+
+HYBRID_RRF_K0 = 60  # the standard RRF damping constant
+HYBRID_TOPK = 10
+# exact-integer RRF: divisible by every denominator K0+1 .. K0+TOPK
+HYBRID_RRF_SCALE = _math.lcm(*range(HYBRID_RRF_K0 + 1, HYBRID_RRF_K0 + HYBRID_TOPK + 1))
+
+
+def hybrid_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused top-HYBRID_TOPK per dense-query doc (vec_id % QUERY_STRIDE
+    == 0 — embeddings and documents share the id space): RRF over the
+    sparse tier's top-5 and the dense rerank tier's top-10, exact
+    integer scores, (score desc, neighbor_id) total order. n_legs says
+    which neighbors both retrievers agreed on."""
+    from .similarity import QUERY_STRIDE, ann_ivfpq_rerank
+
+    contrib = F.expr(f"{HYBRID_RRF_SCALE} div ({HYBRID_RRF_K0} + rank)")
+    dense = ann_ivfpq_rerank(spark, sf_dir).select(
+        F.col("query_id").alias("doc_id"), "neighbor_id", contrib.alias("c")
+    )
+    sparse = (
+        sparse_doc_knn_approx(spark, sf_dir)
+        .filter(F.col("doc_id") % QUERY_STRIDE == 0)
+        .select("doc_id", "neighbor_id", contrib.alias("c"))
+    )
+    fused = (
+        dense.unionByName(sparse)
+        .groupBy("doc_id", "neighbor_id")
+        .agg(F.sum("c").alias("rrf_num"), F.count(F.lit(1)).alias("n_legs"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("rrf_num").desc(), "neighbor_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HYBRID_TOPK)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            "n_legs",
+            "rrf_num",
+            roundn(F.col("rrf_num").cast("double") / F.lit(float(HYBRID_RRF_SCALE)), 6).alias("rrf"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+def hybrid_doc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the fused list against brute-force dense cosine —
+    the same versioned ann_ground_truth_topk artifact every dense gate
+    reads. This gate prices the FUSION TAX on the dense metric: RRF
+    interleaves the sparse leg's neighbors into the top-10, displacing
+    dense ones, so fused recall sits BELOW the dense rerank tier's
+    (measured at sf0.01: 0.5-0.6 vs 0.7350 — on this synthetic corpus
+    the legs agree on ~1% of pairs, embeddings are not derived from the
+    text). The flip side — lexical matches dense misses entirely — is
+    what the sparse leg buys; a gate against a fused ground truth would
+    hide the tradeoff this one makes visible. Output shape matches the
+    ann_*_recall gates."""
+    from ..functions.artifacts import artifact_key, trained_artifact
+    from ..functions.cachepool import managed_persist
+    from .similarity import _quantized, _recall_frame, ann_cosine_topk
+
+    emb = managed_persist(_quantized(spark, sf_dir))
+    exact = trained_artifact(
+        artifact_key("ann_ground_truth_topk", spark, sf_dir, "embeddings"),
+        lambda: ann_cosine_topk(spark, sf_dir, emb=emb).select("query_id", "neighbor_id"),
+    )
+    approx = hybrid_doc_topk(spark, sf_dir).select(
+        F.col("doc_id").alias("query_id"), "neighbor_id"
+    )
+    return _recall_frame(exact, approx)
+
+
+def _sql_hybrid_topk() -> str:
+    from .similarity import QUERY_STRIDE, SQL_ANN_IVFPQ_RERANK
+
+    return f"""
+WITH dense AS (
+  SELECT query_id AS doc_id, neighbor_id, rank FROM ({SQL_ANN_IVFPQ_RERANK})
+),
+sparse AS (
+  SELECT doc_id, neighbor_id, rank FROM ({SQL_SPARSE_DOC_KNN_APPROX})
+  WHERE doc_id % {QUERY_STRIDE} = 0
+),
+contrib AS (
+  SELECT doc_id, neighbor_id, {HYBRID_RRF_SCALE} // ({HYBRID_RRF_K0} + rank) AS c FROM dense
+  UNION ALL
+  SELECT doc_id, neighbor_id, {HYBRID_RRF_SCALE} // ({HYBRID_RRF_K0} + rank) AS c FROM sparse
+),
+fused AS (
+  SELECT doc_id, neighbor_id, CAST(sum(c) AS BIGINT) AS rrf_num,
+         CAST(count(*) AS BIGINT) AS n_legs
+  FROM contrib GROUP BY doc_id, neighbor_id
+),
+rranked AS (
+  SELECT doc_id, neighbor_id, rrf_num, n_legs,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rrf_num DESC, neighbor_id) AS rank
+  FROM fused
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, neighbor_id, n_legs, rrf_num,
+       {sql_roundn(f'CAST(rrf_num AS DOUBLE) / {HYBRID_RRF_SCALE}', 6)} AS rrf
+FROM rranked WHERE rank <= {HYBRID_TOPK}
+ORDER BY doc_id, rank"""
+
+
+def _sql_hybrid_recall() -> str:
+    from .similarity import _sql_recall
+
+    return _sql_recall(
+        f"SELECT doc_id AS query_id, neighbor_id FROM ({_sql_hybrid_topk()})"
+    )

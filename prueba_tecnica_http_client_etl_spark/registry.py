@@ -253,6 +253,8 @@ _LLM_PIPELINE = [
     ("image_phash_band_audit", multimodal.image_phash_band_audit, multimodal.SQL_IMAGE_PHASH_BAND_AUDIT),
     ("bpe_train_merges", corpus.bpe_train_merges, corpus.SQL_BPE_TRAIN_MERGES),
     ("bpe_tokenize", corpus.bpe_tokenize, corpus.SQL_BPE_TOKENIZE),
+    ("hybrid_doc_topk", textops.hybrid_doc_topk, textops._sql_hybrid_topk()),
+    ("hybrid_doc_recall", textops.hybrid_doc_recall, textops._sql_hybrid_recall()),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
@@ -1251,6 +1253,8 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "image_phash_band_audit": None,
     "bpe_train_merges": None,
     "bpe_tokenize": None,
+    "hybrid_doc_topk": None,
+    "hybrid_doc_recall": None,
 }
 
 

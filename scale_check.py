@@ -172,6 +172,12 @@ LLM_TIER = [
     # bpe_tokenize replays the 12 trained replaces corpus-wide (linear)
     "bpe_train_merges",
     "bpe_tokenize",
+    # round-16: RRF fusion adds only |Q| x 15-row work on top of its two
+    # legs; the legs' own scale behavior is measured separately (this
+    # entry prices leg cost + fusion together at the 10x query set).
+    # Kept OUT of the 100x tier: it would only re-measure the two legs'
+    # already-recorded 100x entries plus a negligible union.
+    "hybrid_doc_topk",
 ]
 
 # bump when the replica construction changes: a marker whose content
