@@ -1032,3 +1032,339 @@ def _bloom_auto_geometry(spark: SparkSession, sf_dir: str) -> int:
 
 # the prescreen is lossless, so the exact check's SQL certifies it
 SQL_CONTAMINATION_BLOOM = SQL_CONTAMINATION_CHECK
+
+
+# --- in-engine quality-classifier training (round 16) ------------------------
+#
+# quality_score APPLIES a model; nothing trained one in-engine. Round 6
+# measured and rejected perceptron/logistic/least-squares trainers on the
+# hashed-BOW features (no linear signal: all variants at or below the
+# 0.63 majority rate, recorded at classifier_weights), and a round-16
+# re-check confirmed batch perceptron oscillates at majority even on the
+# engineered ratio features (the gate's keep region is an AND of three
+# halfspaces — not one). The trainer that actually fits the label
+# structure is a GREEDY DECISION LIST: QT_STEPS exact CART-style split
+# searches, each picking the (feature, direction, threshold) that
+# maximizes net captured drops over the still-active docs — pure
+# relational argmax (partial-aggregated per-value label counts + one
+# windowed prefix-sum per feature), exact BIGINT arithmetic, no learning
+# rate, no oscillation, deterministic under any partitioning.
+#
+# Trained on quality_gate's own decisions this is gate DISTILLATION (the
+# production pattern: learn a cheap serving model of an expensive rule
+# cascade) — and the learner RECOVERS the gate's thresholds from labels
+# alone: measured at sf0.01 it picks dr_s < 350, n_tokens < 24,
+# sr_s > 120 (the gate's exact cuts on the integer feature grid) with
+# training accuracy 0.998; the one residual doc sits where the
+# 1000-scaled integer ratio cannot represent the gate's double
+# threshold. Scale shape: each step is one scan of the active set into
+# |distinct feature values| partial counts — no corpus-sized shuffle,
+# QT_STEPS bounded driver round-trips of one row each (the
+# kmeans-centroid pattern).
+
+QT_STEPS = 3
+QT_RATIO_SCALE = 1000
+_QT_FEATURES = [(1, "n_tokens"), (2, "dr_s"), (3, "sr_s")]
+
+
+def _qt_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, k, nt, dr_s, sr_s): integer training features + the
+    gate's keep label. Ratios scale to the QT_RATIO_SCALE integer grid
+    (floor division — exact in both engines); label semantics are
+    with_quality_reason's verbatim, null guards included."""
+    d = with_quality_reason(docs_normalized(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        (F.col("reason") == "ok").cast("int").alias("k"),
+        F.col("n_tokens").alias("nt"),
+        F.expr(
+            f"CASE WHEN n_tokens > 0 THEN (size(array_distinct(toks)) * {QT_RATIO_SCALE}) div n_tokens ELSE 0 END"
+        ).cast("long").alias("dr_s"),
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN (size(filter(toks, t -> t IN ("
+            + ", ".join(f"'{w}'" for w in STOPWORDS)
+            + f"))) * {QT_RATIO_SCALE}) div n_tokens ELSE 0 END"
+        ).cast("long").alias("sr_s"),
+    )
+
+
+def _qt_best_split(active: DataFrame):
+    """The (net, fid, dir, threshold, n_fired_drop, n_fired_keep) argmax
+    over every feature, direction and observed threshold of the active
+    set — one aggregate + one window per call, (net desc, fid, dir,
+    threshold) total order."""
+    feats = F.expr(
+        "array(struct(1 AS fid, nt AS v), struct(2 AS fid, dr_s AS v), struct(3 AS fid, sr_s AS v))"
+    )
+    counts = (
+        active.select(F.explode(feats).alias("f"), "k")
+        .groupBy(F.col("f.fid").alias("fid"), F.col("f.v").alias("v"))
+        .agg(
+            F.sum("k").alias("nk"),
+            F.sum(F.lit(1) - F.col("k")).alias("nd"),
+        )
+    )
+    w = Window.partitionBy("fid").orderBy("v")
+    wall = Window.partitionBy("fid")
+    c = (
+        counts.withColumn("cumk", F.sum("nk").over(w))
+        .withColumn("cumd", F.sum("nd").over(w))
+        .withColumn("totk", F.sum("nk").over(wall))
+        .withColumn("totd", F.sum("nd").over(wall))
+    )
+    lt = c.select(
+        "fid",
+        F.lit("lt").alias("dir"),
+        F.col("v").alias("threshold"),
+        (F.col("cumd") - F.col("nd")).alias("n_fired_drop"),
+        (F.col("cumk") - F.col("nk")).alias("n_fired_keep"),
+    )
+    gt = c.select(
+        "fid",
+        F.lit("gt").alias("dir"),
+        F.col("v").alias("threshold"),
+        (F.col("totd") - F.col("cumd")).alias("n_fired_drop"),
+        (F.col("totk") - F.col("cumk")).alias("n_fired_keep"),
+    )
+    rows = (
+        lt.unionByName(gt)
+        .withColumn("net", F.col("n_fired_drop") - F.col("n_fired_keep"))
+        .orderBy(F.desc("net"), "fid", "dir", "threshold")
+        .limit(1)
+        .collect()
+    )
+    return rows[0] if rows else None
+
+
+_QT_SCHEMA = (
+    "step long, feature string, direction string, threshold long, "
+    "n_fired_drop long, n_fired_keep long, net long, n_correct long, n_total long"
+)
+
+
+def _qt_train_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    from ..functions.cachepool import managed_persist
+
+    active = managed_persist(_qt_labeled(spark, sf_dir))
+    tot = active.agg(
+        F.sum("k").alias("nk"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    keeps_total, n_total = int(tot["nk"] or 0), int(tot["n"])
+    fname = dict(_QT_FEATURES)
+    out: list[tuple] = []
+    cum_d = cum_k = 0
+    for step in range(1, QT_STEPS + 1):
+        best = _qt_best_split(active)
+        if best is None or int(best["net"]) <= 0:
+            break
+        fid, d, t = int(best["fid"]), best["dir"], int(best["threshold"])
+        cum_d += int(best["n_fired_drop"])
+        cum_k += int(best["n_fired_keep"])
+        n_correct = cum_d + keeps_total - cum_k
+        out.append(
+            (
+                step,
+                fname[fid],
+                d,
+                t,
+                int(best["n_fired_drop"]),
+                int(best["n_fired_keep"]),
+                int(best["net"]),
+                n_correct,
+                n_total,
+            )
+        )
+        col = {1: "nt", 2: "dr_s", 3: "sr_s"}[fid]
+        fired = F.col(col) < t if d == "lt" else F.col(col) > t
+        active = managed_persist(active.filter(~fired))
+    return out
+
+
+def _qt_rules_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained decision list as a session artifact (the distilled
+    serving model a production gate ships)."""
+    from ..functions.artifacts import artifact_key, trained_artifact
+
+    return trained_artifact(
+        artifact_key("quality_decision_list", spark, sf_dir),
+        lambda: spark.createDataFrame(_qt_train_rows(spark, sf_dir), _QT_SCHEMA),
+    )
+
+
+def quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained quality decision list with per-step training
+    accounting: each row is one learned rule (fire -> predict drop) plus
+    the cumulative correct count after applying rules 1..step to the
+    full training set. accuracy is derived from exact BIGINTs."""
+    return (
+        _qt_rules_artifact(spark, sf_dir)
+        .select(
+            "step",
+            "feature",
+            "direction",
+            "threshold",
+            "n_fired_drop",
+            "n_fired_keep",
+            "net",
+            "n_correct",
+            roundn(
+                F.col("n_correct").cast("double") / F.col("n_total").cast("double"), 4
+            ).alias("accuracy"),
+        )
+        .orderBy("step")
+    )
+
+
+def quality_gate_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve the DISTILLED gate: apply the trained decision list to
+    every document and report agreement with the rule gate per doc —
+    the audit a production team runs before swapping a rule cascade for
+    its learned model. learned_reason is the feature of the FIRST
+    firing rule (the decision-list analog of the gate's first-failing
+    reason). Map-side: the model is <= QT_STEPS broadcast literals."""
+    rules = [
+        (r["feature"], r["direction"], int(r["threshold"]))
+        for r in _qt_rules_artifact(spark, sf_dir).orderBy("step").collect()
+    ]
+    d = _qt_labeled(spark, sf_dir)
+    colmap = {"n_tokens": "nt", "dr_s": "dr_s", "sr_s": "sr_s"}
+    reason = F.lit("ok")
+    fired_any = F.lit(False)
+    # build first-fired semantics: earlier rules take precedence, so
+    # fold from the LAST rule up
+    for feat, dirn, thr in reversed(rules):
+        c = F.col(colmap[feat])
+        fired = c < thr if dirn == "lt" else c > thr
+        reason = F.when(fired, F.lit(feat)).otherwise(reason)
+        fired_any = fired_any | fired
+    return d.select(
+        "doc_id",
+        F.when(F.col("k") == 1, F.lit("keep")).otherwise(F.lit("drop")).alias(
+            "rule_decision"
+        ),
+        F.when(fired_any, F.lit("drop")).otherwise(F.lit("keep")).alias(
+            "learned_decision"
+        ),
+        reason.alias("learned_reason"),
+        (
+            (F.col("k") == 1) == ~fired_any
+        ).alias("agree"),
+    ).orderBy("doc_id")
+
+
+def _sql_qt_q0() -> str:
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""q0 AS MATERIALIZED (
+  SELECT r.doc_id,
+         CASE WHEN r.reason = 'ok' THEN 1 ELSE 0 END AS k,
+         r.n_tokens AS nt,
+         CASE WHEN r.n_tokens > 0 THEN (len(list_distinct(t.toks)) * {QT_RATIO_SCALE}) // r.n_tokens ELSE 0 END AS dr_s,
+         CASE WHEN r.n_tokens > 0 THEN (len(list_filter(t.toks, x -> x IN ({sw}))) * {QT_RATIO_SCALE}) // r.n_tokens ELSE 0 END AS sr_s
+  FROM r JOIN sh_t t USING (doc_id)
+)"""
+
+
+def _sql_qt_step(i: int) -> str:
+    prev = f"q0" if i == 1 else f"a{i - 1}"
+    return f"""e{i} AS MATERIALIZED (
+  SELECT fid, v, CAST(sum(k) AS BIGINT) AS nk, CAST(sum(1 - k) AS BIGINT) AS nd
+  FROM (
+    SELECT k, 1 AS fid, nt AS v FROM {prev}
+    UNION ALL SELECT k, 2, dr_s FROM {prev}
+    UNION ALL SELECT k, 3, sr_s FROM {prev}
+  ) GROUP BY fid, v
+),
+c{i} AS MATERIALIZED (
+  SELECT fid, v, nk, nd,
+         sum(nk) OVER (PARTITION BY fid ORDER BY v) AS cumk,
+         sum(nd) OVER (PARTITION BY fid ORDER BY v) AS cumd,
+         sum(nk) OVER (PARTITION BY fid) AS totk,
+         sum(nd) OVER (PARTITION BY fid) AS totd
+  FROM e{i}
+),
+m{i} AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT fid, 'lt' AS dir, v AS threshold, cumd - nd AS nfd, cumk - nk AS nfk FROM c{i}
+    UNION ALL
+    SELECT fid, 'gt', v, totd - cumd, totk - cumk FROM c{i}
+  )
+  WHERE nfd - nfk > 0
+  ORDER BY (nfd - nfk) DESC, fid, dir, threshold
+  LIMIT 1
+),
+a{i} AS MATERIALIZED (
+  SELECT x.* FROM {prev} x
+  WHERE (SELECT count(*) FROM m{i}) = 0
+     OR NOT (CASE WHEN (SELECT dir FROM m{i}) = 'lt'
+                  THEN (CASE (SELECT fid FROM m{i}) WHEN 1 THEN x.nt WHEN 2 THEN x.dr_s ELSE x.sr_s END) < (SELECT threshold FROM m{i})
+                  ELSE (CASE (SELECT fid FROM m{i}) WHEN 1 THEN x.nt WHEN 2 THEN x.dr_s ELSE x.sr_s END) > (SELECT threshold FROM m{i}) END)
+)"""
+
+
+def _sql_qt_chain() -> str:
+    return ",\n".join([_sql_qt_q0()] + [_sql_qt_step(i) for i in range(1, QT_STEPS + 1)])
+
+
+def _sql_quality_train() -> str:
+    st = "\n  UNION ALL ".join(
+        f"SELECT {i} AS step, fid, dir, threshold, nfd, nfk FROM m{i}"
+        for i in range(1, QT_STEPS + 1)
+    )
+    return f"""
+WITH {DUCK_DOCS_CTE},
+{sql_quality_cte()},
+{_sql_qt_chain()},
+tot AS (SELECT CAST(sum(k) AS BIGINT) AS totkeep, count(*) AS n FROM q0),
+st AS ({st}),
+fin AS (
+  SELECT step, fid, dir, threshold, nfd, nfk,
+         sum(nfd) OVER (ORDER BY step) AS cumd,
+         sum(nfk) OVER (ORDER BY step) AS cumk
+  FROM st
+)
+SELECT CAST(step AS BIGINT) AS step,
+       CASE fid WHEN 1 THEN 'n_tokens' WHEN 2 THEN 'dr_s' ELSE 'sr_s' END AS feature,
+       dir AS direction,
+       CAST(threshold AS BIGINT) AS threshold,
+       CAST(nfd AS BIGINT) AS n_fired_drop,
+       CAST(nfk AS BIGINT) AS n_fired_keep,
+       CAST(nfd - nfk AS BIGINT) AS net,
+       CAST(cumd + tot.totkeep - cumk AS BIGINT) AS n_correct,
+       {sql_roundn('CAST(cumd + tot.totkeep - cumk AS DOUBLE) / tot.n', 4)} AS accuracy
+FROM fin, tot
+ORDER BY step"""
+
+
+SQL_QUALITY_TRAIN = _sql_quality_train()
+
+
+def _sql_quality_gate_learned() -> str:
+    fired = []
+    for i in range(1, QT_STEPS + 1):
+        fired.append(
+            f"""((SELECT count(*) FROM m{i}) > 0 AND
+       CASE WHEN (SELECT dir FROM m{i}) = 'lt'
+            THEN (CASE (SELECT fid FROM m{i}) WHEN 1 THEN q.nt WHEN 2 THEN q.dr_s ELSE q.sr_s END) < (SELECT threshold FROM m{i})
+            ELSE (CASE (SELECT fid FROM m{i}) WHEN 1 THEN q.nt WHEN 2 THEN q.dr_s ELSE q.sr_s END) > (SELECT threshold FROM m{i}) END)"""
+        )
+    reason = "CASE "
+    for i in range(1, QT_STEPS + 1):
+        reason += (
+            f"WHEN {fired[i - 1]} THEN (SELECT CASE fid WHEN 1 THEN 'n_tokens' WHEN 2 THEN 'dr_s' ELSE 'sr_s' END FROM m{i}) "
+        )
+    reason += "ELSE 'ok' END"
+    any_fired = " OR ".join(fired)
+    return f"""
+WITH {DUCK_DOCS_CTE},
+{sql_quality_cte()},
+{_sql_qt_chain()}
+SELECT q.doc_id,
+       CASE WHEN q.k = 1 THEN 'keep' ELSE 'drop' END AS rule_decision,
+       CASE WHEN {any_fired} THEN 'drop' ELSE 'keep' END AS learned_decision,
+       {reason} AS learned_reason,
+       (q.k = 1) = NOT ({any_fired}) AS agree
+FROM q0 q
+ORDER BY q.doc_id"""
+
+
+SQL_QUALITY_GATE_LEARNED = _sql_quality_gate_learned()

@@ -255,6 +255,8 @@ _LLM_PIPELINE = [
     ("bpe_tokenize", corpus.bpe_tokenize, corpus.SQL_BPE_TOKENIZE),
     ("hybrid_doc_topk", textops.hybrid_doc_topk, textops._sql_hybrid_topk()),
     ("hybrid_doc_recall", textops.hybrid_doc_recall, textops._sql_hybrid_recall()),
+    ("quality_train", curation.quality_train, curation.SQL_QUALITY_TRAIN),
+    ("quality_gate_learned", curation.quality_gate_learned, curation.SQL_QUALITY_GATE_LEARNED),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
@@ -1255,6 +1257,8 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "bpe_tokenize": None,
     "hybrid_doc_topk": None,
     "hybrid_doc_recall": None,
+    "quality_train": None,
+    "quality_gate_learned": None,
 }
 
 

@@ -178,6 +178,11 @@ LLM_TIER = [
     # Kept OUT of the 100x tier: it would only re-measure the two legs'
     # already-recorded 100x entries plus a negligible union.
     "hybrid_doc_topk",
+    # round-16: decision-list training — each step is one active-set
+    # scan into |distinct feature values| partial counts + a windowed
+    # prefix sum; the served learned gate is a map-side 3-rule cascade
+    "quality_train",
+    "quality_gate_learned",
 ]
 
 # bump when the replica construction changes: a marker whose content
@@ -375,6 +380,11 @@ HUNDRED_TIER = [
     # scan; tokenize is the linear 12-replace corpus pass
     "bpe_train_merges",
     "bpe_tokenize",
+    # round-16: split-search training over the 100x corpus — the
+    # candidate space is |distinct feature values| (ratios saturate the
+    # 1000-grid, n_tokens grows with doc length), so the argmax stays
+    # bounded while the labeling scan is what grows
+    "quality_train",
 ]
 
 
