@@ -313,7 +313,18 @@ def q_events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFram
     HLL_BOUND_SIGMAS * rsd * exact (+2 absolute for tiny cardinalities).
     The estimate itself is deterministic for a fixed dataset (hash-based,
     no RNG), so the verdict is stable across runs; the exact count rides
-    along and is hash-certified against DuckDB."""
+    along and is hash-certified against DuckDB.
+
+    PRODUCTION SERVES THE SKETCH ALONE (round-15 ADVICE): at 100 TB the
+    query is groupBy + approx_count_distinct — bounded memory, no
+    distinct shuffle. The exact count_distinct in THIS registered plan
+    exists only because this is the gate-scale CERTIFICATION of the
+    sketch's error contract — the exact counterpart is the yardstick the
+    boolean is checked against, exactly as kpi_daily_p90_bound's rank
+    interval is (see its docstring). The scale_check flagship entry
+    therefore measures the certification plan, not the serving plan;
+    the serving plan's scale behavior is the plain events_distinct_users
+    aggregate minus its expand-based distinct."""
     from pyspark.sql import functions as F
 
     approx = F.approx_count_distinct("user_id", rsd=HLL_RSD)

@@ -126,12 +126,23 @@ def test_token_drift_fails_loudly_on_a_single_source_corpus(spark, tmp_path):
     from pyspark.errors.exceptions.captured import SparkRuntimeException
     from prueba_tecnica_http_client_etl_spark.schemas import load_table
 
+    import duckdb
+    from prueba_tecnica_http_client_etl_spark.operators.textops import SQL_TOKEN_DRIFT
+
     docs = load_table(spark, SF, "documents")
     one = docs.filter(F.col("source") == docs.select("source").first()[0])
     sf1 = str(tmp_path / "single_src")
     one.coalesce(1).write.parquet(f"{sf1}/documents.parquet")
     with pytest.raises(SparkRuntimeException, match="token_drift needs >= 2 sources"):
         token_drift(spark, sf1).collect()
+    # the DuckDB twin's error() guard must fire with the same message
+    # (round-15 ADVICE: this path was only manually verified before)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf1}/documents.parquet/*.parquet')"
+    )
+    with pytest.raises(duckdb.Error, match="token_drift needs >= 2 sources"):
+        con.sql(SQL_TOKEN_DRIFT).fetchall()
 
 
 def test_sparse_knn_approx_matches_brute_force_in_the_pruned_space(spark):
