@@ -1161,3 +1161,43 @@ def _sql_hybrid_recall() -> str:
     return _sql_recall(
         f"SELECT doc_id AS query_id, neighbor_id FROM ({_sql_hybrid_topk()})"
     )
+
+
+def hybrid_doc_lexical_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lexical twin of hybrid_doc_recall: the fused list gated
+    against the EXACT sparse tier's neighbors (the versioned
+    sparse_knn_ground_truth artifact, stride-restricted to the query
+    set). Together the two gates bracket the fusion: dense recall says
+    what RRF costs on the embedding metric, lexical recall what it
+    costs on the term-match metric — one gate alone would hide half the
+    tradeoff. Denominator is the exact sparse top-5, so recall_at_10
+    here reads as 'of the 5 true lexical neighbors, how many survive
+    fusion into the top-10'."""
+    from ..functions.artifacts import artifact_key, trained_artifact
+    from .similarity import QUERY_STRIDE, _recall_frame
+
+    exact = (
+        trained_artifact(
+            artifact_key("sparse_knn_ground_truth", spark, sf_dir, "documents"),
+            lambda: sparse_doc_knn(spark, sf_dir).select("doc_id", "neighbor_id"),
+        )
+        .filter(F.col("doc_id") % QUERY_STRIDE == 0)
+        .select(F.col("doc_id").alias("query_id"), "neighbor_id")
+    )
+    approx = hybrid_doc_topk(spark, sf_dir).select(
+        F.col("doc_id").alias("query_id"), "neighbor_id"
+    )
+    return _recall_frame(exact, approx)
+
+
+def _sql_hybrid_lexical_recall() -> str:
+    from .similarity import QUERY_STRIDE, _sql_recall
+
+    exact_sql = (
+        f"SELECT doc_id AS query_id, neighbor_id FROM ({SQL_SPARSE_DOC_KNN}) "
+        f"WHERE doc_id % {QUERY_STRIDE} = 0"
+    )
+    return _sql_recall(
+        f"SELECT doc_id AS query_id, neighbor_id FROM ({_sql_hybrid_topk()})",
+        exact_sql,
+    )

@@ -257,6 +257,7 @@ _LLM_PIPELINE = [
     ("hybrid_doc_recall", textops.hybrid_doc_recall, textops._sql_hybrid_recall()),
     ("quality_train", curation.quality_train, curation.SQL_QUALITY_TRAIN),
     ("quality_gate_learned", curation.quality_gate_learned, curation.SQL_QUALITY_GATE_LEARNED),
+    ("hybrid_doc_lexical_recall", textops.hybrid_doc_lexical_recall, textops._sql_hybrid_lexical_recall()),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
@@ -1270,6 +1271,7 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "hybrid_doc_recall": None,
     "quality_train": None,
     "quality_gate_learned": None,
+    "hybrid_doc_lexical_recall": None,
 }
 
 
