@@ -692,27 +692,9 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     auto-broadcast lesson), candidates are bounded by band-value
     collisions (14-bit pseudorandom values, no hot keys), and the
     verify is a codegen bit_count on two longs — no Python in the
-    pair path."""
-    bands = _phash_bands(_phash_sigs(spark, sf_dir))
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa"), "band", "bv"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("phash").alias("pb"), "band", "bv"
-    )
-    cand = (
-        a.hint("merge")
-        .join(b.hint("merge"), ["band", "bv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pa", "pb")
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", F.expr("bit_count(pa ^ pb)").cast("long"))
-        .filter(F.col("hamming") <= _PH_HAMMING_K)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
-    )
+    pair path. The plan is _banded_hamming_pairs, shared verbatim with
+    the audio tier."""
+    return _banded_hamming_pairs(_phash_sigs(spark, sf_dir), _PH_HAMMING_K)
 
 
 def image_phash_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -838,3 +820,205 @@ SELECT t.n_true, f.n_found, h.n_hits,
        CASE WHEN t.n_true = 0 THEN 1.0
             ELSE floor((CAST(h.n_hits AS DOUBLE) / t.n_true) * 10000 + 0.5) / 10000 END AS recall
 FROM t, f, h"""
+
+
+# --- perceptual audio dedup (envelope fingerprint + Hamming bands) -----------
+#
+# The audio twin of dedup_image_phash, completing the multimodal dedup
+# symmetry (image + audio): synthesize REAL 8-bit PCM WAVs whose sample
+# stream carries a deterministic per-frame envelope, walk the RIFF
+# chunks and pull the actual sample bytes, average each fixed-length
+# frame into its mean amplitude, and hash the ENVELOPE SHAPE — bit i set
+# iff frame i+1 is strictly louder than frame i (the dHash idea applied
+# along time instead of across pixels; a chromaprint-style fingerprint
+# without the FFT, since the envelope is the part a pure-Python decoder
+# can certify exactly). Same 56-bit geometry and 4 x 14-bit band
+# blocking as the image tier — the banding/verify machinery is shared.
+#
+# Family structure mirrors the image tier: _PH_GROUP variants per base
+# clip, each perturbing ONE frame in the first 15 (bits 0..13 = band 0),
+# so family members sit within Hamming 4 while strangers are ~28 apart.
+
+_AF_FRAMES = _PH_GRID * _PH_GRID  # 64 frames -> reuse the 56-bit layout:
+# the hash uses frames in groups of 8 (7 comparisons per group), exactly
+# the image grid's row structure, so the band constants carry over.
+_AF_FRAME_LEN = 64  # samples per frame (8-bit mono PCM)
+_AF_SAMPLE_RATE = 8000
+# variant k > 0 perturbs exactly one frame; frames 2/6/10 sit in rows
+# 0-1 of the 8x8 layout = band 0, mirroring _PH_PERT's cell choices
+_AF_PERT = {1: 2, 2: 6, 3: 10}
+
+
+def _af_frame_amp(base: int, f: int) -> int:
+    """Mean amplitude of frame f for family `base`: md5-derived in
+    0..250 (the _ph_cell_value convention with its own salt)."""
+    d = hashlib.md5(f"af:{base}:{f}".encode()).hexdigest()
+    return int(d[:15], 16) % _PH_VMOD
+
+
+def build_tone_wav_payload(doc_id: int) -> bytes:
+    """Deterministic RIFF/WAVE bytes with REAL sample content: 8-bit
+    mono PCM, _AF_FRAMES frames of _AF_FRAME_LEN constant-amplitude
+    samples each (the audio analog of the solid pixel cells). The
+    decoder must walk the chunk list and index the sample stream
+    correctly to recover the envelope."""
+    import struct
+
+    base, k = divmod(int(doc_id), _PH_GROUP)
+    samples = bytearray()
+    for f in range(_AF_FRAMES):
+        a = _af_frame_amp(base, f)
+        if k in _AF_PERT and _AF_PERT[k] == f:
+            a = (a + 128) % _PH_VMOD
+        samples += bytes([a]) * _AF_FRAME_LEN
+    fmt = struct.pack("<HHIIHH", 1, 1, _AF_SAMPLE_RATE, _AF_SAMPLE_RATE, 1, 8)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(samples)) + bytes(samples)
+    if len(samples) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _wav_pcm8_samples(payload: bytes) -> bytes:
+    """Walk a RIFF/WAVE payload for real and return the raw 8-bit mono
+    PCM sample bytes; raises ValueError on malformed structure or any
+    non-8-bit-mono-PCM format (the decode_wav contract — decode_wav
+    itself validates structure but never exposes samples)."""
+    import struct
+
+    meta = decode_wav(payload)  # structural validation + fmt fields
+    if meta["bits"] != 8 or meta["channels"] != 1:
+        raise ValueError("envelope fingerprint needs 8-bit mono PCM")
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        if cid == b"data":
+            return payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size % 2)
+    raise ValueError("missing data chunk")
+
+
+def audio_fingerprint_of_payload(payload: bytes) -> int:
+    """56-bit envelope dHash from real sample bytes: frame means over
+    the 8x8 frame layout, bit (g*7 + i) set iff frame g*8+i+1 is
+    strictly louder than frame g*8+i. Ties are 0 in both engines."""
+    import numpy as np
+
+    pcm = np.frombuffer(_wav_pcm8_samples(payload), dtype=np.uint8)
+    n = _AF_FRAMES * _AF_FRAME_LEN
+    if len(pcm) < n:
+        raise ValueError("sample stream shorter than the frame layout")
+    means = pcm[:n].astype("int64").reshape(_AF_FRAMES, _AF_FRAME_LEN).mean(axis=1).astype("int64")
+    g = _PH_GRID
+    hsh = 0
+    for row in range(g):
+        for i in range(g - 1):
+            if means[row * g + i + 1] > means[row * g + i]:
+                hsh |= 1 << (row * (g - 1) + i)
+    return hsh
+
+
+def _audio_fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "phash": []}
+        for doc_id in pdf["doc_id"]:
+            out["doc_id"].append(int(doc_id))
+            out["phash"].append(
+                audio_fingerprint_of_payload(build_tone_wav_payload(int(doc_id)))
+            )
+        yield pd.DataFrame(out)
+
+
+def _audio_fp_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phash) audio-fingerprint table — trained artifact like
+    the image signatures (same column names so the banding helper and
+    pair plan are shared verbatim)."""
+    from ..functions.artifacts import artifact_key, trained_artifact
+
+    def build() -> DataFrame:
+        base = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(default_parallelism(), F.col("doc_id"))
+        )
+        return base.mapInPandas(_audio_fp_batches, "doc_id long, phash long")
+
+    return trained_artifact(artifact_key("audio_fp_sigs", spark, sf_dir), build)
+
+
+def _banded_hamming_pairs(sigs: DataFrame, max_k: int) -> DataFrame:
+    """Shared pair plan of both perceptual tiers: band the signatures,
+    merge-hinted self-join on exact band values, distinct, exact
+    bit_count verify at threshold max_k."""
+    bands = _phash_bands(sigs)
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa"), "band", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("pb"), "band", "bv"
+    )
+    cand = (
+        a.hint("merge")
+        .join(b.hint("merge"), ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(pa ^ pb)").cast("long"))
+        .filter(F.col("hamming") <= max_k)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All clip pairs within Hamming distance <= 3 of each other's
+    56-bit envelope fingerprint — the audio leg of perceptual dedup,
+    identical blocking/verify plan to dedup_image_phash (pigeonhole-
+    lossless at the threshold) over the audio signature artifact."""
+    return _banded_hamming_pairs(_audio_fp_sigs(spark, sf_dir), _PH_HAMMING_K)
+
+
+# Oracle: the envelope recomputed ARITHMETICALLY (frame means equal the
+# generated amplitudes exactly — constant frames), never parsing bytes.
+_SQL_AF_BASE_V = (
+    "CAST(('0x' || substr(md5('af:' || CAST(d.doc_id // 4 AS VARCHAR) || ':' || "
+    "CAST(s.f AS VARCHAR)), 1, 15)) AS BIGINT) % 251"
+)
+
+_SQL_AF_CTES = f"""
+frames AS (
+  SELECT d.doc_id, s.f,
+         CASE WHEN (d.doc_id % {_PH_GROUP} = 1 AND s.f = {_AF_PERT[1]})
+                OR (d.doc_id % {_PH_GROUP} = 2 AND s.f = {_AF_PERT[2]})
+                OR (d.doc_id % {_PH_GROUP} = 3 AND s.f = {_AF_PERT[3]})
+           THEN ({_SQL_AF_BASE_V} + 128) % {_PH_VMOD}
+           ELSE {_SQL_AF_BASE_V}
+         END AS v
+  FROM documents d, (SELECT unnest(range({_AF_FRAMES})) AS f) s
+),
+ph AS (
+  SELECT l.doc_id,
+         CAST(sum(CASE WHEN r.v > l.v THEN (1::BIGINT << ((l.f // {_PH_GRID}) * {_PH_GRID - 1} + (l.f % {_PH_GRID}))) ELSE 0 END) AS BIGINT) AS phash
+  FROM frames l JOIN frames r ON r.doc_id = l.doc_id AND r.f = l.f + 1
+  WHERE l.f % {_PH_GRID} < {_PH_GRID - 1}
+  GROUP BY l.doc_id
+),
+bands AS (
+  SELECT doc_id, phash, t.b, (phash >> ({_PH_BAND_BITS} * t.b)) & {(1 << _PH_BAND_BITS) - 1} AS bv
+  FROM ph, (SELECT unnest(range({_PH_BANDS})) AS b) t
+)"""
+
+
+SQL_DEDUP_AUDIO_FINGERPRINT = f"""
+WITH {_SQL_AF_CTES},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.phash AS pa, b.phash AS pb
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(pa, pb)) <= {_PH_HAMMING_K}
+ORDER BY doc_a, doc_b"""

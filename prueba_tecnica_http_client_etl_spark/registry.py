@@ -258,6 +258,7 @@ _LLM_PIPELINE = [
     ("quality_train", curation.quality_train, curation.SQL_QUALITY_TRAIN),
     ("quality_gate_learned", curation.quality_gate_learned, curation.SQL_QUALITY_GATE_LEARNED),
     ("hybrid_doc_lexical_recall", textops.hybrid_doc_lexical_recall, textops._sql_hybrid_lexical_recall()),
+    ("dedup_audio_fingerprint", multimodal.dedup_audio_fingerprint, multimodal.SQL_DEDUP_AUDIO_FINGERPRINT),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
@@ -1272,6 +1273,7 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "quality_train": None,
     "quality_gate_learned": None,
     "hybrid_doc_lexical_recall": None,
+    "dedup_audio_fingerprint": None,
 }
 
 

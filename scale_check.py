@@ -183,6 +183,10 @@ LLM_TIER = [
     # prefix sum; the served learned gate is a map-side 3-rule cascade
     "quality_train",
     "quality_gate_learned",
+    # round-16: the audio envelope tier shares dedup_image_phash's
+    # banded pair plan over its own signature artifact — same linearity
+    # argument (families within replicas, pseudorandom 14-bit bands)
+    "dedup_audio_fingerprint",
 ]
 
 # bump when the replica construction changes: a marker whose content
@@ -385,6 +389,10 @@ HUNDRED_TIER = [
     # 1000-grid, n_tokens grows with doc length), so the argmax stays
     # bounded while the labeling scan is what grows
     "quality_train",
+    # round-16: the audio twin of dedup_image_phash (shared band plan;
+    # the signature pass decodes a 4 KB WAV per doc instead of a 1 KB
+    # PGM — the per-row Python cost is the delta to watch)
+    "dedup_audio_fingerprint",
 ]
 
 

@@ -96,3 +96,47 @@ def test_phash_pair_plan_avoids_corpus_broadcast(spark):
     assert "BroadcastHashJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "MapInPandas" in plan or "TableCacheQueryStage" in plan or "Scan ExistingRDD" in plan
+
+
+# --- audio envelope fingerprint (shares the banding machinery) ---------------
+
+
+def test_audio_decoder_matches_arithmetic_envelope():
+    def ref(doc_id: int) -> int:
+        base, k = divmod(doc_id, M._PH_GROUP)
+        means = []
+        for f in range(M._AF_FRAMES):
+            a = M._af_frame_amp(base, f)
+            if k in M._AF_PERT and M._AF_PERT[k] == f:
+                a = (a + 128) % M._PH_VMOD
+            means.append(a)
+        h = 0
+        for row in range(M._PH_GRID):
+            for i in range(M._PH_GRID - 1):
+                if means[row * M._PH_GRID + i + 1] > means[row * M._PH_GRID + i]:
+                    h |= 1 << (row * (M._PH_GRID - 1) + i)
+        return h
+
+    for doc_id in list(range(48)) + [497, 4999]:
+        payload = M.build_tone_wav_payload(doc_id)
+        assert M.audio_fingerprint_of_payload(payload) == ref(doc_id), doc_id
+
+
+def test_audio_fingerprint_rejects_malformed_and_wrong_formats():
+    good = M.build_tone_wav_payload(7)
+    for bad in (
+        good[:40],                       # truncated
+        b"RIFX" + good[4:],              # wrong magic
+        M.build_audio_payload(8),        # real WAV but 16-bit stereo-ish
+    ):
+        with pytest.raises(ValueError):
+            M.audio_fingerprint_of_payload(bad)
+
+
+def test_audio_families_confined_to_band_zero():
+    for base in range(30):
+        h0 = M.audio_fingerprint_of_payload(M.build_tone_wav_payload(base * 4))
+        for k in range(1, 4):
+            hk = M.audio_fingerprint_of_payload(M.build_tone_wav_payload(base * 4 + k))
+            assert bin(h0 ^ hk).count("1") <= 2
+            assert (h0 ^ hk) >> M._PH_BAND_BITS == 0
