@@ -1022,3 +1022,50 @@ SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
 FROM cand
 WHERE bit_count(xor(pa, pb)) <= {_PH_HAMMING_K}
 ORDER BY doc_a, doc_b"""
+
+
+# --- streaming image-probe constants + batch oracle --------------------------
+
+# The arrival set for the image probe stream: whole families (every
+# variant of a base whose id % 5 == 0 — their index side is EMPTY, so
+# they exercise the novel verdict) plus a stride of singletons whose
+# families stay in the index (exact/near verdicts). All three branches
+# fire at the gate scale.
+_PH_PROBE_FAMILY_MOD = 5
+_PH_PROBE_STRIDE = 10
+
+SPARK_PH_PROBE_COND = (
+    f"((doc_id div {_PH_GROUP}) % {_PH_PROBE_FAMILY_MOD} = 0 "
+    f"OR doc_id % {_PH_PROBE_STRIDE} = 0)"
+)
+_DUCK_PH_PROBE_COND = (
+    f"((doc_id // {_PH_GROUP}) % {_PH_PROBE_FAMILY_MOD} = 0 "
+    f"OR doc_id % {_PH_PROBE_STRIDE} = 0)"
+)
+
+# Batch oracle of the stream: verdicts reference only the frozen index,
+# so the union over micro-batches equals probing the whole arrival set
+# at once — this SQL. CASE on a NULL min_hamming falls through to
+# 'novel' identically in both engines.
+SQL_DEDUP_IMAGE_PROBE_STREAM = f"""
+WITH {_SQL_PH_CTES},
+probe AS (SELECT * FROM bands WHERE {_DUCK_PH_PROBE_COND}),
+ix AS (SELECT * FROM bands WHERE NOT {_DUCK_PH_PROBE_COND}),
+cand AS (
+  SELECT DISTINCT p.doc_id, i.doc_id AS ix_id, p.phash AS pp, i.phash AS pi
+  FROM probe p JOIN ix i ON p.b = i.b AND p.bv = i.bv
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_band_candidates,
+         CAST(min(bit_count(xor(pp, pi))) AS BIGINT) AS min_hamming
+  FROM cand GROUP BY doc_id
+),
+pd AS (SELECT DISTINCT doc_id FROM probe)
+SELECT pd.doc_id,
+       CASE WHEN min_hamming = 0 THEN 'exact_dup'
+            WHEN min_hamming <= {_PH_HAMMING_K} THEN 'near_dup'
+            ELSE 'novel' END AS verdict,
+       COALESCE(n_band_candidates, 0) AS n_band_candidates,
+       min_hamming
+FROM pd LEFT JOIN agg USING (doc_id)
+ORDER BY pd.doc_id"""

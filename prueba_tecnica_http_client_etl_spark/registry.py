@@ -1081,6 +1081,53 @@ def q_dedup_edit_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register("dedup_image_probe_stream", multimodal.SQL_DEDUP_IMAGE_PROBE_STREAM)
+def q_dedup_image_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming perceptual-image probe against the frozen signature
+    index (streaming/image_probe_stream.py) — the multimodal tier's
+    crawler-ingest loop: the corpus dHash signatures are the trained
+    image_phash_sigs artifact minus the arrival set, each arriving
+    micro-batch decodes its images for real (the serving decode path)
+    and probes the banded index for exact_dup / near_dup / novel.
+
+    Arrival set: whole families (base % 5 == 0 — no index side, the
+    novel branch) plus singleton strides whose families stay indexed
+    (exact/near branches) — all three verdicts fire at the gate scale.
+
+    Oracle: verdicts reference only the frozen index, never other
+    in-flight images, so the union over micro-batches equals probing
+    the whole arrival set at once — SQL_DEDUP_IMAGE_PROBE_STREAM, the
+    FOURTEENTH hash-certified stream."""
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import SPARK_PH_PROBE_COND, _phash_bands, _phash_sigs
+    from .streaming import image_probe_stream as IPS2
+
+    tmp, tag = _stream_staging_path(sf_dir, "image_probe_in", "documents")
+    _ensure_staged(
+        tmp,
+        lambda p: load_table(spark, sf_dir, "documents")
+        .filter(F.expr(SPARK_PH_PROBE_COND))
+        .select("doc_id")
+        .repartition(4)
+        .write.mode("overwrite")
+        .json(p),
+    )
+    index_bands = _phash_bands(
+        _phash_sigs(spark, sf_dir).filter(~F.expr(SPARK_PH_PROBE_COND))
+    )
+    out_root, checkpoint = _stream_run_dirs(sf_dir, "image_probe")
+    out = (
+        IPS2.run_image_probe(
+            spark, tmp, out_root, index_bands=index_bands, checkpoint=checkpoint
+        )
+        .select("doc_id", "verdict", "n_band_candidates", "min_hamming")
+        .orderBy("doc_id")
+    )
+    _finish_stream_run(out_root)  # replay terminated inside run_*
+    return out
+
+
 # --- certification ledger + rotation -----------------------------------------
 #
 # The external driver records correctness entries for the FIRST 50
@@ -1274,6 +1321,7 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "quality_gate_learned": None,
     "hybrid_doc_lexical_recall": None,
     "dedup_audio_fingerprint": None,
+    "dedup_image_probe_stream": None,
 }
 
 

@@ -1,0 +1,72 @@
+"""Streaming perceptual-image probe: multi-batch verdicts must equal
+the one-shot batch probe of the same arrival set against the same
+frozen signature index (the decomposability contract the registry
+oracle relies on), and all three verdict branches must fire.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prueba_tecnica_http_client_etl_spark.operators.multimodal import (
+    SPARK_PH_PROBE_COND,
+    _phash_bands,
+    _phash_sigs,
+)
+from prueba_tecnica_http_client_etl_spark.streaming.image_probe_stream import (
+    probe_phash_batch,
+    run_image_probe,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _stage_arrivals(spark, tmp_path, n_files=4):
+    from prueba_tecnica_http_client_etl_spark.schemas import load_table
+
+    path = str(tmp_path / "arrivals")
+    (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.expr(SPARK_PH_PROBE_COND))
+        .select("doc_id")
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .json(path)
+    )
+    return path
+
+
+def test_multi_batch_probe_equals_one_shot(spark, tmp_path):
+    from prueba_tecnica_http_client_etl_spark.schemas import load_table
+
+    index_bands = _phash_bands(
+        _phash_sigs(spark, SF_SMOKE).filter(~F.expr(SPARK_PH_PROBE_COND))
+    )
+    inp = _stage_arrivals(spark, tmp_path)
+    out = run_image_probe(
+        spark,
+        inp,
+        str(tmp_path / "out"),
+        index_bands=index_bands,
+        checkpoint=str(tmp_path / "ckpt"),
+        one_file_per_batch=True,
+    )
+    assert out.select("batch_id").distinct().count() > 1, "stream must run multi-batch"
+    got = sorted(
+        (r.doc_id, r.verdict, r.n_band_candidates, r.min_hamming)
+        for r in out.select(
+            "doc_id", "verdict", "n_band_candidates", "min_hamming"
+        ).collect()
+    )
+    one_shot = probe_phash_batch(
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.expr(SPARK_PH_PROBE_COND))
+        .select("doc_id"),
+        index_bands,
+    )
+    want = sorted(
+        (r.doc_id, r.verdict, r.n_band_candidates, r.min_hamming)
+        for r in one_shot.collect()
+    )
+    assert got == want
+    verdicts = {v for _, v, _, _ in got}
+    assert verdicts == {"exact_dup", "near_dup", "novel"}, verdicts
