@@ -140,3 +140,16 @@ def test_audio_families_confined_to_band_zero():
             hk = M.audio_fingerprint_of_payload(M.build_tone_wav_payload(base * 4 + k))
             assert bin(h0 ^ hk).count("1") <= 2
             assert (h0 ^ hk) >> M._PH_BAND_BITS == 0
+
+
+def test_audio_pair_plan_avoids_corpus_broadcast(spark):
+    """Same guard as the image tier — the shared _banded_hamming_pairs
+    plan must keep its merge hints against both signature artifacts."""
+    plan = (
+        M.dedup_audio_fingerprint(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
