@@ -85,3 +85,42 @@ def test_bpe_tokenize_symbol_accounting(spark):
         assert r["n_symbols"] >= r["n_words"] >= 0
         if r["n_symbols"]:
             assert len(r["symbols_preview"].split(" ")) <= C.BPE_PREVIEW_SYMBOLS
+
+
+def test_merge_application_conserves_characters(spark):
+    """Property: applying ANY merge sequence via the wrapped-replace
+    encoding is a pure re-segmentation — the concatenation of the final
+    symbols equals the original word, for every corpus word and the
+    actually-trained merge list (hypothesis-style over the real data:
+    500 words x 12 merges)."""
+    from pyspark.sql import functions as F
+
+    merges = C._bpe_merge_rows(spark, SF_SMOKE)
+    words = [
+        r["tok"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .selectExpr(
+            "explode(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')) AS tok"
+        )
+        .filter(F.length("tok") > 0)
+        .distinct()
+        .limit(500)
+        .collect()
+    ]
+    assert len(words) >= 20  # the synthetic corpus has a ~31-word vocabulary
+    # adversarial additions: overlap runs, words equal to merged symbols,
+    # and words containing a merge target at the boundary
+    merged_syms = [m[3] for m in merges[:3]]
+    words += ["aaaa", "aaab", "erer", "rere"] + merged_syms + [
+        s + s for s in merged_syms
+    ]
+    for w in words:
+        s = " " + "  ".join(w) + " "
+        for _, l, r, _, _ in merges:
+            s = s.replace(f" {l}  {r} ", f" {l}{r} ")
+        syms = s.strip().split("  ")
+        assert "".join(syms) == w, (w, syms)
+        # and every symbol is either a single char or a trained merge
+        trained = {m[3] for m in merges}
+        for sym in syms:
+            assert len(sym) == 1 or sym in trained, (w, sym)

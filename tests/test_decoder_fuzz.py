@@ -94,3 +94,58 @@ def test_valid_payloads_always_decode(doc_id):
     wav = decode_wav(build_audio_payload(doc_id))
     assert wav["n_frames"] == doc_id % 977 + 100
     assert wav["channels"] == 1 + doc_id % 2
+
+
+# --- round 16: the perceptual-hash parsers join the same contract ------------
+
+from prueba_tecnica_http_client_etl_spark.operators.multimodal import (  # noqa: E402
+    audio_fingerprint_of_payload,
+    build_grid_image_payload,
+    build_tone_wav_payload,
+    phash_of_payload,
+)
+
+
+def _hash_or_valueerror(fn, payload: bytes):
+    """The fingerprint contract: a non-negative int back, or ValueError
+    — never struct.error/IndexError/numpy exceptions."""
+    try:
+        h = fn(payload)
+    except ValueError:
+        return None
+    assert isinstance(h, int) and h >= 0, h
+    return h
+
+
+@given(payload=_garbage)
+@settings(max_examples=2000, deadline=None)
+def test_fingerprint_parsers_never_leak_on_garbage(payload):
+    _hash_or_valueerror(phash_of_payload, payload)
+    _hash_or_valueerror(audio_fingerprint_of_payload, payload)
+
+
+@given(
+    doc_id=st.integers(min_value=0, max_value=10_000),
+    cut=st.integers(min_value=1, max_value=1 << 20),
+    pos=st.integers(min_value=0, max_value=1 << 20),
+    byte=st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=1000, deadline=None)
+def test_phash_contract_under_mutation(doc_id, cut, pos, byte):
+    _hash_or_valueerror(
+        phash_of_payload, _mutate(build_grid_image_payload(doc_id), cut, pos, byte)
+    )
+
+
+@given(
+    doc_id=st.integers(min_value=0, max_value=10_000),
+    cut=st.integers(min_value=1, max_value=1 << 20),
+    pos=st.integers(min_value=0, max_value=1 << 20),
+    byte=st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=1000, deadline=None)
+def test_audio_fingerprint_contract_under_mutation(doc_id, cut, pos, byte):
+    _hash_or_valueerror(
+        audio_fingerprint_of_payload,
+        _mutate(build_tone_wav_payload(doc_id), cut, pos, byte),
+    )

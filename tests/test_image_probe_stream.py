@@ -70,3 +70,20 @@ def test_multi_batch_probe_equals_one_shot(spark, tmp_path):
     assert got == want
     verdicts = {v for _, v, _, _ in got}
     assert verdicts == {"exact_dup", "near_dup", "novel"}, verdicts
+
+
+def test_image_probe_replay_is_idempotent(spark, tmp_path):
+    """Re-running against the same checkpoint replays no new batches
+    and leaves the verdict layer unchanged (the overwrite-per-batch
+    runner contract)."""
+    index_bands = _phash_bands(
+        _phash_sigs(spark, SF_SMOKE).filter(~F.expr(SPARK_PH_PROBE_COND))
+    )
+    inp = _stage_arrivals(spark, tmp_path)
+    out_root = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first = run_image_probe(spark, inp, out_root, index_bands=index_bands, checkpoint=ckpt)
+    rows1 = sorted(map(tuple, first.collect()))
+    second = run_image_probe(spark, inp, out_root, index_bands=index_bands, checkpoint=ckpt)
+    rows2 = sorted(map(tuple, second.collect()))
+    assert rows1 == rows2 and len(rows1) > 0
