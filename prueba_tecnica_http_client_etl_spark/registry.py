@@ -1350,6 +1350,13 @@ _TOUCHED_THIS_ROUND: list[str] = [
 # oldest-fill = 26 slots for round-16 registrations + touched entries —
 # judge r15 item 8: keep this head clear so the r17 window can absorb
 # the 35-row r13 block without a crunch.
+#
+# FINAL round-16 head: 4 anchors + 11 never-certified registrations
+# (the perceptual pair + band audit + probe stream, BPE trainer +
+# tokenizer, three hybrid queries, quality trainer + learned gate) + 0
+# touched = 15; window = 15 + 20 r12 + 15 r13-fill. Registration CLOSED
+# for the round at 159. r17 projection: 20 r13 rows remain forced
+# (17 - 13 = 4), so the r17 head budget is 50 - 4 - 20 = 26.
 
 _WINDOW_SIZE = 50
 
