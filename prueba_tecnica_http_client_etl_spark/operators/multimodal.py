@@ -1069,3 +1069,68 @@ SELECT pd.doc_id,
        min_hamming
 FROM pd LEFT JOIN agg USING (doc_id)
 ORDER BY pd.doc_id"""
+
+
+# --- cross-modal duplicate consensus -----------------------------------------
+
+
+def multimodal_dup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit a production MULTIMODAL dedup runs on top of its
+    per-modality tiers: how often do the image and audio near-dup pair
+    sets agree? Pairs found by both modalities are high-confidence
+    duplicates (drop), single-modality pairs go to review — the
+    consensus rate is the dashboard number that says whether one
+    modality's threshold has drifted. One row: pair counts per
+    agreement class + the pair-set Jaccard. Both tiers read their
+    trained signature artifacts, so this costs two tiny pair plans and
+    a |pairs|-row outer join — nothing corpus-sized."""
+    from ..functions.portable import roundn
+
+    img = dedup_image_phash(spark, sf_dir).select("doc_a", "doc_b", F.lit(1).alias("im"))
+    aud = dedup_audio_fingerprint(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("au")
+    )
+    j = img.join(aud, ["doc_a", "doc_b"], "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_pairs_union"),
+        F.sum(F.coalesce(F.col("im"), F.lit(0))).alias("n_image_pairs"),
+        F.sum(F.coalesce(F.col("au"), F.lit(0))).alias("n_audio_pairs"),
+        F.sum(
+            F.when(F.col("im").isNotNull() & F.col("au").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_both"),
+        F.sum(F.when(F.col("au").isNull(), 1).otherwise(0)).cast("long").alias("n_image_only"),
+        F.sum(F.when(F.col("im").isNull(), 1).otherwise(0)).cast("long").alias("n_audio_only"),
+    ).select(
+        "n_pairs_union",
+        "n_image_pairs",
+        "n_audio_pairs",
+        "n_both",
+        "n_image_only",
+        "n_audio_only",
+        roundn(
+            F.col("n_both").cast("double") / F.col("n_pairs_union").cast("double"), 4
+        ).alias("consensus_jaccard"),
+    )
+
+
+SQL_MULTIMODAL_DUP_CONSENSUS = f"""
+WITH img AS (
+  SELECT doc_a, doc_b FROM ({SQL_DEDUP_IMAGE_PHASH})
+),
+aud AS (
+  SELECT doc_a, doc_b FROM ({SQL_DEDUP_AUDIO_FINGERPRINT})
+),
+j AS (
+  SELECT COALESCE(i.doc_a, a.doc_a) AS doc_a,
+         COALESCE(i.doc_b, a.doc_b) AS doc_b,
+         (i.doc_a IS NOT NULL) AS im, (a.doc_a IS NOT NULL) AS au
+  FROM img i FULL OUTER JOIN aud a ON i.doc_a = a.doc_a AND i.doc_b = a.doc_b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs_union,
+       CAST(sum(CASE WHEN im THEN 1 ELSE 0 END) AS BIGINT) AS n_image_pairs,
+       CAST(sum(CASE WHEN au THEN 1 ELSE 0 END) AS BIGINT) AS n_audio_pairs,
+       CAST(sum(CASE WHEN im AND au THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       CAST(sum(CASE WHEN im AND NOT au THEN 1 ELSE 0 END) AS BIGINT) AS n_image_only,
+       CAST(sum(CASE WHEN au AND NOT im THEN 1 ELSE 0 END) AS BIGINT) AS n_audio_only,
+       floor((CAST(sum(CASE WHEN im AND au THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS consensus_jaccard
+FROM j"""
