@@ -1134,3 +1134,209 @@ SELECT CAST(count(*) AS BIGINT) AS n_pairs_union,
        CAST(sum(CASE WHEN au AND NOT im THEN 1 ELSE 0 END) AS BIGINT) AS n_audio_only,
        floor((CAST(sum(CASE WHEN im AND au THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS consensus_jaccard
 FROM j"""
+
+
+# --- perceptual video dedup (frame-fingerprint containment) ------------------
+#
+# The VIDEO leg of perceptual dedup, completing the image/audio/video
+# trifecta: every doc synthesizes a real container of real frames —
+# "VID0" magic, frame count, then length-prefixed binary PGM frames —
+# and the decoder walks the container, parses each frame's pixels with
+# the image tier's real PGM path, and fingerprints every frame with the
+# 56-bit dHash. Video similarity is then SET CONTAINMENT over distinct
+# frame fingerprints (|A∩B| / min(|A|,|B|) — the re-upload shape:
+# truncated tails and re-encoded frames still share most fingerprints),
+# which at scale is an exact inverted-index join on the fingerprint —
+# the dedup_containment plan applied to the frame domain, never
+# all-pairs. Family structure: variant k truncates the last 2k frames
+# (the classic shortened re-upload) and replaces frame 3k with a
+# doc-unique noise frame (the re-encode artifact), so family pairs sit
+# at containment 0.89-0.96 while unrelated videos share zero
+# fingerprints (frame content is keyed by family+position).
+
+_VID_FRAMES = 24
+_VID_PERT_STEP = 3  # variant k replaces frame 3k with doc-unique noise
+_VID_TRUNC = 2  # variant k drops the last 2k frames
+# containment threshold 0.7 as an exact rational (10*shared >= 7*min_n)
+_VID_CONTAIN_NUM, _VID_CONTAIN_DEN = 7, 10
+
+
+def _vid_cell_value(salt: str, cx: int, cy: int) -> int:
+    d = hashlib.md5(f"{salt}:{cx}:{cy}".encode()).hexdigest()
+    return int(d[:15], 16) % _PH_VMOD
+
+
+def _vid_frame_pixels(salt: str) -> bytes:
+    """One real PGM frame whose 8x8 cells derive from `salt` — the
+    image tier's solid-cell geometry with a per-frame key."""
+    import numpy as np
+
+    cells = np.empty((_PH_GRID, _PH_GRID), dtype=np.uint8)
+    for cy in range(_PH_GRID):
+        for cx in range(_PH_GRID):
+            cells[cy, cx] = _vid_cell_value(salt, cx, cy)
+    px = np.repeat(np.repeat(cells, _PH_CELL, axis=0), _PH_CELL, axis=1)
+    w = h = _PH_GRID * _PH_CELL
+    return b"P5\n" + f"{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def build_video_payload(doc_id: int) -> bytes:
+    """Deterministic video container bytes: magic, frame count, then
+    length-prefixed PGM frames. Variant k of a family keeps frames
+    0..(24-2k-1), with frame 3k swapped for a doc-unique noise frame."""
+    import struct
+
+    base, k = divmod(int(doc_id), _PH_GROUP)
+    n = _VID_FRAMES - _VID_TRUNC * k
+    frames = []
+    for j in range(n):
+        if k > 0 and j == _VID_PERT_STEP * k:
+            salt = f"vn:{doc_id}:{j}"  # noise: unique to this doc
+        else:
+            salt = f"vf:{base}:{j}"  # shared family content
+        frames.append(_vid_frame_pixels(salt))
+    out = b"VID0" + struct.pack("<I", n)
+    for fr in frames:
+        out += struct.pack("<I", len(fr)) + fr
+    return out
+
+
+def video_frame_hashes(payload: bytes) -> list:
+    """Walk the container for real and fingerprint every frame with the
+    56-bit dHash over its decoded pixels. Raises ValueError on any
+    malformed structure (magic, counts, lengths, frame bytes) — the
+    decode_image contract."""
+    import struct
+
+    if payload[:4] != b"VID0" or len(payload) < 8:
+        raise ValueError("not a VID0 container")
+    n = struct.unpack("<I", payload[4:8])[0]
+    if n > 1_000_000:
+        raise ValueError("implausible frame count")
+    pos, out = 8, []
+    for _ in range(n):
+        if pos + 4 > len(payload):
+            raise ValueError("truncated frame table")
+        ln = struct.unpack("<I", payload[pos : pos + 4])[0]
+        if pos + 4 + ln > len(payload):
+            raise ValueError("frame overruns payload")
+        out.append(phash_of_payload(payload[pos + 4 : pos + 4 + ln]))
+        pos += 4 + ln
+    if pos != len(payload):
+        raise ValueError("trailing bytes after last frame")
+    return out
+
+
+def _video_fh_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "fh": []}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            for j, h in enumerate(video_frame_hashes(build_video_payload(d))):
+                out["doc_id"].append(d)
+                out["frame_idx"].append(j)
+                out["fh"].append(h)
+        yield pd.DataFrame(out)
+
+
+def _video_fh_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, frame_idx, fh) frame-fingerprint table — trained
+    artifact like the image/audio signatures (a production pipeline
+    fingerprints each video once at ingest)."""
+    from ..functions.artifacts import artifact_key, trained_artifact
+
+    def build() -> DataFrame:
+        base = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(default_parallelism(), F.col("doc_id"))
+        )
+        return base.mapInPandas(_video_fh_batches, "doc_id long, frame_idx long, fh long")
+
+    return trained_artifact(artifact_key("video_fh_sigs", spark, sf_dir), build)
+
+
+def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs by distinct-frame-fingerprint containment
+    >= 0.7: inverted-index join on the fingerprint (only videos sharing
+    a frame are ever paired — cross-family fingerprints never collide),
+    shared-count aggregate with map-side combine, then the exact
+    rational threshold. Both join sides scale with the corpus ->
+    merge-hinted (the auto-broadcast lesson)."""
+    from ..functions.portable import roundn
+
+    fh = _video_fh_sigs(spark, sf_dir).select("doc_id", "fh").distinct().hint("merge")
+    nsz = fh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).hint("merge")
+    a = fh.select(F.col("doc_id").alias("doc_a"), "fh")
+    b = fh.select(F.col("doc_id").alias("doc_b"), "fh")
+    shared = (
+        a.join(b, "fh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = nsz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = nsz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            F.col("n_shared") * _VID_CONTAIN_DEN
+            >= F.least("na", "nb") * _VID_CONTAIN_NUM
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            roundn(
+                F.col("n_shared").cast("double")
+                / F.least("na", "nb").cast("double"),
+                4,
+            ).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# Oracle: frame fingerprints recomputed arithmetically — the per-frame
+# cell spine is (doc x frame x cell), with the variant's noise salt and
+# truncation applied in the frame spine.
+_SQL_VID_SALT = (
+    f"CASE WHEN d.doc_id % {_PH_GROUP} > 0 AND s.j = {_VID_PERT_STEP} * (d.doc_id % {_PH_GROUP}) "
+    f"THEN 'vn:' || CAST(d.doc_id AS VARCHAR) || ':' || CAST(s.j AS VARCHAR) "
+    f"ELSE 'vf:' || CAST(d.doc_id // {_PH_GROUP} AS VARCHAR) || ':' || CAST(s.j AS VARCHAR) END"
+)
+
+SQL_DEDUP_VIDEO_FRAMES = f"""
+WITH vcells AS (
+  SELECT d.doc_id, s.j, c.cx, c.cy,
+         CAST(('0x' || substr(md5(({_SQL_VID_SALT}) || ':' ||
+               CAST(c.cx AS VARCHAR) || ':' || CAST(c.cy AS VARCHAR)), 1, 15)) AS BIGINT) % {_PH_VMOD} AS v
+  FROM documents d,
+       (SELECT unnest(range({_VID_FRAMES})) AS j) s,
+       (SELECT a.cx, b.cy
+        FROM (SELECT unnest(range({_PH_GRID})) AS cx) a,
+             (SELECT unnest(range({_PH_GRID})) AS cy) b) c
+  WHERE s.j < {_VID_FRAMES} - {_VID_TRUNC} * (d.doc_id % {_PH_GROUP})
+),
+vh AS (
+  SELECT l.doc_id, l.j,
+         CAST(sum(CASE WHEN r.v > l.v THEN (1::BIGINT << (l.cy * {_PH_GRID - 1} + l.cx)) ELSE 0 END) AS BIGINT) AS fh
+  FROM vcells l JOIN vcells r
+    ON r.doc_id = l.doc_id AND r.j = l.j AND r.cy = l.cy AND r.cx = l.cx + 1
+  GROUP BY l.doc_id, l.j
+),
+fhd AS (SELECT DISTINCT doc_id, fh FROM vh),
+nsz AS (SELECT doc_id, count(*) AS n FROM fhd GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM fhd a JOIN fhd b ON a.fh = b.fh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.doc_a, s.doc_b, CAST(s.n_shared AS BIGINT) AS n_shared,
+       floor((CAST(s.n_shared AS DOUBLE) / least(na.n, nb.n)) * 10000 + 0.5) / 10000 AS containment
+FROM shared s
+JOIN nsz na ON na.doc_id = s.doc_a
+JOIN nsz nb ON nb.doc_id = s.doc_b
+WHERE s.n_shared * {_VID_CONTAIN_DEN} >= least(na.n, nb.n) * {_VID_CONTAIN_NUM}
+ORDER BY s.doc_a, s.doc_b"""

@@ -260,6 +260,7 @@ _LLM_PIPELINE = [
     ("hybrid_doc_lexical_recall", textops.hybrid_doc_lexical_recall, textops._sql_hybrid_lexical_recall()),
     ("dedup_audio_fingerprint", multimodal.dedup_audio_fingerprint, multimodal.SQL_DEDUP_AUDIO_FINGERPRINT),
     ("multimodal_dup_consensus", multimodal.multimodal_dup_consensus, multimodal.SQL_MULTIMODAL_DUP_CONSENSUS),
+    ("dedup_video_frames", multimodal.dedup_video_frames, multimodal.SQL_DEDUP_VIDEO_FRAMES),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
@@ -1324,6 +1325,7 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "dedup_audio_fingerprint": None,
     "dedup_image_probe_stream": None,
     "multimodal_dup_consensus": None,
+    "dedup_video_frames": None,
 }
 
 
@@ -1353,13 +1355,13 @@ _TOUCHED_THIS_ROUND: list[str] = [
 # judge r15 item 8: keep this head clear so the r17 window can absorb
 # the 35-row r13 block without a crunch.
 #
-# FINAL round-16 head: 4 anchors + 12 never-certified registrations
-# (the perceptual pair + band audit + cross-modal consensus + probe
-# stream, BPE trainer + tokenizer, three hybrid queries, quality
-# trainer + learned gate) + 0 touched = 16; window = 16 + 20 r12 +
-# 14 r13-fill. Registration CLOSED for the round at 160. r17
-# projection: 21 r13 rows forced (17 - 13 = 4), so the r17 head budget
-# is 50 - 4 - 21 = 25.
+# FINAL round-16 head: 4 anchors + 13 never-certified registrations
+# (the perceptual image/audio/VIDEO trio + band audit + cross-modal
+# consensus + probe stream, BPE trainer + tokenizer, three hybrid
+# queries, quality trainer + learned gate) + 0 touched = 17; window =
+# 17 + 20 r12 + 13 r13-fill. Registration CLOSED for the round at 161.
+# r17 projection: 22 r13 rows forced (17 - 13 = 4), so the r17 head
+# budget is 50 - 4 - 22 = 24.
 
 _WINDOW_SIZE = 50
 

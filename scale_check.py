@@ -187,6 +187,11 @@ LLM_TIER = [
     # banded pair plan over its own signature artifact — same linearity
     # argument (families within replicas, pseudorandom 14-bit bands)
     "dedup_audio_fingerprint",
+    # round-16: the video tier — the fingerprint join's fanout is the
+    # family size (cross-family fingerprints never collide), so pair
+    # volume is linear in videos; the signature pass decodes 24 real
+    # PGM frames per doc (the per-row Python cost axis)
+    "dedup_video_frames",
 ]
 
 # bump when the replica construction changes: a marker whose content
@@ -393,6 +398,10 @@ HUNDRED_TIER = [
     # the signature pass decodes a 4 KB WAV per doc instead of a 1 KB
     # PGM — the per-row Python cost is the delta to watch)
     "dedup_audio_fingerprint",
+    # round-16: video frame-containment — 24 real frame decodes per doc
+    # is the heaviest per-row Python in the perceptual family; the
+    # fingerprint join stays family-bounded at any corpus size
+    "dedup_video_frames",
 ]
 
 

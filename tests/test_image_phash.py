@@ -153,3 +153,34 @@ def test_audio_pair_plan_avoids_corpus_broadcast(spark):
     )
     assert "BroadcastHashJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# --- video frame-containment dedup --------------------------------------------
+
+
+def test_video_container_walker_contract():
+    good = M.build_video_payload(5)
+    hashes = M.video_frame_hashes(good)
+    assert len(hashes) == M._VID_FRAMES - M._VID_TRUNC * (5 % M._PH_GROUP)
+    for bad in (
+        b"XID0" + good[4:],            # wrong magic
+        good[:30],                     # truncated frame table
+        good + b"\x00",                # trailing bytes
+        good[:8] + b"\xff\xff\xff\xff" + good[12:],  # lying frame length
+    ):
+        with pytest.raises(ValueError):
+            M.video_frame_hashes(bad)
+
+
+def test_video_family_containment_structure():
+    """Variant k truncates 2k frames and swaps one for noise: family
+    pairs must sit at containment >= 0.88 while cross-family videos
+    share zero fingerprints."""
+    H = {d: set(M.video_frame_hashes(M.build_video_payload(d))) for d in range(16)}
+    for base in range(2):
+        ids = [base * 4 + k for k in range(4)]
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                sh, mn = len(H[a] & H[b]), min(len(H[a]), len(H[b]))
+                assert sh * 10 >= 7 * mn, (a, b, sh, mn)
+    assert not (H[0] | H[1] | H[2] | H[3]) & (H[4] | H[5] | H[6] | H[7])
