@@ -1159,30 +1159,30 @@ def q_dedup_image_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #            order), which bounds staleness: the test asserts every
 #            query older than MAX_STALENESS rounds is in this window.
 
-CURRENT_ROUND = 16
+CURRENT_ROUND = 17
 MAX_STALENESS = 4  # a row certified at round R must re-enter the window
 # by round R + MAX_STALENESS (asserted in tests/test_rotation_ledger.py)
 
 LAST_CERTIFIED: dict[str, int | None] = {
-    "clean_coerce": 15,
-    "kpi_daily": 15,
-    "kpi_report_endpoint": 15,
-    "kpi_global": 15,
-    "kpi_global_exact": 13,
+    "clean_coerce": 16,
+    "kpi_daily": 16,
+    "kpi_report_endpoint": 16,
+    "kpi_global": 16,
+    "kpi_global_exact": 16,
     "kpi_anomaly_days": 14,
-    "kpi_rollup": 13,
+    "kpi_rollup": 16,
     "pricing_summary": 14,
-    "top_revenue_orders": 13,
-    "region_revenue": 13,
-    "customers_with_open_orders": 13,
-    "customers_without_orders": 13,
-    "top_orders_per_customer": 13,
-    "supplier_running_revenue": 13,
-    "nation_presence": 13,
-    "orders_cube": 13,
-    "events_daily_pivot": 13,
-    "sessionize_events": 13,
-    "purchase_after_view_asof": 13,
+    "top_revenue_orders": 16,
+    "region_revenue": 16,
+    "customers_with_open_orders": 16,
+    "customers_without_orders": 16,
+    "top_orders_per_customer": 16,
+    "supplier_running_revenue": 16,
+    "nation_presence": 16,
+    "orders_cube": 16,
+    "events_daily_pivot": 16,
+    "sessionize_events": 16,
+    "purchase_after_view_asof": 16,
     "shipped_within_30_days": 13,
     "events_json_stats": 13,
     "events_distinct_users": 13,
@@ -1242,25 +1242,25 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "curation_pipeline": 15,
     "tokenize_ids": 15,
     "embedding_center_by_label": 15,
-    "sequence_pack_manifest": 12,
+    "sequence_pack_manifest": 16,
     "dedup_incremental": 15,
-    "dedup_semantic": 12,
-    "dedup_lines": 12,
-    "quality_score": 12,
-    "sequence_pack_ids": 12,
-    "dedup_substring": 12,
+    "dedup_semantic": 16,
+    "dedup_lines": 16,
+    "quality_score": 16,
+    "sequence_pack_ids": 16,
+    "dedup_substring": 16,
     "ann_ivf_learned_topk": 14,
     "ann_ivf_learned_recall": 14,
-    "bpe_pair_counts": 12,
-    "domain_mixture_plan": 12,
+    "bpe_pair_counts": 16,
+    "domain_mixture_plan": 16,
     "dedup_survivors": 14,
-    "source_overlap_matrix": 12,
-    "doc_commonness": 12,
+    "source_overlap_matrix": 16,
+    "doc_commonness": 16,
     "duplicate_rate_by_source": 15,
     "dedup_cluster_sizes": 14,
-    "pii_stats_by_source": 12,
-    "lang_confusion": 12,
-    "image_decode_stats": 12,
+    "pii_stats_by_source": 16,
+    "lang_confusion": 16,
+    "image_decode_stats": 16,
     "dedup_lsh_capped": 15,
     "dedup_lsh_cap_audit": 15,
     "embedding_pca_top": 14,
@@ -1277,8 +1277,8 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "ann_ivfpq_recall": 14,
     "ann_ivfpq_rerank": 14,
     "ann_ivfpq_rerank_recall": 14,
-    "corpus_split": 12,
-    "corpus_split_stats": 12,
+    "corpus_split": 16,
+    "corpus_split_stats": 16,
     "lm_bigram_score": 15,
     "embedding_outliers": 15,
     "shingle_df_profile": 15,
@@ -1292,17 +1292,29 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "ann_filtered_learned_recall": 14,
     "dsir_resample_plan": 15,
     "dsir_sample": 14,
-    "sequence_pack_ffd": 12,
+    "sequence_pack_ffd": 16,
     "training_order": 13,
     "sequence_pack_greedy": 15,
     "contamination_stats_by_source": 15,
+    "dedup_image_phash": 16,
+    "image_phash_band_audit": 16,
+    "bpe_train_merges": 16,
+    "bpe_tokenize": 16,
+    "hybrid_doc_topk": 16,
+    "hybrid_doc_recall": 16,
+    "quality_train": 16,
+    "quality_gate_learned": 16,
+    "hybrid_doc_lexical_recall": 16,
+    "dedup_audio_fingerprint": 16,
+    "multimodal_dup_consensus": 16,
+    "dedup_video_frames": 16,
     "kpi_daily_approx_p90": 15,
     "events_distinct_users_approx": 15,
     "customer_value_deciles_approx": 15,
-    "kpi_daily_stream": 12,
-    "sessionize_stream": 12,
-    "dedup_stream": 12,
-    "dedup_stream_ttl": 12,
+    "kpi_daily_stream": 16,
+    "sessionize_stream": 16,
+    "dedup_stream": 16,
+    "dedup_stream_ttl": 16,
     "quality_gate_stream": 13,
     "dedup_index_probe_stream": 13,
     "lm_score_stream": 15,
@@ -1311,21 +1323,8 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "contamination_bloom_stream": 13,
     "pii_scrub_stream": 13,
     "dedup_edit_probe_stream": 15,
+    "dedup_image_probe_stream": 16,
     "range_join_stream": 14,
-    # round-16 registrations — never certified, auto-enter the r16 window
-    "dedup_image_phash": None,
-    "image_phash_band_audit": None,
-    "bpe_train_merges": None,
-    "bpe_tokenize": None,
-    "hybrid_doc_topk": None,
-    "hybrid_doc_recall": None,
-    "quality_train": None,
-    "quality_gate_learned": None,
-    "hybrid_doc_lexical_recall": None,
-    "dedup_audio_fingerprint": None,
-    "dedup_image_probe_stream": None,
-    "multimodal_dup_consensus": None,
-    "dedup_video_frames": None,
 }
 
 
@@ -1341,27 +1340,21 @@ _ANCHORS = ["clean_coerce", "kpi_daily", "kpi_report_endpoint", "kpi_global"]
 # Window budget: 4 anchors + |never| + touched + forced-stale rows
 # must stay <= 50.
 _TOUCHED_THIS_ROUND: list[str] = [
-    # round-16 starts empty after the ledger refresh; queries re-enter
+    # round-17 starts empty after the ledger refresh; queries re-enter
     # here as their executed plans or oracles change during the round.
 ]
 
-# Round-16 projection (ledger after r15, verified against the
-# CORRECTNESS files: 50@r15 / 43@r14 / 35@r13 / 20@r12 — first round
-# with zero never-certified rows and zero rows-only rows). The 20 r12
-# rows are due by this window (16 - 12 = 4 == MAX_STALENESS) and
-# oldest-fill places all of them; remaining fill comes from the r13
-# block in registration order. Head budget: 50 - 4 anchors - 20 r12
-# oldest-fill = 26 slots for round-16 registrations + touched entries —
-# judge r15 item 8: keep this head clear so the r17 window can absorb
-# the 35-row r13 block without a crunch.
-#
-# FINAL round-16 head: 4 anchors + 13 never-certified registrations
-# (the perceptual image/audio/VIDEO trio + band audit + cross-modal
-# consensus + probe stream, BPE trainer + tokenizer, three hybrid
-# queries, quality trainer + learned gate) + 0 touched = 17; window =
-# 17 + 20 r12 + 13 r13-fill. Registration CLOSED for the round at 161.
-# r17 projection: 22 r13 rows forced (17 - 13 = 4), so the r17 head
-# budget is 50 - 4 - 22 = 24.
+# Round-17 projection (ledger after r16, verified against the
+# CORRECTNESS files: 50@r16 / 46@r15 / 43@r14 / 22@r13 — sixth
+# consecutive round with zero rows-only rows). The 22 r13 rows are due
+# by this window (certified r13, ceiling r13+4=r17) and oldest-fill
+# places all of them; remaining fill comes from the r14 block in
+# registration order. Head budget: 50 - 4 anchors - 22 r13 oldest-fill
+# = 24 slots for round-17 registrations + touched entries. r18
+# projection: 43 r14 rows hit the ceiling at r18 — that alone
+# overflows the window head (4 + 43 = 47, leaving 3 slots), so keep
+# round-17 registrations modest and expect r18 to be a re-certification
+# round with few new queries.
 
 _WINDOW_SIZE = 50
 
