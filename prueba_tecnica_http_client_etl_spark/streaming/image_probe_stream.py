@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
     _PH_HAMMING_K,
+    _audio_fp_batches,
     _phash_bands,
     _phash_batches,
 )
@@ -31,14 +32,20 @@ from ..operators.multimodal import (
 DOC_SCHEMA = "doc_id long"
 
 
-def probe_phash_batch(batch: DataFrame, index_bands: DataFrame) -> DataFrame:
+def probe_phash_batch(
+    batch: DataFrame, index_bands: DataFrame, *, sig_batches=_phash_batches
+) -> DataFrame:
     """(doc_id, verdict, n_band_candidates, min_hamming) for one
-    micro-batch of arriving images against the frozen banded index.
-    exact_dup = an index image with the identical hash shares a band;
-    near_dup = nearest banded index image within _PH_HAMMING_K bits;
+    micro-batch of arriving payloads against the frozen banded index.
+    exact_dup = an index item with the identical hash shares a band;
+    near_dup = nearest banded index item within _PH_HAMMING_K bits;
     novel = no banded candidate within the threshold (or none at all).
+    The decode step is pluggable (`sig_batches`): image dHash by
+    default, the audio envelope fingerprint for the audio stream —
+    both emit (doc_id, phash) into the same 56-bit band geometry, so
+    banding, probe join, and verdicts are shared verbatim.
     """
-    sigs = batch.mapInPandas(_phash_batches, "doc_id long, phash long")
+    sigs = batch.mapInPandas(sig_batches, "doc_id long, phash long")
     pb = _phash_bands(sigs).select(
         "doc_id", F.col("phash").alias("pp"), "band", "bv"
     )
@@ -91,5 +98,34 @@ def run_image_probe(
         layer="verdicts",
         checkpoint=checkpoint,
         transform=lambda batch: probe_phash_batch(batch, index_bands),
+        one_file_per_batch=one_file_per_batch,
+    )
+
+
+def run_audio_probe(
+    spark: SparkSession,
+    input_path: str,
+    out_root: str,
+    *,
+    index_bands: DataFrame,
+    checkpoint: str,
+    one_file_per_batch: bool = False,
+) -> DataFrame:
+    """The audio twin of run_image_probe: arriving clips synthesize and
+    decode their WAVs for real (RIFF walk -> frame means -> envelope
+    dHash, the serving decode path) and probe the frozen audio
+    signature index. Same runner contract and verdict schema."""
+    from .runner import run_transform_stream
+
+    return run_transform_stream(
+        spark,
+        input_path,
+        out_root,
+        schema=DOC_SCHEMA,
+        layer="verdicts",
+        checkpoint=checkpoint,
+        transform=lambda batch: probe_phash_batch(
+            batch, index_bands, sig_batches=_audio_fp_batches
+        ),
         one_file_per_batch=one_file_per_batch,
     )

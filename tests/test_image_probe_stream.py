@@ -87,3 +87,51 @@ def test_image_probe_replay_is_idempotent(spark, tmp_path):
     second = run_image_probe(spark, inp, out_root, index_bands=index_bands, checkpoint=ckpt)
     rows2 = sorted(map(tuple, second.collect()))
     assert rows1 == rows2 and len(rows1) > 0
+
+
+def test_audio_probe_multi_batch_equals_one_shot(spark, tmp_path):
+    """The audio twin (run_audio_probe): multi-batch verdicts equal the
+    one-shot probe with the audio signature mapper, all three branches
+    fire — the 15th hash-certified stream's decomposability contract."""
+    from prueba_tecnica_http_client_etl_spark.operators.multimodal import (
+        _audio_fp_batches,
+        _audio_fp_sigs,
+    )
+    from prueba_tecnica_http_client_etl_spark.schemas import load_table
+    from prueba_tecnica_http_client_etl_spark.streaming.image_probe_stream import (
+        run_audio_probe,
+    )
+
+    index_bands = _phash_bands(
+        _audio_fp_sigs(spark, SF_SMOKE).filter(~F.expr(SPARK_PH_PROBE_COND))
+    )
+    inp = _stage_arrivals(spark, tmp_path)
+    out = run_audio_probe(
+        spark,
+        inp,
+        str(tmp_path / "out"),
+        index_bands=index_bands,
+        checkpoint=str(tmp_path / "ckpt"),
+        one_file_per_batch=True,
+    )
+    assert out.select("batch_id").distinct().count() > 1, "stream must run multi-batch"
+    got = sorted(
+        (r.doc_id, r.verdict, r.n_band_candidates, r.min_hamming)
+        for r in out.select(
+            "doc_id", "verdict", "n_band_candidates", "min_hamming"
+        ).collect()
+    )
+    one_shot = probe_phash_batch(
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.expr(SPARK_PH_PROBE_COND))
+        .select("doc_id"),
+        index_bands,
+        sig_batches=_audio_fp_batches,
+    )
+    want = sorted(
+        (r.doc_id, r.verdict, r.n_band_candidates, r.min_hamming)
+        for r in one_shot.collect()
+    )
+    assert got == want
+    verdicts = {v for _, v, _, _ in got}
+    assert verdicts == {"exact_dup", "near_dup", "novel"}, verdicts

@@ -1,0 +1,105 @@
+"""Hot-fingerprint valve for the video containment join
+(operators/multimodal.py _VID_FH_MAX_DF, judge r16 item 2): on an
+adversarial corpus where one frame fingerprint (black frame / intro
+card) appears in >50% of all videos, the valved path must refuse that
+bucket's quadratic candidate list, count exactly what it refused, and
+still find the genuine near-dup pairs — with BOTH the shared count and
+the containment denominator computed over the surviving frames (the
+boilerplate frame carries no near-dup signal, the dedup_lines
+argument)."""
+
+from __future__ import annotations
+
+import pytest
+
+from prueba_tecnica_http_client_etl_spark.functions.cachepool import drain, managed_persist
+from prueba_tecnica_http_client_etl_spark.operators.multimodal import (
+    _video_cap_audit,
+    _video_containment_pairs,
+    video_hot_fingerprints,
+)
+
+N_BOILER = 30  # boilerplate-only videos sharing the hot frame
+HOT_FH = 999  # the ubiquitous fingerprint (black frame)
+CAP = 8
+
+
+@pytest.fixture(scope="module")
+def adversarial_fhd(spark):
+    """Distinct (doc_id, fh) frames: 30 videos sharing only the hot
+    frame (plus 2 unique frames each), one genuine near-dup pair that
+    never touches it (100/101: 9 of 10 shared), and one near-dup pair
+    that shares the hot frame AND 7 of its 9 other frames (200/201)."""
+    rows = []
+    for d in range(N_BOILER):
+        rows += [(d, HOT_FH), (d, 10_000 + d * 10), (d, 10_001 + d * 10)]
+    for d in (100, 101):
+        rows += [(d, 5_000 + j) for j in range(9)] + [(d, 5_100 + d)]
+    for d in (200, 201):
+        rows += [(d, HOT_FH)]
+        rows += [(d, 6_000 + j) for j in range(7)]
+        rows += [(d, 6_100 + d * 10), (d, 6_101 + d * 10)]
+    fhd = managed_persist(spark.createDataFrame(rows, "doc_id long, fh long"))
+    yield fhd
+    drain()
+
+
+def test_hot_fingerprints_detected(adversarial_fhd):
+    hot = video_hot_fingerprints(adversarial_fhd, max_fh_df=CAP).collect()
+    assert [(r["fh"], r["fh_df"]) for r in hot] == [(HOT_FH, N_BOILER + 2)]
+
+
+def test_valved_pairs_skip_hot_frame_but_keep_genuine_pairs(adversarial_fhd):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in _video_containment_pairs(adversarial_fhd, max_fh_df=CAP).collect()
+    }
+    # genuine near-dup away from the hot frame survives untouched
+    assert pairs[(100, 101)]["n_shared"] == 9
+    assert pairs[(100, 101)]["containment"] == 0.9
+    # hot-frame-sharing near-dups are judged on their SURVIVING frames:
+    # 7 shared of 9 remaining (not 8 of 10 — the boilerplate frame is
+    # out of both the numerator and the denominator)
+    assert pairs[(200, 201)]["n_shared"] == 7
+    assert pairs[(200, 201)]["containment"] == pytest.approx(0.7778)
+    # no pair from inside the boilerplate bucket was generated
+    assert not any(a < N_BOILER and b < N_BOILER for a, b in pairs)
+    assert set(pairs) == {(100, 101), (200, 201)}
+
+
+def test_cap_audit_counts_exactly(adversarial_fhd):
+    [audit] = _video_cap_audit(adversarial_fhd, max_fh_df=CAP).collect()
+    s = N_BOILER + 2
+    assert audit["n_hot_fingerprints"] == 1
+    assert audit["n_docs_affected"] == s
+    assert audit["n_pairs_dropped"] == s * (s - 1) // 2
+
+
+def test_unvalved_truth_includes_hot_frame_pairs(adversarial_fhd):
+    """The recall gate's truth side (max_fh_df=None) keeps the hot
+    frame: 200/201 score 8 shared of 10 there — the valved pair list is
+    a subset judged on stricter evidence, never a superset."""
+    truth = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in _video_containment_pairs(adversarial_fhd, max_fh_df=None).collect()
+    }
+    assert truth[(200, 201)]["n_shared"] == 8
+    assert truth[(200, 201)]["containment"] == 0.8
+    assert (100, 101) in truth
+    # boilerplate-only videos still make no pair even unvalved: their
+    # containment is 1/3 — candidate GENERATION, not the final pair
+    # list, is what the valve protects
+    assert not any(a < N_BOILER and b < N_BOILER for a, b in truth)
+
+
+def test_valve_inert_on_clean_corpus(spark):
+    """At the default bound on the natural corpus, valved == unvalved
+    (max natural fingerprint df is the family size 4)."""
+    from prueba_tecnica_http_client_etl_spark.operators.multimodal import _video_fhd
+
+    sf = "/root/testdata/sf0.001"
+    fhd = _video_fhd(spark, sf)
+    valved = _video_containment_pairs(fhd).collect()
+    open_ = _video_containment_pairs(fhd, max_fh_df=None).collect()
+    assert sorted(map(tuple, valved)) == sorted(map(tuple, open_))
+    assert len(valved) > 0
