@@ -2449,12 +2449,17 @@ def _sql_bpe_apply_chain() -> str:
     """d0 + d{i} x BPE_MERGES: the per-doc replay of the trained merges
     (same guarded replace as the training chain's w{i} steps)."""
     parts = [
+        # COALESCE: DuckDB's array_to_string returns NULL for an empty
+        # list (a zero-token doc), which would NULL-poison w and every
+        # downstream replace — Spark's array_join yields '' there, and
+        # the trim(w) = '' guard must fire identically in both engines
+        # (ADVICE r16).
         """d0 AS MATERIALIZED (
   SELECT doc_id,
          CAST(len(list_filter(toks, t -> length(t) > 0)) AS BIGINT) AS n_words,
-         ' ' || array_to_string(list_transform(list_filter(toks, t -> length(t) > 0),
+         ' ' || COALESCE(array_to_string(list_transform(list_filter(toks, t -> length(t) > 0),
                  tok -> array_to_string(list_transform(range(length(tok)),
-                        i -> substr(tok, i + 1, 1)), '  ')), '   ') || ' ' AS w
+                        i -> substr(tok, i + 1, 1)), '  ')), '   '), '') || ' ' AS w
   FROM sh_t
 )"""
     ]
@@ -2482,6 +2487,6 @@ fin AS (
 )
 SELECT doc_id, n_words,
        CAST(len(s) AS BIGINT) AS n_symbols,
-       array_to_string(s[1:{BPE_PREVIEW_SYMBOLS}], ' ') AS symbols_preview
+       COALESCE(array_to_string(s[1:{BPE_PREVIEW_SYMBOLS}], ' '), '') AS symbols_preview
 FROM fin
 ORDER BY doc_id"""

@@ -618,7 +618,13 @@ def _parse_pgm_pixels(payload: bytes):
     w, h, maxval = vals
     if w <= 0 or h <= 0 or not (0 < maxval < 256):
         raise ValueError("implausible PGM parameters")
-    i += 1  # exactly one whitespace byte separates maxval from pixels
+    # exactly one whitespace byte separates maxval from pixels — a
+    # non-whitespace byte there means the header is malformed, and
+    # consuming it anyway would silently shift every pixel by one
+    # (ADVICE r16: raise, never misparse)
+    if not payload[i : i + 1].isspace():
+        raise ValueError("malformed PGM header")
+    i += 1
     if n - i < w * h:
         raise ValueError("truncated PGM pixel data")
     return np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=i).reshape(h, w)

@@ -1400,6 +1400,7 @@ _TOUCHED_THIS_ROUND: list[str] = [
     # round-17 starts empty after the ledger refresh; queries re-enter
     # here as their executed plans or oracles change during the round.
     "dedup_video_frames",  # hot-fingerprint valve (plan + oracle changed)
+    "bpe_tokenize",  # oracle COALESCE fix for zero-token docs (ADVICE r16)
 ]
 
 # Round-17 projection (ledger after r16, verified against the

@@ -124,3 +124,41 @@ def test_merge_application_conserves_characters(spark):
         trained = {m[3] for m in merges}
         for sym in syms:
             assert len(sym) == 1 or sym in trained, (w, sym)
+
+
+def test_bpe_tokenize_zero_token_doc_parity(spark, tmp_path):
+    """A whitespace-only document must tokenize to (0, '') in BOTH
+    engines: DuckDB's array_to_string([], sep) returns NULL — without
+    the d0 COALESCE the oracle's w goes NULL and n_symbols /
+    symbols_preview come back NULL while Spark emits 0 / '' (ADVICE
+    r16). Staged corpus: one real doc (so merges still train) + one
+    empty + one whitespace-only doc."""
+    import duckdb
+
+    sf = str(tmp_path / "sf_empty")
+    base = spark.read.parquet(SF_SMOKE + "/documents.parquet").limit(40)
+    extra = spark.createDataFrame(
+        [(900000, "", "en", "web", 0), (900001, "   \t  ", "en", "web", 6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    base.unionByName(extra).coalesce(1).write.mode("overwrite").parquet(
+        sf + "/documents.parquet"
+    )
+    srows = {
+        r["doc_id"]: (r["n_symbols"], r["symbols_preview"])
+        for r in C.bpe_tokenize(spark, sf).collect()
+    }
+    assert srows[900000] == (0, "")
+    assert srows[900001] == (0, "")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    drows = {
+        d: (n, p) for d, _, n, p in con.sql(C.SQL_BPE_TOKENIZE).fetchall()
+    }
+    assert drows[900000] == (0, "")
+    assert drows[900001] == (0, "")
+    assert {d: (n, p) for d, _, n, p in [
+        (doc, None, srows[doc][0], srows[doc][1]) for doc in srows
+    ]} == drows

@@ -49,6 +49,9 @@ def test_malformed_pgm_raises():
         b"P5\n0 32\n255\n",            # zero width
         b"P5\n32 32\n70000\n" + b"\0" * 2048,  # 16-bit maxval out of scope
         b"P5\nxx 32\n255\n" + b"\0" * 2048,    # junk header token
+        # non-whitespace byte after maxval: consuming it would shift
+        # every pixel by one (ADVICE r16 — raise, never misparse)
+        b"P5\n32 32\n255!" + b"\0" * 1024,
     ):
         with pytest.raises(ValueError):
             M.phash_of_payload(bad)
