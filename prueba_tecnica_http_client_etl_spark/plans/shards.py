@@ -38,17 +38,23 @@ def write_packed_shards(
     )
 
 
-def shard_manifest(spark, out_dir: str) -> DataFrame:
-    """Per-shard index over a written shard directory: bin range, bin/token/
-    OOV totals per file — what a data loader reads to plan an epoch without
-    opening the shards themselves."""
+def shard_manifest(spark, out_dir: str, *, quality_col: str = "n_oov_bin") -> DataFrame:
+    """Per-shard index over a written shard directory: bin range, bin/token
+    totals and a summed quality column per file — what a data loader reads
+    to plan an epoch without opening the shards themselves. `quality_col`
+    names the packed table's per-bin quality counter: `n_oov_bin` for the
+    word-dictionary packing (sequence_pack_ids), `n_merged_bin` for the
+    trained-BPE packing (sequence_pack_bpe_ids)."""
     files = spark.read.parquet(out_dir).withColumn("shard", F.input_file_name())
+    quality_out = {"n_oov_bin": "n_oov", "n_merged_bin": "n_merged"}.get(
+        quality_col, quality_col
+    )
     return (
         files.groupBy("source", "shard")
         .agg(
             F.count(F.lit(1)).alias("n_bins"),
             F.sum("n_tokens_bin").alias("n_tokens"),
-            F.sum("n_oov_bin").alias("n_oov"),
+            F.sum(quality_col).alias(quality_out),
             F.min("bin_id").alias("bin_lo"),
             F.max("bin_id").alias("bin_hi"),
         )

@@ -264,6 +264,7 @@ _LLM_PIPELINE = [
     ("dedup_video_cap_audit", multimodal.dedup_video_cap_audit, multimodal.SQL_DEDUP_VIDEO_CAP_AUDIT),
     ("dedup_video_recall", multimodal.dedup_video_recall, multimodal.SQL_DEDUP_VIDEO_RECALL),
     ("audio_fp_band_audit", multimodal.audio_fp_band_audit, multimodal.SQL_AUDIO_FP_BAND_AUDIT),
+    ("sequence_pack_bpe_ids", corpus.sequence_pack_bpe_ids, corpus.SQL_SEQUENCE_PACK_BPE_IDS),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
@@ -1365,6 +1366,7 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "dedup_video_recall": None,
     "audio_fp_band_audit": None,
     "dedup_audio_probe_stream": None,
+    "sequence_pack_bpe_ids": None,
     "kpi_daily_approx_p90": 15,
     "events_distinct_users_approx": 15,
     "customer_value_deciles_approx": 15,
