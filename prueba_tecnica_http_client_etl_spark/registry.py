@@ -1403,6 +1403,8 @@ _TOUCHED_THIS_ROUND: list[str] = [
     # here as their executed plans or oracles change during the round.
     "dedup_video_frames",  # hot-fingerprint valve (plan + oracle changed)
     "bpe_tokenize",  # oracle COALESCE fix for zero-token docs (ADVICE r16)
+    "hybrid_doc_recall",  # gates read the memoized fused list (judge r16 item 6)
+    "hybrid_doc_lexical_recall",
 ]
 
 # Round-17 projection (ledger after r16, verified against the

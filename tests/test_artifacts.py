@@ -37,6 +37,9 @@ def test_memoized_equals_fresh(spark):
         lm_bigram_score,
     )
     from prueba_tecnica_http_client_etl_spark.operators.textops import (
+        hybrid_doc_recall as _hybrid_recall,
+    )
+    from prueba_tecnica_http_client_etl_spark.operators.textops import (
         sparse_doc_knn_recall as _sparse_recall,
     )
 
@@ -51,6 +54,8 @@ def test_memoized_equals_fresh(spark):
         dsir_sample,
         # the sparse exact-neighbor ground truth via its recall gate
         _sparse_recall,
+        # the fused hybrid top-k list via its dense recall gate
+        _hybrid_recall,
     ):
         A.clear()
         drain()
@@ -232,4 +237,22 @@ def test_lsh_artifacts_reused_across_consumers(spark):
     assert "ExistingRDD" in plan, plan
     assert "regexp_replace" not in plan, plan  # the normalize chain
     A.clear()
+    drain()
+
+
+def test_hybrid_fused_memo_equals_live_fusion(spark):
+    """The gates' fused-list memo is bit-identical to the live
+    registered hybrid_doc_topk (the r16-item-6 convention: serving stays
+    live, gates share the memo)."""
+    from prueba_tecnica_http_client_etl_spark.operators.textops import (
+        _hybrid_fused_artifact,
+        hybrid_doc_topk,
+    )
+
+    A.clear()
+    drain()
+    memo = _rows(_hybrid_fused_artifact(spark, SF_SMOKE))
+    drain()
+    live = _rows(hybrid_doc_topk(spark, SF_SMOKE))
+    assert memo == live and len(memo) > 0
     drain()
