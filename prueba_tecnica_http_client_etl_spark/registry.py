@@ -1405,6 +1405,12 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "bpe_tokenize",  # oracle COALESCE fix for zero-token docs (ADVICE r16)
     "hybrid_doc_recall",  # gates read the memoized fused list (judge r16 item 6)
     "hybrid_doc_lexical_recall",
+    # the relative hot-band-value valve landed in the shared banded
+    # Hamming plan (plans + oracles changed; audits gained counters)
+    "dedup_image_phash",
+    "dedup_audio_fingerprint",
+    "multimodal_dup_consensus",
+    "image_phash_band_audit",
 ]
 
 # Round-17 projection (ledger after r16, verified against the

@@ -15,6 +15,14 @@ what lets the registry certify this stream against a batch SQL oracle
 pixel domain). Per-batch cost is |batch| x _PH_BANDS index lookups,
 independent of corpus size; the index side is a checkpointed artifact
 and never shuffles.
+
+The probe join deliberately reads the UNVALVED index bands (unlike the
+batch pair tiers, which drop hot band buckets before pair generation —
+operators/multimodal.py banded_hot_values): a probe's cost against a
+bucket of size s is s comparisons per arriving item, LINEAR in s, not
+the s^2 pair blowup the batch valve refuses — and an arriving black
+frame should be able to see its verdict against the index's black
+frames rather than silently reading 'novel'.
 """
 
 from __future__ import annotations

@@ -192,6 +192,11 @@ LLM_TIER = [
     # volume is linear in videos; the signature pass decodes 24 real
     # PGM frames per doc (the per-row Python cost axis)
     "dedup_video_frames",
+    # round-17: the trained-BPE loader packing — the replace chain is
+    # map-side per doc, the exploded symbol table is the per-token
+    # shuffle axis (the sequence_pack_ids shape), dictionaries are
+    # broadcast-bounded (|alphabet| + BPE_MERGES rows)
+    "sequence_pack_bpe_ids",
 ]
 
 # bump when the replica construction changes: a marker whose content
@@ -401,7 +406,12 @@ HUNDRED_TIER = [
     # round-16: video frame-containment — 24 real frame decodes per doc
     # is the heaviest per-row Python in the perceptual family; the
     # fingerprint join stays family-bounded at any corpus size
+    # (round-17: measured with the hot-fingerprint valve in the plan)
     "dedup_video_frames",
+    # round-17: BPE packing — the 12-iteration trainer re-runs over a
+    # 100x word table (replica renaming multiplies the vocabulary), then
+    # the per-symbol explode/reassembly is the volume axis
+    "sequence_pack_bpe_ids",
 ]
 
 

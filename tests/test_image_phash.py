@@ -91,13 +91,25 @@ def test_banding_is_pigeonhole_lossless():
     assert checked > 100  # the corpus genuinely exercises the property
 
 
+def _assert_pair_join_never_broadcasts(plan: str) -> None:
+    """The corpus-sized band self-join must stay a merge join; the ONLY
+    broadcast allowed is the valve's LeftAnti against the (tiny) hot
+    bucket set — an Inner broadcast would be Catalyst auto-broadcasting
+    a corpus-scaling side off a small-cached-size estimate (the
+    round-14 lesson)."""
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line:
+            assert "LeftAnti" in line, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+
+
 def test_phash_pair_plan_avoids_corpus_broadcast(spark):
     """Both sides of the band self-join scale with the corpus; the merge
     hints must hold against Catalyst's small-cached-size broadcast
     estimate (the round-14 auto-broadcast lesson)."""
     plan = M.dedup_image_phash(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    _assert_pair_join_never_broadcasts(plan)
     assert "MapInPandas" in plan or "TableCacheQueryStage" in plan or "Scan ExistingRDD" in plan
 
 
@@ -154,8 +166,7 @@ def test_audio_pair_plan_avoids_corpus_broadcast(spark):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    _assert_pair_join_never_broadcasts(plan)
 
 
 # --- video frame-containment dedup --------------------------------------------
