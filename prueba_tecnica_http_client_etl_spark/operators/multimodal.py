@@ -1678,6 +1678,41 @@ SELECT t.n_hot_fingerprints, aff.n_docs_affected, t.n_pairs_dropped
 FROM t, aff"""
 
 
+# Batch oracle of the VIDEO probe stream (streaming/video_probe_stream.py):
+# verdicts reference only the frozen index, so the union over
+# micro-batches equals probing the whole arrival set at once. The probe
+# reads the UNVALVED fhd (linear-cost argument in the stream module);
+# the verdict branches on the exact rational threshold, best_containment
+# is display-rounded only.
+SQL_DEDUP_VIDEO_PROBE_STREAM = f"""
+WITH {_SQL_VID_CTES},
+probe AS (SELECT * FROM fhd WHERE {_DUCK_PH_PROBE_COND}),
+ix AS (SELECT * FROM fhd WHERE NOT {_DUCK_PH_PROBE_COND}),
+pn AS (SELECT doc_id, count(*) AS pn FROM probe GROUP BY doc_id),
+inn AS (SELECT doc_id AS ix_id, count(*) AS ixn FROM ix GROUP BY doc_id),
+shared AS (
+  SELECT p.doc_id, i.doc_id AS ix_id, count(*) AS ns
+  FROM probe p JOIN ix i ON p.fh = i.fh GROUP BY 1, 2
+),
+scored AS (
+  SELECT s.doc_id, s.ns, least(pn.pn, inn.ixn) AS mn
+  FROM shared s JOIN pn ON pn.doc_id = s.doc_id JOIN inn ON inn.ix_id = s.ix_id
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+         max(CAST(ns AS DOUBLE) / mn) AS best_raw,
+         max(CASE WHEN ns * {_VID_CONTAIN_DEN} >= mn * {_VID_CONTAIN_NUM} THEN 1 ELSE 0 END) AS has_near
+  FROM scored GROUP BY doc_id
+),
+pd AS (SELECT DISTINCT doc_id FROM probe)
+SELECT pd.doc_id,
+       CASE WHEN has_near = 1 THEN 'near_dup' ELSE 'novel' END AS verdict,
+       COALESCE(n_candidates, 0) AS n_candidates,
+       floor(best_raw * 10000 + 0.5) / 10000 AS best_containment
+FROM pd LEFT JOIN agg USING (doc_id)
+ORDER BY pd.doc_id"""
+
+
 SQL_DEDUP_VIDEO_RECALL = f"""
 WITH {_SQL_VID_CTES},
 {_sql_vid_pairs("fhd")},

@@ -1134,6 +1134,65 @@ def q_dedup_image_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register("dedup_video_probe_stream", multimodal.SQL_DEDUP_VIDEO_PROBE_STREAM)
+def q_dedup_video_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming video-containment probe against the frozen
+    frame-fingerprint index (streaming/video_probe_stream.py) — the
+    VIDEO leg completing the ingest-probe trifecta: arriving videos
+    walk their containers for real (PGM pixel parse -> per-frame dHash,
+    the serving decode path) and their distinct frame sets probe the
+    index's inverted (doc_id, fh) table for near_dup / novel verdicts
+    at the exact rational containment threshold.
+
+    Arrival set: the image probe's split verbatim (whole families ->
+    no index side -> novel; singleton strides -> family stays indexed
+    -> near_dup at containment 0.89-0.95).
+
+    Oracle: verdicts reference only the frozen index, never other
+    in-flight videos, so the union over micro-batches equals probing
+    the whole arrival set at once — SQL_DEDUP_VIDEO_PROBE_STREAM, the
+    SIXTEENTH hash-certified stream. The frozen index state (frame
+    table + per-video sizes) is eagerly checkpointed before the stream
+    starts, so per-batch probes read pinned blocks, never re-derive
+    the distinct."""
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import SPARK_PH_PROBE_COND, _video_fhd
+    from .streaming import video_probe_stream as VPS
+
+    tmp, tag = _stream_staging_path(sf_dir, "video_probe_in", "documents")
+    _ensure_staged(
+        tmp,
+        lambda p: load_table(spark, sf_dir, "documents")
+        .filter(F.expr(SPARK_PH_PROBE_COND))
+        .select("doc_id")
+        .repartition(4)
+        .write.mode("overwrite")
+        .json(p),
+    )
+    ix_fhd = (
+        _video_fhd(spark, sf_dir)
+        .filter(~F.expr(SPARK_PH_PROBE_COND))
+        .localCheckpoint(eager=True)
+    )
+    ix_sizes = (
+        ix_fhd.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    out_root, checkpoint = _stream_run_dirs(sf_dir, "video_probe")
+    out = (
+        VPS.run_video_probe(
+            spark, tmp, out_root, index_fhd=ix_fhd, index_sizes=ix_sizes,
+            checkpoint=checkpoint,
+        )
+        .select("doc_id", "verdict", "n_candidates", "best_containment")
+        .orderBy("doc_id")
+    )
+    _finish_stream_run(out_root)  # replay terminated inside run_*
+    return out
+
+
 @register("dedup_audio_probe_stream", multimodal.SQL_DEDUP_AUDIO_PROBE_STREAM)
 def q_dedup_audio_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming perceptual-AUDIO probe against the frozen envelope
@@ -1367,6 +1426,7 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "audio_fp_band_audit": None,
     "dedup_audio_probe_stream": None,
     "sequence_pack_bpe_ids": None,
+    "dedup_video_probe_stream": None,
     "kpi_daily_approx_p90": 15,
     "events_distinct_users_approx": 15,
     "customer_value_deciles_approx": 15,
@@ -1419,11 +1479,16 @@ _TOUCHED_THIS_ROUND: list[str] = [
 # by this window (certified r13, ceiling r13+4=r17) and oldest-fill
 # places all of them; remaining fill comes from the r14 block in
 # registration order. Head budget: 50 - 4 anchors - 22 r13 oldest-fill
-# = 24 slots for round-17 registrations + touched entries. r18
-# projection: 43 r14 rows hit the ceiling at r18 — that alone
-# overflows the window head (4 + 43 = 47, leaving 3 slots), so keep
-# round-17 registrations modest and expect r18 to be a re-certification
-# round with few new queries.
+# = 24 slots for round-17 registrations + touched entries.
+#
+# FINAL round-17 head: 4 anchors + 5 never-certified registrations
+# (video cap audit + recall gate, audio band audit + probe stream, BPE
+# packing) + 8 touched (video valve, BPE oracle fix, both hybrid gates
+# on the fused memo, the four band-valve re-entries) = 17; window =
+# 17 + 22 r13 + 11 r14-fill. Registration CLOSED for the round at 166.
+# r18 projection: 32 r14 rows force (43 - 11 fill), head budget
+# 50 - 4 - 32 = 14 — r18 is a re-certification round by design; keep
+# its registrations minimal.
 
 _WINDOW_SIZE = 50
 

@@ -135,3 +135,57 @@ def test_audio_probe_multi_batch_equals_one_shot(spark, tmp_path):
     assert got == want
     verdicts = {v for _, v, _, _ in got}
     assert verdicts == {"exact_dup", "near_dup", "novel"}, verdicts
+
+
+def test_video_probe_multi_batch_equals_one_shot(spark, tmp_path):
+    """The video containment twin (run_video_probe): multi-batch
+    verdicts equal the one-shot probe of the same arrival set against
+    the same frozen frame index, and both verdict branches fire — the
+    16th hash-certified stream's decomposability contract."""
+    from prueba_tecnica_http_client_etl_spark.operators.multimodal import _video_fhd
+    from prueba_tecnica_http_client_etl_spark.schemas import load_table
+    from prueba_tecnica_http_client_etl_spark.streaming.video_probe_stream import (
+        probe_video_batch,
+        run_video_probe,
+    )
+
+    ix_fhd = (
+        _video_fhd(spark, SF_SMOKE)
+        .filter(~F.expr(SPARK_PH_PROBE_COND))
+        .localCheckpoint(eager=True)
+    )
+    ix_sizes = (
+        ix_fhd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    inp = _stage_arrivals(spark, tmp_path)
+    out = run_video_probe(
+        spark,
+        inp,
+        str(tmp_path / "out"),
+        index_fhd=ix_fhd,
+        index_sizes=ix_sizes,
+        checkpoint=str(tmp_path / "ckpt"),
+        one_file_per_batch=True,
+    )
+    assert out.select("batch_id").distinct().count() > 1, "stream must run multi-batch"
+    got = sorted(
+        (r.doc_id, r.verdict, r.n_candidates, r.best_containment)
+        for r in out.select(
+            "doc_id", "verdict", "n_candidates", "best_containment"
+        ).collect()
+    )
+    one_shot = probe_video_batch(
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.expr(SPARK_PH_PROBE_COND))
+        .select("doc_id"),
+        ix_fhd,
+        ix_sizes,
+    )
+    want = sorted(
+        (r.doc_id, r.verdict, r.n_candidates, r.best_containment)
+        for r in one_shot.collect()
+    )
+    assert got == want
+    verdicts = {v for _, v, _, _ in got}
+    assert verdicts == {"near_dup", "novel"}, verdicts
