@@ -1481,14 +1481,14 @@ _TOUCHED_THIS_ROUND: list[str] = [
 # registration order. Head budget: 50 - 4 anchors - 22 r13 oldest-fill
 # = 24 slots for round-17 registrations + touched entries.
 #
-# FINAL round-17 head: 4 anchors + 5 never-certified registrations
+# FINAL round-17 head: 4 anchors + 6 never-certified registrations
 # (video cap audit + recall gate, audio band audit + probe stream, BPE
-# packing) + 8 touched (video valve, BPE oracle fix, both hybrid gates
-# on the fused memo, the four band-valve re-entries) = 17; window =
-# 17 + 22 r13 + 11 r14-fill. Registration CLOSED for the round at 166.
-# r18 projection: 32 r14 rows force (43 - 11 fill), head budget
-# 50 - 4 - 32 = 14 — r18 is a re-certification round by design; keep
-# its registrations minimal.
+# packing, video probe stream) + 8 touched (video valve, BPE oracle
+# fix, both hybrid gates on the fused memo, the four band-valve
+# re-entries) = 18; window = 18 + 22 r13 + 10 r14-fill. Registration
+# CLOSED for the round at 167. r18 projection: 33 r14 rows force
+# (43 - 10 fill), head budget 50 - 4 - 33 = 13 — r18 is a
+# re-certification round by design; keep its registrations minimal.
 
 _WINDOW_SIZE = 50
 
