@@ -2547,10 +2547,16 @@ def sequence_pack_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sym").isNotNull())
     )
     # base alphabet: every distinct character of any symbol (a character
-    # fully absorbed into merges still belongs to the vocabulary)
+    # fully absorbed into merges still belongs to the vocabulary).
+    # Distinct the SYMBOLS before exploding characters — the char
+    # explode then runs over a vocabulary-sized frame, not the full
+    # per-token symbol stream (measured 100x: the stream-side explode
+    # was ~335M rows; the oracle always did distinct-first)
     w_alpha = Window.orderBy("ch")  # bounded: |alphabet| rows
     alpha = (
-        ex.select(F.explode(F.expr("transform(sequence(1, length(sym)), i -> substring(sym, i, 1))")).alias("ch"))
+        ex.select("sym")
+        .distinct()
+        .select(F.explode(F.expr("transform(sequence(1, length(sym)), i -> substring(sym, i, 1))")).alias("ch"))
         .distinct()
         .withColumn("id", (F.row_number().over(w_alpha) - 1).cast("long"))
     )
