@@ -49,7 +49,12 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-_MAX_ENTRIES = 32
+# Sized above the engine's per-corpus artifact count (~25 distinct
+# names at round 17, growing ~2 per round): an LRU eviction of an
+# actively-reused artifact is a SILENT retrain mid-suite — the cap
+# exists to bound multi-corpus sessions, not to thrash a single-corpus
+# run. Re-derive the headroom when adding artifact families.
+_MAX_ENTRIES = 48
 _STORE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 
 
