@@ -1600,26 +1600,77 @@ def dedup_video_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain — re-run at gate scale only, the dedup_lsh_recall convention.
     On the natural corpus the valve is inactive and recall is exactly
     1.0; under an adversarial boilerplate frame the number reported here
-    is the recall an operator trades for the quadratic relief."""
+    is the recall an operator trades for the quadratic relief.
+
+    Plan: ONE fingerprint self-join scores BOTH tiers — every shared
+    frame carries an is-hot flag, so the pair aggregate yields (ns,
+    ns_hot) and the size table (n, h); truth is ns / min(na, nb), the
+    valved tier is (ns - ns_hot) / min(na - ha, nb - hb). Exactly the
+    pair sets of the two separate pipelines (tests/test_video_hot_frame
+    cross-checks against _video_containment_pairs) at half the join
+    work. The truth side's join INCLUDES hot-bucket pairs — brute-force
+    truth is the gate's deliberate, gate-scale-only cost."""
+    return _video_recall_frame(_video_fhd(spark, sf_dir))
+
+
+def _video_recall_frame(fhd: DataFrame) -> DataFrame:
+    """The single-join recall computation over a caller-supplied
+    DISTINCT (doc_id, fh) frame (adversarial fixtures use this path)."""
+    from ..functions.cachepool import managed_persist
     from ..functions.portable import roundn
 
-    fhd = _video_fhd(spark, sf_dir)
-    truth = _video_containment_pairs(fhd, max_fh_df=None).select("doc_a", "doc_b")
-    found = _video_containment_pairs(fhd).select("doc_a", "doc_b")
-    t = truth.agg(F.count(F.lit(1)).alias("n_true"))
-    f = found.agg(F.count(F.lit(1)).alias("n_found"))
-    h = truth.join(found, ["doc_a", "doc_b"]).agg(F.count(F.lit(1)).alias("n_hits"))
-    return (
-        t.crossJoin(f)
-        .crossJoin(h)
+    hot = video_hot_fingerprints(fhd)
+    flagged = managed_persist(
+        fhd.join(
+            F.broadcast(hot.select("fh", F.lit(1).alias("is_hot"))), "fh", "left"
+        ).select("doc_id", "fh", F.coalesce("is_hot", F.lit(0)).alias("is_hot"))
+    ).hint("merge")
+    nsz = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("is_hot").alias("h")
+    )
+    a = flagged.select(F.col("doc_id").alias("doc_a"), "fh", "is_hot")
+    b = flagged.select(F.col("doc_id").alias("doc_b"), "fh")
+    shared = (
+        a.join(b, "fh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ns"), F.sum("is_hot").alias("nsh"))
+    )
+    na = nsz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), F.col("h").alias("ha"))
+    nb = nsz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), F.col("h").alias("hb"))
+    scored = managed_persist(
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
         .select(
-            "n_true",
-            "n_found",
-            "n_hits",
-            F.when(F.col("n_true") == 0, F.lit(1.0))
-            .otherwise(roundn(F.col("n_hits").cast("double") / F.col("n_true"), 4))
-            .alias("recall"),
+            "doc_a",
+            "doc_b",
+            (F.col("ns") * _VID_CONTAIN_DEN >= F.least("na", "nb") * _VID_CONTAIN_NUM).alias("in_truth"),
+            # a valved pair needs the threshold on SURVIVING frames, a
+            # surviving shared frame, and surviving frames on both sides
+            # (min cold size 0 means the doc left the valved domain)
+            (
+                (
+                    (F.col("ns") - F.col("nsh")) * _VID_CONTAIN_DEN
+                    >= F.least(F.col("na") - F.col("ha"), F.col("nb") - F.col("hb"))
+                    * _VID_CONTAIN_NUM
+                )
+                & (F.col("ns") - F.col("nsh") > 0)
+                & (F.least(F.col("na") - F.col("ha"), F.col("nb") - F.col("hb")) > 0)
+            ).alias("in_found"),
         )
+    )
+    agg = scored.agg(
+        F.sum(F.col("in_truth").cast("long")).alias("n_true"),
+        F.sum(F.col("in_found").cast("long")).alias("n_found"),
+        F.sum((F.col("in_truth") & F.col("in_found")).cast("long")).alias("n_hits"),
+    )
+    return agg.select(
+        F.coalesce("n_true", F.lit(0)).alias("n_true"),
+        F.coalesce("n_found", F.lit(0)).alias("n_found"),
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.when(F.coalesce(F.col("n_true"), F.lit(0)) == 0, F.lit(1.0))
+        .otherwise(roundn(F.col("n_hits").cast("double") / F.col("n_true"), 4))
+        .alias("recall"),
     )
 
 

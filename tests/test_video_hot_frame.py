@@ -103,3 +103,26 @@ def test_valve_inert_on_clean_corpus(spark):
     open_ = _video_containment_pairs(fhd, max_fh_df=None).collect()
     assert sorted(map(tuple, valved)) == sorted(map(tuple, open_))
     assert len(valved) > 0
+
+
+def test_single_join_recall_gate_matches_two_pipeline_form(adversarial_fhd, spark):
+    """dedup_video_recall's single-join formulation (ns/ns_hot flags)
+    must reproduce exactly the counts of running the two containment
+    pipelines separately — on the adversarial corpus where the valve
+    actually fires."""
+    from prueba_tecnica_http_client_etl_spark.operators.multimodal import (
+        _video_recall_frame,
+    )
+
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in _video_containment_pairs(adversarial_fhd, max_fh_df=None).collect()
+    }
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in _video_containment_pairs(adversarial_fhd).collect()
+    }
+    [g] = _video_recall_frame(adversarial_fhd).collect()
+    assert g["n_true"] == len(truth)
+    assert g["n_found"] == len(found)
+    assert g["n_hits"] == len(truth & found)
