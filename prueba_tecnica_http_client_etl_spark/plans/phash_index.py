@@ -1,0 +1,134 @@
+"""Persisted perceptual-signature index lifecycle — the durable form of
+the frozen state the image/audio probe streams read.
+
+The streams (streaming/image_probe_stream.py) probe an in-session
+artifact rebuilt once per Spark application; a production ingest loop
+persists the banded signatures ONCE and amortizes them across every
+session and every arriving batch:
+
+    build_phash_index(sigs, prefix="img")        # once / on compaction
+    probe_phash_index(spark, batch_sigs, prefix="img")   # per batch
+    append_to_phash_index(novel_sigs, prefix="img")      # accept novel
+
+ONE catalog table per index, bucketed on the probe key so every
+per-batch join reads the index pre-partitioned (no index-side shuffle,
+ever):
+
+- `{prefix}_pbands` (doc_id, phash, band, bv)    bucketed by bv
+
+Both perceptual modalities ride this module unchanged — image dHash and
+audio envelope fingerprints share the (doc_id, phash) signature shape
+and the 56-bit / 4 x 14-bit band geometry, so the prefix is the only
+difference between an image index and an audio index.
+
+The index is deliberately UNVALVED, like the probe streams and unlike
+the batch pair tiers: a probe against a band bucket of size s costs s
+rows per arriving item (linear, not the s^2 pair blowup the batch valve
+refuses), and an arriving black frame should see its verdict against
+the index's black frames rather than silently reading 'novel'. At
+100 TB the table holds 4 rows of 4 longs per item — tiny next to the
+payloads — and per-batch probe cost is |batch| x _PH_BANDS bucketed
+lookups, independent of corpus size.
+
+Reference: no counterpart (/root/reference has no multimodal or
+persistence concept, SURVEY.md §2.8); completes the perceptual tier to
+the same index-lifecycle depth as MinHash-LSH (plans/lsh_index.py) and
+IVF (plans/ivf_index.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import _PH_HAMMING_K, _phash_bands
+from .layout import write_bucketed
+from .lsh_index import _clear_orphaned_location, _require_index, _table_n_buckets
+
+
+def build_phash_index(sigs: DataFrame, *, prefix: str, n_buckets: int = 8) -> None:
+    """Materialize the banded signature table for `sigs` (doc_id, phash).
+    Rebuild-in-place is safe: saveAsTable(overwrite) swaps atomically at
+    the catalog level, and an orphaned location from a crashed build is
+    cleared first (the shared build-once-writer guard)."""
+    spark = sigs.sparkSession
+    _clear_orphaned_location(spark, f"{prefix}_pbands")
+    write_bucketed(
+        _phash_bands(sigs),
+        f"{prefix}_pbands",
+        bucket_cols=["bv"],
+        n_buckets=n_buckets,
+    )
+
+
+def append_to_phash_index(sigs: DataFrame, *, prefix: str) -> None:
+    """ACCEPT a probed batch into the index — the ingest-loop step
+    between probe and the next batch (keep the novel arrivals, append
+    their band rows so every LATER batch probes against them too).
+    Bands are derived here once; the stored rows ARE the signature
+    state. The bucket spec is read FROM the catalog so pruning and the
+    shuffle-free probe join keep holding; a missing table fails loudly
+    instead of mode('append') silently creating a parallel index.
+
+    Delivery is at-least-once, NOT atomic (one table, one append, but a
+    retry can duplicate rows). Duplicates never flip a verdict — the
+    probe candidate set is DISTINCT (doc, ix, pp, pi) — they only
+    inflate storage until a rebuild.
+
+    Equivalence contract (tests/test_phash_index.py): probing after
+    append(B) is byte-identical to probing an index BUILT from
+    corpus + B in one shot — with no build-time cap there is no
+    deferred-hotness case to carve out."""
+    spark = sigs.sparkSession
+    _require_index(spark, prefix, ("pbands",))
+    _phash_bands(sigs).write.mode("append").format("parquet").bucketBy(
+        _table_n_buckets(spark, f"{prefix}_pbands"), "bv"
+    ).saveAsTable(f"{prefix}_pbands")
+
+
+def probe_phash_index(
+    spark: SparkSession, sigs: DataFrame, *, prefix: str, ordered: bool = True
+) -> DataFrame:
+    """Verdict per batch signature against the persisted index:
+    exact_dup (an indexed item with the identical hash shares a band),
+    near_dup (nearest banded candidate within _PH_HAMMING_K bits), else
+    novel. Output schema and semantics match the streaming probe
+    (streaming/image_probe_stream.py probe_phash_batch): (doc_id,
+    verdict, n_band_candidates, min_hamming) — the probe-vs-stream
+    equality is the contract test. Only the batch side shuffles: the
+    candidate join hits the table bucketed on bv."""
+    pb = _phash_bands(sigs).select(
+        "doc_id", F.col("phash").alias("pp"), "band", "bv"
+    )
+    ib = spark_table_bands(spark, prefix).select(
+        F.col("doc_id").alias("ix_id"), F.col("phash").alias("pi"), "band", "bv"
+    )
+    cand = pb.join(ib, ["band", "bv"]).select("doc_id", "ix_id", "pp", "pi").distinct()
+    agg = cand.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_band_candidates"),
+        F.min(F.expr("bit_count(pp ^ pi)")).cast("long").alias("min_hamming"),
+    )
+    out = (
+        sigs.select("doc_id")
+        .distinct()
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("min_hamming") == 0, F.lit("exact_dup"))
+            .when(F.col("min_hamming") <= _PH_HAMMING_K, F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+            F.coalesce(F.col("n_band_candidates"), F.lit(0)).cast("long").alias(
+                "n_band_candidates"
+            ),
+            "min_hamming",
+        )
+    )
+    return out.orderBy("doc_id") if ordered else out
+
+
+def spark_table_bands(spark: SparkSession, prefix: str) -> DataFrame:
+    """The index band table, with the loud-failure / self-heal preamble
+    every entry point shares."""
+    _require_index(spark, prefix, ("pbands",))
+    return spark.table(f"{prefix}_pbands")
