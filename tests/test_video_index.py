@@ -1,0 +1,94 @@
+"""Persisted video frame-fingerprint index (plans/video_index.py): the
+probe must reproduce the streaming containment probe's verdicts exactly,
+read the index bucketed, grow by whole-video appends without diverging
+from a one-shot rebuild, and fail loudly on a missing prefix."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prueba_tecnica_http_client_etl_spark.operators.multimodal import (
+    SPARK_PH_PROBE_COND,
+    _video_fhd,
+)
+from prueba_tecnica_http_client_etl_spark.plans import video_index as VI
+from prueba_tecnica_http_client_etl_spark.schemas import load_table
+from prueba_tecnica_http_client_etl_spark.streaming.video_probe_stream import (
+    probe_video_batch,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def split_fhd(spark):
+    fhd = _video_fhd(spark, SF_SMOKE)
+    corpus = fhd.filter(~F.expr(SPARK_PH_PROBE_COND)).localCheckpoint(eager=True)
+    arrivals = fhd.filter(F.expr(SPARK_PH_PROBE_COND)).localCheckpoint(eager=True)
+    return corpus, arrivals
+
+
+def test_probe_matches_streaming_probe(spark, split_fhd):
+    """The persisted index serves the EXACT verdicts the in-session
+    frozen-frame path serves — both branches included."""
+    corpus, arrivals = split_fhd
+    VI.build_video_index(corpus, prefix="t_vidx", n_buckets=4)
+    got = _rows(VI.probe_video_index(spark, arrivals, prefix="t_vidx"))
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    want = _rows(
+        probe_video_batch(
+            load_table(spark, SF_SMOKE, "documents")
+            .filter(F.expr(SPARK_PH_PROBE_COND))
+            .select("doc_id"),
+            corpus,
+            sizes,
+        )
+    )
+    assert got == want
+    verdicts = {v for _, v, _, _ in got}
+    assert verdicts == {"near_dup", "novel"}, verdicts
+
+
+def test_probe_reads_bucketed_index(spark, split_fhd):
+    corpus, arrivals = split_fhd
+    VI.build_video_index(corpus, prefix="t_vidx_b", n_buckets=4)
+    plan = (
+        VI.probe_video_index(spark, arrivals, prefix="t_vidx_b")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SelectedBucketsCount" in plan, plan
+
+
+def test_append_grown_equals_one_shot(spark, split_fhd):
+    """probe(build(A) + append(B)) == probe(build(A + B)) when appends
+    carry whole videos (the ingest contract)."""
+    corpus, arrivals = split_fhd
+    a = corpus.filter(F.col("doc_id") % 3 != 0)
+    b = corpus.filter(F.col("doc_id") % 3 == 0)
+    VI.build_video_index(a, prefix="t_vidx_grow", n_buckets=4)
+    VI.append_to_video_index(b, prefix="t_vidx_grow")
+    VI.build_video_index(corpus, prefix="t_vidx_oneshot", n_buckets=4)
+    got = _rows(VI.probe_video_index(spark, arrivals, prefix="t_vidx_grow"))
+    want = _rows(VI.probe_video_index(spark, arrivals, prefix="t_vidx_oneshot"))
+    assert got == want
+    plan = (
+        VI.probe_video_index(spark, arrivals, prefix="t_vidx_grow")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SelectedBucketsCount" in plan, plan
+
+
+def test_missing_index_fails_loudly(spark, split_fhd):
+    corpus, arrivals = split_fhd
+    with pytest.raises(ValueError, match="missing tables"):
+        VI.probe_video_index(spark, arrivals, prefix="t_vidx_nope")
+    with pytest.raises(ValueError, match="missing tables"):
+        VI.append_to_video_index(corpus, prefix="t_vidx_nope")
