@@ -1271,19 +1271,19 @@ def q_dedup_audio_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #            order), which bounds staleness: the test asserts every
 #            query older than MAX_STALENESS rounds is in this window.
 
-CURRENT_ROUND = 17
+CURRENT_ROUND = 18
 MAX_STALENESS = 4  # a row certified at round R must re-enter the window
 # by round R + MAX_STALENESS (asserted in tests/test_rotation_ledger.py)
 
 LAST_CERTIFIED: dict[str, int | None] = {
-    "clean_coerce": 16,
-    "kpi_daily": 16,
-    "kpi_report_endpoint": 16,
-    "kpi_global": 16,
+    "clean_coerce": 17,
+    "kpi_daily": 17,
+    "kpi_report_endpoint": 17,
+    "kpi_global": 17,
     "kpi_global_exact": 16,
-    "kpi_anomaly_days": 14,
+    "kpi_anomaly_days": 17,
     "kpi_rollup": 16,
-    "pricing_summary": 14,
+    "pricing_summary": 17,
     "top_revenue_orders": 16,
     "region_revenue": 16,
     "customers_with_open_orders": 16,
@@ -1295,35 +1295,35 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "events_daily_pivot": 16,
     "sessionize_events": 16,
     "purchase_after_view_asof": 16,
-    "shipped_within_30_days": 13,
-    "events_json_stats": 13,
-    "events_distinct_users": 13,
-    "small_quantity_revenue": 13,
-    "supplier_trailing_revenue": 13,
-    "latest_event_per_user": 13,
-    "user_daily_gapfill": 13,
-    "top_supplier_per_quarter": 13,
-    "high_balance_idle_customers": 13,
-    "stratified_event_sample": 13,
-    "customer_value_deciles": 13,
-    "events_hourly_window": 13,
-    "event_value_by_type_salted": 13,
-    "purchases_near_views_range": 13,
+    "shipped_within_30_days": 17,
+    "events_json_stats": 17,
+    "events_distinct_users": 17,
+    "small_quantity_revenue": 17,
+    "supplier_trailing_revenue": 17,
+    "latest_event_per_user": 17,
+    "user_daily_gapfill": 17,
+    "top_supplier_per_quarter": 17,
+    "high_balance_idle_customers": 17,
+    "stratified_event_sample": 17,
+    "customer_value_deciles": 17,
+    "events_hourly_window": 17,
+    "event_value_by_type_salted": 17,
+    "purchases_near_views_range": 17,
     "snapshot_merge": 15,
-    "user_retention_cohorts": 14,
+    "user_retention_cohorts": 17,
     "event_funnel": 15,
-    "suppliers_blocking_orders": 14,
-    "rolling_active_users": 14,
+    "suppliers_blocking_orders": 17,
+    "rolling_active_users": 17,
     "audio_decode_stats": 15,
-    "dedup_edit_distance": 14,
+    "dedup_edit_distance": 17,
     "token_drift": 15,
     "sparse_doc_knn": 15,
     "sparse_doc_knn_approx": 15,
     "sparse_doc_knn_recall": 15,
-    "dedup_exact": 14,
-    "dedup_minhash_lsh": 14,
-    "dedup_simhash": 14,
-    "dedup_ngram_jaccard": 14,
+    "dedup_exact": 17,
+    "dedup_minhash_lsh": 17,
+    "dedup_simhash": 17,
+    "dedup_ngram_jaccard": 17,
     "dedup_components": 14,
     "dedup_embedding_cosine": 15,
     "ann_cosine_topk": 14,
@@ -1396,8 +1396,8 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "shingle_df_profile": 15,
     "contamination_bloom": 15,
     "split_leakage_check": 15,
-    "lm_bigram_score_pruned": 13,
-    "dsir_importance": 13,
+    "lm_bigram_score_pruned": 17,
+    "dsir_importance": 17,
     "ann_filtered_topk": 14,
     "ann_filtered_learned_topk": 14,
     "ann_filtered_recall": 14,
@@ -1405,28 +1405,25 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "dsir_resample_plan": 15,
     "dsir_sample": 14,
     "sequence_pack_ffd": 16,
-    "training_order": 13,
+    "training_order": 17,
     "sequence_pack_greedy": 15,
     "contamination_stats_by_source": 15,
-    "dedup_image_phash": 16,
-    "image_phash_band_audit": 16,
+    "dedup_image_phash": 17,
+    "image_phash_band_audit": 17,
     "bpe_train_merges": 16,
-    "bpe_tokenize": 16,
+    "bpe_tokenize": 17,
     "hybrid_doc_topk": 16,
-    "hybrid_doc_recall": 16,
+    "hybrid_doc_recall": 17,
     "quality_train": 16,
     "quality_gate_learned": 16,
-    "hybrid_doc_lexical_recall": 16,
-    "dedup_audio_fingerprint": 16,
-    "multimodal_dup_consensus": 16,
-    "dedup_video_frames": 16,
-    # round-17 registrations — never certified, auto-enter the r17 window
-    "dedup_video_cap_audit": None,
-    "dedup_video_recall": None,
-    "audio_fp_band_audit": None,
-    "dedup_audio_probe_stream": None,
-    "sequence_pack_bpe_ids": None,
-    "dedup_video_probe_stream": None,
+    "hybrid_doc_lexical_recall": 17,
+    "dedup_audio_fingerprint": 17,
+    "multimodal_dup_consensus": 17,
+    "dedup_video_frames": 17,
+    "dedup_video_cap_audit": 17,
+    "dedup_video_recall": 17,
+    "audio_fp_band_audit": 17,
+    "sequence_pack_bpe_ids": 17,
     "kpi_daily_approx_p90": 15,
     "events_distinct_users_approx": 15,
     "customer_value_deciles_approx": 15,
@@ -1434,15 +1431,17 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "sessionize_stream": 16,
     "dedup_stream": 16,
     "dedup_stream_ttl": 16,
-    "quality_gate_stream": 13,
-    "dedup_index_probe_stream": 13,
+    "quality_gate_stream": 17,
+    "dedup_index_probe_stream": 17,
     "lm_score_stream": 15,
-    "dsir_score_stream": 13,
+    "dsir_score_stream": 17,
     "dsir_sample_stream": 14,
-    "contamination_bloom_stream": 13,
-    "pii_scrub_stream": 13,
+    "contamination_bloom_stream": 17,
+    "pii_scrub_stream": 17,
     "dedup_edit_probe_stream": 15,
     "dedup_image_probe_stream": 16,
+    "dedup_video_probe_stream": 17,
+    "dedup_audio_probe_stream": 17,
     "range_join_stream": 14,
 }
 
@@ -1459,36 +1458,19 @@ _ANCHORS = ["clean_coerce", "kpi_daily", "kpi_report_endpoint", "kpi_global"]
 # Window budget: 4 anchors + |never| + touched + forced-stale rows
 # must stay <= 50.
 _TOUCHED_THIS_ROUND: list[str] = [
-    # round-17 starts empty after the ledger refresh; queries re-enter
+    # round-18 starts empty after the ledger refresh; queries re-enter
     # here as their executed plans or oracles change during the round.
-    "dedup_video_frames",  # hot-fingerprint valve (plan + oracle changed)
-    "bpe_tokenize",  # oracle COALESCE fix for zero-token docs (ADVICE r16)
-    "hybrid_doc_recall",  # gates read the memoized fused list (judge r16 item 6)
-    "hybrid_doc_lexical_recall",
-    # the relative hot-band-value valve landed in the shared banded
-    # Hamming plan (plans + oracles changed; audits gained counters)
-    "dedup_image_phash",
-    "dedup_audio_fingerprint",
-    "multimodal_dup_consensus",
-    "image_phash_band_audit",
 ]
 
-# Round-17 projection (ledger after r16, verified against the
-# CORRECTNESS files: 50@r16 / 46@r15 / 43@r14 / 22@r13 — sixth
-# consecutive round with zero rows-only rows). The 22 r13 rows are due
-# by this window (certified r13, ceiling r13+4=r17) and oldest-fill
-# places all of them; remaining fill comes from the r14 block in
-# registration order. Head budget: 50 - 4 anchors - 22 r13 oldest-fill
-# = 24 slots for round-17 registrations + touched entries.
-#
-# FINAL round-17 head: 4 anchors + 6 never-certified registrations
-# (video cap audit + recall gate, audio band audit + probe stream, BPE
-# packing, video probe stream) + 8 touched (video valve, BPE oracle
-# fix, both hybrid gates on the fused memo, the four band-valve
-# re-entries) = 18; window = 18 + 22 r13 + 10 r14-fill. Registration
-# CLOSED for the round at 167. r18 projection: 33 r14 rows force
-# (43 - 10 fill), head budget 50 - 4 - 33 = 13 — r18 is a
-# re-certification round by design; keep its registrations minimal.
+# Round-18 projection (ledger after r17, verified against the
+# CORRECTNESS files: 50@r17 / 38@r16 / 46@r15 / 33@r14 — seventh
+# consecutive round with zero rows-only rows). The 33 r14 rows are due
+# by this window (certified r14, ceiling r14+4=r18) and oldest-fill
+# places all of them. Head budget: 50 - 4 anchors - 33 r14 oldest-fill
+# = 13 slots for round-18 registrations + touched entries — r18 is a
+# re-certification round by design (projected at r17 close); keep the
+# registrations minimal (planned: bpe_tokenize_stream, the tokenizer
+# fertility monitor, the corpus-build funnel row).
 
 _WINDOW_SIZE = 50
 
