@@ -69,11 +69,17 @@ def append_to_video_index(fhd: DataFrame, *, prefix: str) -> None:
     ride one append, which is what the ingest loop naturally does) into
     the index. Bucket specs are read FROM the catalog; a missing table
     fails loudly instead of mode('append') silently creating a parallel
-    index. At-least-once like every index append here: a retried append
-    can duplicate frame rows (harmless to verdicts — the probe's shared
-    counts read DISTINCT frames per pair via the input contract, but
-    duplicated size rows WOULD double a count, so sizes are written
-    last and a rebuild is the heal after a suspected partial append)."""
+    index. At-least-once like every index append here, and the probe is
+    built to survive both retry artifacts: a retried append can
+    duplicate frame rows (the probe counts shared frames with
+    countDistinct, so duplicates cannot inflate ns past the true
+    distinct count) and duplicate size rows (the probe max-collapses
+    sizes per video — duplicates carry equal n under the whole-video
+    contract). The two writes are NOT atomic: a crash between them
+    leaves videos present in vframes with no vsizes row, and the probe
+    detects that loudly (raise_error on any candidate missing its size)
+    instead of silently dropping the video from candidacy; rebuild is
+    the heal."""
     spark = fhd.sparkSession
     _require_index(spark, prefix, ("vframes", "vsizes"))
     d = fhd.select("doc_id", "fh").persist()
@@ -99,7 +105,27 @@ def probe_video_index(
     verdict semantics and schema verbatim ((doc_id, verdict,
     n_candidates, best_containment); the probe-vs-stream equality is
     the contract test). Only the batch side shuffles: the candidate
-    join hits the frame table bucketed on fh."""
+    join hits the frame table bucketed on fh.
+
+    Retry/crash hardening (ADVICE r17): shared frames are counted with
+    countDistinct and index sizes max-collapsed per video, so an
+    at-least-once append's duplicated rows cannot inflate ns (which
+    could falsely clear the 7/10 threshold or push best_containment
+    past 1.0) or ixn; a candidate present in vframes but missing from
+    vsizes (crash between the two non-atomic append writes) raises
+    loudly instead of the inner join silently reading it as 'novel'.
+    The missing-size guard is an assert_true inside a FILTER, not a
+    raised expression in a projection: projection expressions over an
+    outer join's null-padded rows are evaluated (or not) depending on
+    the physical join AQE picks — measured both ways on this build —
+    while a filter must evaluate its predicate per row; the left-side
+    disjunct keeps EliminateOuterJoin from rewriting the left join to
+    inner (which would silently drop the torn rows). Both guards ride
+    the existing joins — no extra scan of the index, which is what
+    keeps the probe viable when the frame table is petabyte-scale.
+    probe_video_batch (the streaming twin) keeps plain counts: its
+    index inputs are frozen in-session DISTINCT DataFrames, not
+    at-least-once-appended tables."""
     from ..functions.cachepool import managed_persist
     from ..functions.portable import roundn
 
@@ -107,15 +133,32 @@ def probe_video_index(
     inc = managed_persist(fhd.select("doc_id", "fh").distinct())
     pn = inc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("pn"))
     ix = spark.table(f"{prefix}_vframes").select(F.col("doc_id").alias("ix_id"), "fh")
-    inn = spark.table(f"{prefix}_vsizes").select(
-        F.col("doc_id").alias("ix_id"), F.col("n").alias("ixn")
+    inn = (
+        spark.table(f"{prefix}_vsizes")
+        .groupBy(F.col("doc_id").alias("ix_id"))
+        .agg(F.max("n").alias("ixn"))
     )
     shared = (
-        inc.join(ix, "fh").groupBy("doc_id", "ix_id").agg(F.count(F.lit(1)).alias("ns"))
+        inc.join(ix, "fh")
+        .groupBy("doc_id", "ix_id")
+        .agg(F.countDistinct("fh").alias("ns"))
+    )
+    missing_msg = F.concat(
+        F.lit(f"video index '{prefix}' inconsistent: candidate video "),
+        F.col("ix_id").cast("string"),
+        F.lit(
+            " has frames in vframes but no vsizes row "
+            "(partial append?) — rebuild the index"
+        ),
     )
     scored = (
         shared.join(pn, "doc_id")
-        .join(inn, "ix_id")
+        .join(inn, "ix_id", "left")
+        .where(
+            F.assert_true(
+                F.col("ixn").isNotNull() | F.col("doc_id").isNull(), missing_msg
+            ).isNull()
+        )
         .select("doc_id", "ns", F.least("pn", "ixn").alias("mn"))
     )
     agg = scored.groupBy("doc_id").agg(

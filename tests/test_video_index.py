@@ -92,3 +92,53 @@ def test_missing_index_fails_loudly(spark, split_fhd):
         VI.probe_video_index(spark, arrivals, prefix="t_vidx_nope")
     with pytest.raises(ValueError, match="missing tables"):
         VI.append_to_video_index(corpus, prefix="t_vidx_nope")
+
+
+def _append_frames_only(spark, fhd, prefix):
+    """Simulate the crash-between-writes / partial-retry artifact: frame
+    rows land in vframes with NO matching vsizes write (the exact state
+    append_to_video_index leaves behind when it dies between its two
+    non-atomic saveAsTable calls)."""
+    from prueba_tecnica_http_client_etl_spark.plans.lsh_index import _table_n_buckets
+
+    fhd.select("doc_id", "fh").write.mode("append").format("parquet").bucketBy(
+        _table_n_buckets(spark, f"{prefix}_vframes"), "fh"
+    ).saveAsTable(f"{prefix}_vframes")
+
+
+def test_retried_append_does_not_inflate_containment(spark, split_fhd):
+    """ADVICE r17 (medium): at-least-once appends can duplicate
+    (doc_id, fh) rows; verdicts and best_containment must not move —
+    a doubled frame row must not falsely clear the 7/10 threshold or
+    push containment past 1.0. Covers both the full-retry (frames AND
+    sizes doubled) and the partial-retry (frames doubled, sizes already
+    present) shapes."""
+    corpus, arrivals = split_fhd
+    a = corpus.filter(F.col("doc_id") % 3 != 0)
+    b = corpus.filter(F.col("doc_id") % 3 == 0)
+    VI.build_video_index(a, prefix="t_vidx_retry", n_buckets=4)
+    VI.append_to_video_index(b, prefix="t_vidx_retry")
+    VI.append_to_video_index(b, prefix="t_vidx_retry")  # full retry
+    _append_frames_only(spark, b, "t_vidx_retry")  # partial retry
+    VI.build_video_index(corpus, prefix="t_vidx_clean", n_buckets=4)
+    got = _rows(VI.probe_video_index(spark, arrivals, prefix="t_vidx_retry"))
+    want = _rows(VI.probe_video_index(spark, arrivals, prefix="t_vidx_clean"))
+    assert got == want
+    assert all(bc is None or bc <= 1.0 for _, _, _, bc in got)
+
+
+def test_partial_append_detected_loudly(spark, split_fhd):
+    """ADVICE r17 (low): a video present in vframes but absent from
+    vsizes (crash between the two append writes) must raise when it
+    becomes a candidate — never silently read as 'novel'."""
+    corpus, arrivals = split_fhd
+    VI.build_video_index(corpus, prefix="t_vidx_torn", n_buckets=4)
+    # orphan: a synthetic video sharing every frame of one arrival, so
+    # it is guaranteed to surface as a candidate for that arrival
+    one = arrivals.select("doc_id").distinct().orderBy("doc_id").limit(1)
+    orphan = arrivals.join(one, "doc_id").select(
+        (F.lit(10**9) + F.col("doc_id")).alias("doc_id"), "fh"
+    )
+    _append_frames_only(spark, orphan, "t_vidx_torn")
+    with pytest.raises(Exception, match="no vsizes row"):
+        VI.probe_video_index(spark, arrivals, prefix="t_vidx_torn").collect()
