@@ -2403,25 +2403,33 @@ ORDER BY merge_rank"""
 BPE_PREVIEW_SYMBOLS = 12
 
 
-def _bpe_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, n_words, w): every document's words wrapped into
-    the symbol encoding (third-space word joins — merges cannot straddle
-    words) with the trained merge table's BPE_MERGES replaces applied IN
-    RANK ORDER as literal string ops (a K-row driver round-trip, the
-    kmeans-centroid pattern). Shared by bpe_tokenize (per-doc symbol
-    accounting) and sequence_pack_bpe_ids (the loader packing path)."""
-    merges = [
+def bpe_merge_list(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """The trained merge table as a rank-ordered driver-side pair list —
+    the bounded (BPE_MERGES-row) frozen state the apply chain closes
+    over, shared by the batch tokenizer and the ingest stream
+    (streaming/bpe_stream.py)."""
+    return [
         (r["pair_left"], r["pair_right"])
         for r in _bpe_merges_artifact(spark, sf_dir).orderBy("merge_rank").collect()
     ]
+
+
+def _bpe_apply_prepped(
+    d: DataFrame, merges: list[tuple], *, carry: tuple = ()
+) -> DataFrame:
+    """(doc_id, *carry, n_words, w): a prepped (doc_id, toks) frame's
+    words wrapped into the symbol encoding (third-space word joins —
+    merges cannot straddle words) with the FROZEN merge list applied IN
+    RANK ORDER as literal string ops. Per-doc pure function of the
+    merges — the decomposability the stream certification relies on."""
     wrap_doc = (
         "concat(' ', array_join(transform(filter(toks, t -> length(t) > 0), "
         "tok -> array_join(transform(sequence(1, length(tok)), "
         "i -> substring(tok, i, 1)), '  ')), '   '), ' ')"
     )
-    d = docs_normalized(spark, sf_dir).select(
+    d = d.select(
         "doc_id",
-        "source",
+        *carry,
         F.size(F.filter("toks", lambda t: F.length(t) > 0)).cast("long").alias("n_words"),
         F.expr(wrap_doc).alias("w"),
     )
@@ -2430,6 +2438,33 @@ def _bpe_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w", F.replace(F.col("w"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
         )
     return d
+
+
+def _bpe_symbols_select(d: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_symbols, symbols_preview) from an applied
+    frame — the tokenizer's per-doc accounting projection, shared by
+    bpe_tokenize and the ingest stream's per-batch transform."""
+    syms = F.expr("CASE WHEN trim(w) = '' THEN array() ELSE split(trim(w), ' +') END")
+    return d.select(
+        "doc_id",
+        "n_words",
+        F.size(syms).cast("long").alias("n_symbols"),
+        F.array_join(F.slice(syms, 1, BPE_PREVIEW_SYMBOLS), " ").alias(
+            "symbols_preview"
+        ),
+    )
+
+
+def _bpe_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_words, w): every document under the trained
+    merge table (a K-row driver round-trip, the kmeans-centroid
+    pattern). Shared by bpe_tokenize (per-doc symbol accounting) and
+    sequence_pack_bpe_ids (the loader packing path)."""
+    return _bpe_apply_prepped(
+        docs_normalized(spark, sf_dir),
+        bpe_merge_list(spark, sf_dir),
+        carry=("source",),
+    )
 
 
 def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2442,19 +2477,7 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     kmeans-centroid pattern). Emits exact per-doc symbol accounting and
     a leading-symbols preview; the oracle re-trains the merges in its
     own CTE chain and replays the same replaces."""
-    d = _bpe_applied(spark, sf_dir)
-    syms = F.expr("CASE WHEN trim(w) = '' THEN array() ELSE split(trim(w), ' +') END")
-    return (
-        d.select(
-            "doc_id",
-            "n_words",
-            F.size(syms).cast("long").alias("n_symbols"),
-            F.array_join(F.slice(syms, 1, BPE_PREVIEW_SYMBOLS), " ").alias(
-                "symbols_preview"
-            ),
-        )
-        .orderBy("doc_id")
-    )
+    return _bpe_symbols_select(_bpe_applied(spark, sf_dir)).orderBy("doc_id")
 
 
 def _sql_bpe_apply_chain() -> str:
