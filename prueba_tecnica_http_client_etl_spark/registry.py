@@ -265,6 +265,8 @@ _LLM_PIPELINE = [
     ("dedup_video_recall", multimodal.dedup_video_recall, multimodal.SQL_DEDUP_VIDEO_RECALL),
     ("audio_fp_band_audit", multimodal.audio_fp_band_audit, multimodal.SQL_AUDIO_FP_BAND_AUDIT),
     ("sequence_pack_bpe_ids", corpus.sequence_pack_bpe_ids, corpus.SQL_SEQUENCE_PACK_BPE_IDS),
+    ("bpe_fertility_by_source", corpus.bpe_fertility_by_source, corpus.SQL_BPE_FERTILITY_BY_SOURCE),
+    ("corpus_build_funnel", curation.corpus_build_funnel, curation.SQL_CORPUS_BUILD_FUNNEL),
 ]
 
 for _name, _fn, _sql in _LLM_PIPELINE:
@@ -1489,6 +1491,8 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "dedup_audio_probe_stream": 17,
     # round-18 registrations — never certified, auto-enter the r18 window
     "bpe_tokenize_stream": None,
+    "bpe_fertility_by_source": None,
+    "corpus_build_funnel": None,
     "range_join_stream": 14,
 }
 
@@ -1507,6 +1511,7 @@ _ANCHORS = ["clean_coerce", "kpi_daily", "kpi_report_endpoint", "kpi_global"]
 _TOUCHED_THIS_ROUND: list[str] = [
     # round-18 starts empty after the ledger refresh; queries re-enter
     # here as their executed plans or oracles change during the round.
+    "dedup_survivors",  # decision table became a snapshot-keyed artifact
 ]
 
 # Round-18 projection (ledger after r17, verified against the

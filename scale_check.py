@@ -197,6 +197,12 @@ LLM_TIER = [
     # shuffle axis (the sequence_pack_ids shape), dictionaries are
     # broadcast-bounded (|alphabet| + BPE_MERGES rows)
     "sequence_pack_bpe_ids",
+    # round-18: the fertility/coverage monitor — symbol accounting is a
+    # per-doc projection over the applied chain; the char pass folds
+    # into (source, char) partials (output |sources| x |alphabet|) and
+    # the train alphabet joins broadcast. Expect ~linear with the
+    # corpus; |alphabet| barely grows under replica token renaming
+    "bpe_fertility_by_source",
 ]
 
 # bump when the replica construction changes: a marker whose content

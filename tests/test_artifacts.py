@@ -42,6 +42,9 @@ def test_memoized_equals_fresh(spark):
     from prueba_tecnica_http_client_etl_spark.operators.textops import (
         sparse_doc_knn_recall as _sparse_recall,
     )
+    from prueba_tecnica_http_client_etl_spark.operators.curation import (
+        dedup_survivors as _survivors,
+    )
 
     for fn in (
         dedup_components,
@@ -56,6 +59,8 @@ def test_memoized_equals_fresh(spark):
         _sparse_recall,
         # the fused hybrid top-k list via its dense recall gate
         _hybrid_recall,
+        # the survivor manifest (round-18; feeds corpus_build_funnel)
+        _survivors,
     ):
         A.clear()
         drain()
