@@ -1289,6 +1289,67 @@ def q_bpe_tokenize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register("ann_ivfpq_probe_stream", similarity.SQL_ANN_IVFPQ_RERANK)
+def q_ann_ivfpq_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN probe of the PERSISTED IVF-PQ code index
+    (streaming/ann_probe_stream.py): the two-stage index is built once
+    into bucketed catalog tables (trained cents + frozen residual
+    codebook + cell-bucketed 40-bit codes + the refine store, keyed by
+    the staging tag so a regenerated dataset rebuilds), and the strided
+    query set replays as a file stream whose every micro-batch serves
+    top-k through the probe kernel — ADC over bucket-pruned codes, then
+    an exact re-rank over pruned point lookups.
+
+    Oracle: each query's top-k references only the frozen index, so the
+    union over micro-batches equals probing the whole query set at once
+    — byte-identical to ann_ivfpq_rerank on the same corpus and
+    quantizer (tests/test_pq_index.py pins the one-shot equality). Its
+    batch oracle SQL certifies the stream's full output — the
+    EIGHTEENTH hash-certified stream."""
+    from pyspark.sql import functions as F
+
+    from .functions.cachepool import managed_persist
+    from .operators.similarity import QUERY_STRIDE, _coarse_centroids, _quantized
+    from .plans.pq_index import _TABLES as _PQ_TABLES
+    from .plans.pq_index import build_pq_index
+    from .streaming import ann_probe_stream as APS
+
+    tmp, tag = _stream_staging_path(sf_dir, "ann_probe_in", "embeddings")
+    _ensure_staged(
+        tmp,
+        lambda p: load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select("vec_id")
+        .repartition(4)
+        .write.mode("overwrite")
+        .json(p),
+    )
+    ix_prefix = f"annpqix_{tag}"
+    # rebuild unless ALL FOUR index tables exist (the round-6 partial-
+    # build lesson: gating on one table would skip the rebuild forever
+    # after a crash between writes)
+    if not all(
+        spark.catalog.tableExists(f"`default`.`{ix_prefix}_{s}`") for s in _PQ_TABLES
+    ):
+        emb = managed_persist(_quantized(spark, sf_dir))
+        # the SAME trained quantizer the batch IVF-PQ tiers serve — a
+        # store hit when any ann_* query trained it first (bench runs
+        # streams last), one shared train otherwise
+        build_pq_index(
+            emb, prefix=ix_prefix, cents=_coarse_centroids(spark, sf_dir, emb)
+        )
+    out_root, checkpoint = _stream_run_dirs(sf_dir, "ann_probe")
+    out = (
+        APS.run_ann_probe(
+            spark, tmp, out_root, prefix=ix_prefix, checkpoint=checkpoint
+        )
+        .select("query_id", "neighbor_id", "rank", "cosine_p1")
+        .orderBy("query_id", "rank")
+    )
+    _finish_stream_run(out_root)  # replay terminated inside run_*
+    return out
+
+
 # --- certification ledger + rotation -----------------------------------------
 #
 # The external driver records correctness entries for the FIRST 50
@@ -1493,6 +1554,7 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "bpe_tokenize_stream": None,
     "bpe_fertility_by_source": None,
     "corpus_build_funnel": None,
+    "ann_ivfpq_probe_stream": None,
     "range_join_stream": 14,
 }
 
