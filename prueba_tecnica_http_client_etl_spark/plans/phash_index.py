@@ -132,3 +132,50 @@ def spark_table_bands(spark: SparkSession, prefix: str) -> DataFrame:
     every entry point shares."""
     _require_index(spark, prefix, ("pbands",))
     return spark.table(f"{prefix}_pbands")
+
+
+def compact_phash_index(spark: SparkSession, *, prefix: str) -> dict:
+    """Periodic maintenance — one scan of the band table, never of the
+    payloads (the perceptual sibling of compact_lsh_index /
+    compact_ivf_index): full-row DISTINCT reclaims the storage retried
+    at-least-once appends duplicate (banding is a pure per-signature
+    function, so a retried batch reproduces its rows byte-identically
+    and distinct is exact; verdicts were never at risk — the probe's
+    candidate set is DISTINCT — only storage and probe-join input
+    volume). The rewrite goes through the staged swap, never in-place.
+
+    Also reports the band-bucket occupancy scalars that are this
+    index's health monitor: probes cost bucket membership per arriving
+    item, so a runaway max_bucket (boilerplate black frames, silence)
+    is the signal to valve at the batch tier or excise upstream —
+    the deliberate UNVALVED probe design makes this the number to
+    watch. Returns {rows_before, rows_after, n_buckets, max_bucket,
+    mean_bucket}."""
+    from .layout import replace_table_staged
+
+    _require_index(spark, prefix, ("pbands",))
+    table = f"{prefix}_pbands"
+    n_buckets = _table_n_buckets(spark, table)
+    rows_before = spark.table(table).count()
+    replace_table_staged(
+        spark.table(table).distinct(), table, bucket_cols=["bv"], n_buckets=n_buckets
+    )
+    stats = (
+        spark.table(table)
+        .groupBy("band", "bv")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum("n").alias("rows_after"),
+            F.count(F.lit(1)).alias("n_occupied"),
+            F.max("n").alias("max_bucket"),
+            F.avg("n").alias("mean_bucket"),
+        )
+        .collect()[0]
+    )
+    return {
+        "rows_before": int(rows_before),
+        "rows_after": int(stats["rows_after"]),
+        "n_buckets": int(stats["n_occupied"]),
+        "max_bucket": int(stats["max_bucket"]),
+        "mean_bucket": float(stats["mean_bucket"]),
+    }

@@ -96,6 +96,69 @@ def append_to_video_index(fhd: DataFrame, *, prefix: str) -> None:
         d.unpersist()
 
 
+def compact_video_index(spark: SparkSession, *, prefix: str) -> dict:
+    """Periodic maintenance AND the torn-append heal — one scan of the
+    frame table, never of the corpus: DISTINCT the frames (retried
+    at-least-once appends duplicate rows; the hardened probe already
+    neutralizes them via countDistinct, so this reclaims storage and
+    probe-join input volume), then RE-DERIVE the sizes table from the
+    healed frames — sizes are derived state (distinct-frame count per
+    video), so recomputing them both collapses duplicated size rows and
+    heals the torn state a crash between append's two writes leaves
+    (videos in vframes with no vsizes row, which the probe detects
+    loudly): after compaction the index is byte-equal to a one-shot
+    rebuild from the same videos, with no corpus access. The frame
+    rewrite goes through the staged swap; the sizes rewrite is a plain
+    overwrite of derived state (a crash mid-write re-heals on the next
+    compact — and the probe's raise catches any candidate gap
+    meanwhile).
+
+    Also reports the hot-fingerprint scalars — probes cost a
+    fingerprint's bucket membership per arriving video, so max_fh_df is
+    this index's probe-cost monitor (the persisted twin of the batch
+    tier's _VID_FH_MAX_DF valve decision). Returns {rows_before,
+    rows_after, n_videos, max_frames, max_fh_df, mean_fh_df}."""
+    from .layout import replace_table_staged
+
+    _require_index(spark, prefix, ("vframes", "vsizes"))
+    frames = f"{prefix}_vframes"
+    n_buckets = _table_n_buckets(spark, frames)
+    rows_before = spark.table(frames).count()
+    replace_table_staged(
+        spark.table(frames).distinct(), frames, bucket_cols=["fh"], n_buckets=n_buckets
+    )
+    sizes_buckets = _table_n_buckets(spark, f"{prefix}_vsizes")
+    spark.table(frames).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")
+    ).write.mode("overwrite").format("parquet").bucketBy(
+        sizes_buckets, "doc_id"
+    ).saveAsTable(f"{prefix}_vsizes")
+    stats = (
+        spark.table(frames)
+        .groupBy("fh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.sum("df").alias("rows_after"),
+            F.max("df").alias("max_fh_df"),
+            F.avg("df").alias("mean_fh_df"),
+        )
+        .collect()[0]
+    )
+    vstats = (
+        spark.table(f"{prefix}_vsizes")
+        .agg(F.count(F.lit(1)).alias("n_videos"), F.max("n").alias("max_frames"))
+        .collect()[0]
+    )
+    return {
+        "rows_before": int(rows_before),
+        "rows_after": int(stats["rows_after"]),
+        "n_videos": int(vstats["n_videos"]),
+        "max_frames": int(vstats["max_frames"]),
+        "max_fh_df": int(stats["max_fh_df"]),
+        "mean_fh_df": float(stats["mean_fh_df"]),
+    }
+
+
 def probe_video_index(
     spark: SparkSession, fhd: DataFrame, *, prefix: str, ordered: bool = True
 ) -> DataFrame:

@@ -110,3 +110,33 @@ def test_missing_index_fails_loudly(spark, split_sigs):
         PI.probe_phash_index(spark, arrivals, prefix="t_pidx_nope")
     with pytest.raises(ValueError, match="missing tables"):
         PI.append_to_phash_index(corpus, prefix="t_pidx_nope")
+
+
+def test_compact_reclaims_retry_duplicates(spark, split_sigs):
+    """A retried append duplicates band rows — harmless to verdicts (the
+    probe candidate set is distinct) but real storage/join-volume waste.
+    compact_phash_index must restore the distinct rowcount, keep probes
+    byte-identical and bucketed, and report the band-occupancy monitor."""
+    corpus, arrivals = split_sigs
+    a = corpus.filter(F.col("doc_id") % 3 != 0)
+    b = corpus.filter(F.col("doc_id") % 3 == 0)
+    PI.build_phash_index(a, prefix="t_pidx_cmp", n_buckets=4)
+    PI.append_to_phash_index(b, prefix="t_pidx_cmp")
+    want = _rows(PI.probe_phash_index(spark, arrivals, prefix="t_pidx_cmp"))
+    clean_rows = spark.table("t_pidx_cmp_pbands").count()
+
+    PI.append_to_phash_index(b, prefix="t_pidx_cmp")  # the retry
+    assert spark.table("t_pidx_cmp_pbands").count() > clean_rows
+    assert _rows(PI.probe_phash_index(spark, arrivals, prefix="t_pidx_cmp")) == want
+
+    stats = PI.compact_phash_index(spark, prefix="t_pidx_cmp")
+    assert stats["rows_after"] == clean_rows < stats["rows_before"]
+    assert stats["max_bucket"] >= stats["mean_bucket"] > 0
+    assert _rows(PI.probe_phash_index(spark, arrivals, prefix="t_pidx_cmp")) == want
+    plan = (
+        PI.probe_phash_index(spark, arrivals, prefix="t_pidx_cmp")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SelectedBucketsCount" in plan, plan

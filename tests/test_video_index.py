@@ -142,3 +142,39 @@ def test_partial_append_detected_loudly(spark, split_fhd):
     _append_frames_only(spark, orphan, "t_vidx_torn")
     with pytest.raises(Exception, match="no vsizes row"):
         VI.probe_video_index(spark, arrivals, prefix="t_vidx_torn").collect()
+
+
+def test_compact_heals_torn_and_retried_appends(spark, split_fhd):
+    """compact_video_index is the heal: distinct the frames, re-derive
+    the sizes FROM the frames. After a retried append (duplicates in
+    both tables) AND a torn append (frames with no sizes row — which
+    the probe refuses loudly), one compaction must leave the index
+    byte-equal to a one-shot rebuild from the same videos, with the
+    bucketed probe reads intact and sane monitor scalars."""
+    corpus, arrivals = split_fhd
+    part = F.col("doc_id") % 3
+    a, b, c = corpus.filter(part == 1), corpus.filter(part == 2), corpus.filter(part == 0)
+    VI.build_video_index(a, prefix="t_vidx_heal", n_buckets=4)
+    VI.append_to_video_index(b, prefix="t_vidx_heal")
+    VI.append_to_video_index(b, prefix="t_vidx_heal")  # retry duplicates
+    _append_frames_only(spark, c, "t_vidx_heal")  # torn append
+    with pytest.raises(Exception, match="no vsizes row"):
+        VI.probe_video_index(spark, arrivals, prefix="t_vidx_heal").collect()
+
+    stats = VI.compact_video_index(spark, prefix="t_vidx_heal")
+    VI.build_video_index(corpus, prefix="t_vidx_heal_ref", n_buckets=4)
+    got = _rows(VI.probe_video_index(spark, arrivals, prefix="t_vidx_heal"))
+    want = _rows(VI.probe_video_index(spark, arrivals, prefix="t_vidx_heal_ref"))
+    assert got == want
+    assert stats["rows_before"] > stats["rows_after"]
+    assert stats["rows_after"] == spark.table("t_vidx_heal_ref_vframes").count()
+    assert stats["n_videos"] == corpus.select("doc_id").distinct().count()
+    assert stats["max_fh_df"] >= stats["mean_fh_df"] > 0
+    assert stats["max_frames"] >= 1
+    plan = (
+        VI.probe_video_index(spark, arrivals, prefix="t_vidx_heal")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SelectedBucketsCount" in plan, plan
