@@ -203,6 +203,12 @@ LLM_TIER = [
     # the train alphabet joins broadcast. Expect ~linear with the
     # corpus; |alphabet| barely grows under replica token renaming
     "bpe_fertility_by_source",
+    # round-18: the full build funnel — a composition of four corpus
+    # passes (quality, contamination grams, survivor decisions from the
+    # memoized manifest, BPE apply on the packed slice) + tiny-frame
+    # joins; each stage is individually measured, this prices the
+    # composition
+    "corpus_build_funnel",
 ]
 
 # bump when the replica construction changes: a marker whose content
