@@ -1350,6 +1350,133 @@ def q_ann_ivfpq_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _sql_ingest_gate_stream() -> str:
+    """Batch SQL for the composed ingest admission gate: the stage
+    oracles (quality CTE, pii, exact contamination, incremental dedup,
+    BPE apply) joined per arriving doc. Arrival set = the incremental
+    incoming stride minus the benchmark holdout."""
+    from .operators.corpus import BPE_MERGES, _sql_bpe_apply_chain, _sql_bpe_cte_chain
+    from .operators.curation import (
+        SQL_CONTAMINATION_CHECK,
+        SQL_PII_SCRUB,
+        PROBE_STRIDE,
+        sql_quality_cte,
+    )
+    from .operators.dedup import DUCK_DOCS_CTE, INCREMENTAL_STRIDE, SQL_DEDUP_INCREMENTAL
+
+    arr = f"doc_id % {INCREMENTAL_STRIDE} = 0 AND doc_id % {PROBE_STRIDE} <> 0"
+    return f"""
+WITH {DUCK_DOCS_CTE},
+{sql_quality_cte()},
+q AS (SELECT doc_id, reason FROM r WHERE {arr}),
+pii AS (
+  SELECT doc_id, CAST(n_emails + n_phones + n_ips AS BIGINT) AS n_pii
+  FROM ({SQL_PII_SCRUB}) WHERE {arr}
+),
+cont AS (
+  SELECT doc_id FROM ({SQL_CONTAMINATION_CHECK})
+  WHERE doc_id % {INCREMENTAL_STRIDE} = 0
+),
+dd AS (
+  SELECT doc_id, verdict FROM ({SQL_DEDUP_INCREMENTAL})
+  WHERE doc_id % {PROBE_STRIDE} <> 0
+),
+{_sql_bpe_cte_chain()},
+{_sql_bpe_apply_chain()},
+sym AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(w) = '' THEN 0
+                   ELSE len(string_split_regex(trim(w), ' +')) END AS BIGINT) AS n_symbols
+  FROM d{BPE_MERGES} WHERE {arr}
+)
+SELECT q.doc_id, q.reason, pii.n_pii,
+       CAST(CASE WHEN cont.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS contaminated,
+       dd.verdict AS dedup_verdict, sym.n_symbols,
+       (q.reason = 'ok' AND cont.doc_id IS NULL AND dd.verdict = 'novel') AS admitted
+FROM q
+JOIN pii ON q.doc_id = pii.doc_id
+LEFT JOIN cont ON q.doc_id = cont.doc_id
+JOIN dd ON q.doc_id = dd.doc_id
+JOIN sym ON q.doc_id = sym.doc_id
+ORDER BY q.doc_id"""
+
+
+@register("ingest_gate_stream", _sql_ingest_gate_stream())
+def q_ingest_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed streaming INGEST ADMISSION GATE
+    (streaming/ingest_gate_stream.py): quality reason + PII exposure +
+    Bloom-prescreened decontamination + persisted-LSH-index near-dup
+    verdict + frozen-tokenizer symbol count, joined per arriving doc
+    into one admission row — the front-door decision a training-data
+    pipeline makes, and the ingest-time twin of corpus_build_funnel.
+
+    Oracle: every column is a per-doc pure function of frozen state
+    (stateless maps, the frozen bitmap + probe relation, the persisted
+    index, the frozen merge list), so the union over micro-batches
+    equals evaluating the whole arrival set at once — certified against
+    the composition of the stage oracles (the NINETEENTH hash-certified
+    stream)."""
+    from pyspark.sql import functions as F
+
+    from .operators.corpus import bpe_merge_list
+    from .operators.curation import PROBE_STRIDE, bloom_trained_state
+    from .operators.dedup import INCREMENTAL_STRIDE, docs_normalized
+    from .plans.lsh_index import build_lsh_index
+    from .streaming import ingest_gate_stream as IGS
+
+    tmp, tag = _stream_staging_path(sf_dir, "ingest_gate_in", "documents")
+    _ensure_staged(
+        tmp,
+        lambda p: load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") % INCREMENTAL_STRIDE == 0)
+            & (F.col("doc_id") % PROBE_STRIDE != 0)
+        )
+        .select("doc_id", "text")
+        .repartition(4)
+        .write.mode("overwrite")
+        .json(p),
+    )
+    ix_prefix = f"ingateix_{tag}"
+    if not all(
+        spark.catalog.tableExists(f"`default`.`{ix_prefix}_{s}`")
+        for s in ("digests", "bands", "shingles")
+    ):
+        build_lsh_index(
+            docs_normalized(spark, sf_dir).filter(
+                F.col("doc_id") % INCREMENTAL_STRIDE != 0
+            ),
+            prefix=ix_prefix,
+        )
+    bf_row, probes, m_log2 = bloom_trained_state(spark, sf_dir)
+    # eager checkpoint: the stream drains the cachepool per batch, and a
+    # drained lazy probe relation would re-derive its corpus scan every
+    # micro-batch; checkpointed blocks are drain-proof
+    probes = probes.localCheckpoint(eager=True)
+    merges = bpe_merge_list(spark, sf_dir)
+    out_root, checkpoint = _stream_run_dirs(sf_dir, "ingest_gate")
+    out = (
+        IGS.run_ingest_gate(
+            spark,
+            tmp,
+            out_root,
+            index_prefix=ix_prefix,
+            bf_row=bf_row,
+            probes=probes,
+            m_log2=m_log2,
+            merges=merges,
+            checkpoint=checkpoint,
+        )
+        .select(
+            "doc_id", "reason", "n_pii", "contaminated", "dedup_verdict",
+            "n_symbols", "admitted",
+        )
+        .orderBy("doc_id")
+    )
+    _finish_stream_run(out_root)  # replay terminated inside run_*
+    return out
+
+
 # --- certification ledger + rotation -----------------------------------------
 #
 # The external driver records correctness entries for the FIRST 50
@@ -1555,6 +1682,7 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "bpe_fertility_by_source": None,
     "corpus_build_funnel": None,
     "ann_ivfpq_probe_stream": None,
+    "ingest_gate_stream": None,
     "range_join_stream": 14,
 }
 
