@@ -1710,9 +1710,16 @@ _TOUCHED_THIS_ROUND: list[str] = [
 # by this window (certified r14, ceiling r14+4=r18) and oldest-fill
 # places all of them. Head budget: 50 - 4 anchors - 33 r14 oldest-fill
 # = 13 slots for round-18 registrations + touched entries — r18 is a
-# re-certification round by design (projected at r17 close); keep the
-# registrations minimal (planned: bpe_tokenize_stream, the tokenizer
-# fertility monitor, the corpus-build funnel row).
+# re-certification round by design (projected at r17 close).
+#
+# FINAL round-18 head: 4 anchors + 5 never-certified registrations
+# (bpe_tokenize_stream, bpe_fertility_by_source, corpus_build_funnel,
+# ann_ivfpq_probe_stream, ingest_gate_stream) + 1 touched
+# (dedup_survivors — its decision table became the survivor-manifest
+# artifact) = 10; window = 10 + 33 r14 + 7 r15-fill. Registration
+# CLOSED for the round at 172. r19 projection: 39 r15 rows remain
+# (46 - 7 fill), head budget 50 - 4 - 39 = 7 — r19 is ALSO a
+# re-certification round; keep its registrations near zero.
 
 _WINDOW_SIZE = 50
 
