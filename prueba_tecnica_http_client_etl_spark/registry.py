@@ -1716,10 +1716,11 @@ _TOUCHED_THIS_ROUND: list[str] = [
 # (bpe_tokenize_stream, bpe_fertility_by_source, corpus_build_funnel,
 # ann_ivfpq_probe_stream, ingest_gate_stream) + 1 touched
 # (dedup_survivors — its decision table became the survivor-manifest
-# artifact) = 10; window = 10 + 33 r14 + 7 r15-fill. Registration
-# CLOSED for the round at 172. r19 projection: 39 r15 rows remain
-# (46 - 7 fill), head budget 50 - 4 - 39 = 7 — r19 is ALSO a
-# re-certification round; keep its registrations near zero.
+# artifact; certified r14, so it sits inside the forced block either
+# way). Window = 9 head + 33 r14 (incl. the touched row) + 8 r15-fill.
+# Registration CLOSED for the round at 172. r19 projection: 38 r15
+# rows remain (46 - 8 fill), head budget 50 - 4 - 38 = 8 — r19 is
+# ALSO a re-certification round; keep its registrations near zero.
 
 _WINDOW_SIZE = 50
 
