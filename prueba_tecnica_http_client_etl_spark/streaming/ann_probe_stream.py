@@ -39,13 +39,15 @@ def ann_probe_batch(batch: DataFrame, *, prefix: str) -> DataFrame:
     """(query_id, neighbor_id, rank, cosine_p1) for one micro-batch of
     arriving query ids against the frozen code index — probe_pq_index
     verbatim (the serving kernel), vectors fetched from the refine
-    store by id."""
+    store by LITERAL id set: the batch ids are driver-bounded (the
+    probe-batch contract), so the fetch is a bucket-pruned point
+    lookup, never a store scan — a broadcast join would read the whole
+    refine store per micro-batch at corpus scale."""
     from ..plans.pq_index import probe_pq_index
 
     spark = batch.sparkSession
-    queries = spark.table(f"{prefix}_vecs").join(
-        F.broadcast(batch.select("vec_id")), "vec_id"
-    )
+    ids = sorted(r.vec_id for r in batch.select("vec_id").distinct().collect())
+    queries = spark.table(f"{prefix}_vecs").filter(F.col("vec_id").isin(ids))
     return probe_pq_index(spark, queries, prefix=prefix, rerank=True)
 
 
