@@ -1506,15 +1506,15 @@ def q_ingest_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #            order), which bounds staleness: the test asserts every
 #            query older than MAX_STALENESS rounds is in this window.
 
-CURRENT_ROUND = 18
+CURRENT_ROUND = 19
 MAX_STALENESS = 4  # a row certified at round R must re-enter the window
 # by round R + MAX_STALENESS (asserted in tests/test_rotation_ledger.py)
 
 LAST_CERTIFIED: dict[str, int | None] = {
-    "clean_coerce": 17,
-    "kpi_daily": 17,
-    "kpi_report_endpoint": 17,
-    "kpi_global": 17,
+    "clean_coerce": 18,
+    "kpi_daily": 18,
+    "kpi_report_endpoint": 18,
+    "kpi_global": 18,
     "kpi_global_exact": 16,
     "kpi_anomaly_days": 17,
     "kpi_rollup": 16,
@@ -1544,32 +1544,32 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "events_hourly_window": 17,
     "event_value_by_type_salted": 17,
     "purchases_near_views_range": 17,
-    "snapshot_merge": 15,
+    "snapshot_merge": 18,
     "user_retention_cohorts": 17,
-    "event_funnel": 15,
+    "event_funnel": 18,
     "suppliers_blocking_orders": 17,
     "rolling_active_users": 17,
-    "audio_decode_stats": 15,
+    "audio_decode_stats": 18,
     "dedup_edit_distance": 17,
-    "token_drift": 15,
-    "sparse_doc_knn": 15,
-    "sparse_doc_knn_approx": 15,
-    "sparse_doc_knn_recall": 15,
+    "token_drift": 18,
+    "sparse_doc_knn": 18,
+    "sparse_doc_knn_approx": 18,
+    "sparse_doc_knn_recall": 18,
     "dedup_exact": 17,
     "dedup_minhash_lsh": 17,
     "dedup_simhash": 17,
     "dedup_ngram_jaccard": 17,
-    "dedup_components": 14,
-    "dedup_embedding_cosine": 15,
-    "ann_cosine_topk": 14,
-    "lsh_bucket_histogram": 14,
-    "ann_ivf_topk": 14,
-    "ivf_cell_profile": 14,
-    "ann_lsh_topk": 14,
-    "ann_ivf_recall": 14,
-    "ann_lsh_recall": 14,
-    "embedding_centroids": 14,
-    "text_stats": 14,
+    "dedup_components": 18,
+    "dedup_embedding_cosine": 18,
+    "ann_cosine_topk": 18,
+    "lsh_bucket_histogram": 18,
+    "ann_ivf_topk": 18,
+    "ivf_cell_profile": 18,
+    "ann_lsh_topk": 18,
+    "ann_ivf_recall": 18,
+    "ann_lsh_recall": 18,
+    "embedding_centroids": 18,
+    "text_stats": 18,
     "token_counts": 15,
     "lang_id": 15,
     "doc_fingerprint": 15,
@@ -1580,7 +1580,7 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "pii_scrub": 15,
     "contamination_check": 15,
     "quality_gate": 15,
-    "kmeans_embeddings": 14,
+    "kmeans_embeddings": 18,
     "vocab_topk": 15,
     "repetition_score": 15,
     "sequence_pack": 15,
@@ -1596,34 +1596,34 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "quality_score": 16,
     "sequence_pack_ids": 16,
     "dedup_substring": 16,
-    "ann_ivf_learned_topk": 14,
-    "ann_ivf_learned_recall": 14,
+    "ann_ivf_learned_topk": 18,
+    "ann_ivf_learned_recall": 18,
     "bpe_pair_counts": 16,
     "domain_mixture_plan": 16,
-    "dedup_survivors": 14,
+    "dedup_survivors": 18,
     "source_overlap_matrix": 16,
     "doc_commonness": 16,
     "duplicate_rate_by_source": 15,
-    "dedup_cluster_sizes": 14,
+    "dedup_cluster_sizes": 18,
     "pii_stats_by_source": 16,
     "lang_confusion": 16,
     "image_decode_stats": 16,
     "dedup_lsh_capped": 15,
     "dedup_lsh_cap_audit": 15,
-    "embedding_pca_top": 14,
-    "ann_pq_topk": 14,
-    "ann_pq_rerank": 14,
-    "ann_pq_recall": 14,
-    "ann_pq_rerank_recall": 14,
+    "embedding_pca_top": 18,
+    "ann_pq_topk": 18,
+    "ann_pq_rerank": 18,
+    "ann_pq_recall": 18,
+    "ann_pq_rerank_recall": 18,
     "minhash_calibration": 15,
     "dedup_lsh_recall": 15,
     "dedup_jaccard_prefix": 15,
-    "corpus_sample_per_source": 14,
-    "pq_quantization_error": 14,
-    "ann_ivfpq_topk": 14,
-    "ann_ivfpq_recall": 14,
-    "ann_ivfpq_rerank": 14,
-    "ann_ivfpq_rerank_recall": 14,
+    "corpus_sample_per_source": 18,
+    "pq_quantization_error": 18,
+    "ann_ivfpq_topk": 18,
+    "ann_ivfpq_recall": 18,
+    "ann_ivfpq_rerank": 18,
+    "ann_ivfpq_rerank_recall": 18,
     "corpus_split": 16,
     "corpus_split_stats": 16,
     "lm_bigram_score": 15,
@@ -1633,12 +1633,12 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "split_leakage_check": 15,
     "lm_bigram_score_pruned": 17,
     "dsir_importance": 17,
-    "ann_filtered_topk": 14,
-    "ann_filtered_learned_topk": 14,
-    "ann_filtered_recall": 14,
-    "ann_filtered_learned_recall": 14,
+    "ann_filtered_topk": 18,
+    "ann_filtered_learned_topk": 18,
+    "ann_filtered_recall": 18,
+    "ann_filtered_learned_recall": 18,
     "dsir_resample_plan": 15,
-    "dsir_sample": 14,
+    "dsir_sample": 18,
     "sequence_pack_ffd": 16,
     "training_order": 17,
     "sequence_pack_greedy": 15,
@@ -1670,20 +1670,19 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "dedup_index_probe_stream": 17,
     "lm_score_stream": 15,
     "dsir_score_stream": 17,
-    "dsir_sample_stream": 14,
+    "dsir_sample_stream": 18,
     "contamination_bloom_stream": 17,
     "pii_scrub_stream": 17,
     "dedup_edit_probe_stream": 15,
     "dedup_image_probe_stream": 16,
     "dedup_video_probe_stream": 17,
     "dedup_audio_probe_stream": 17,
-    # round-18 registrations — never certified, auto-enter the r18 window
-    "bpe_tokenize_stream": None,
-    "bpe_fertility_by_source": None,
-    "corpus_build_funnel": None,
-    "ann_ivfpq_probe_stream": None,
-    "ingest_gate_stream": None,
-    "range_join_stream": 14,
+    "bpe_tokenize_stream": 18,
+    "bpe_fertility_by_source": 18,
+    "corpus_build_funnel": 18,
+    "ann_ivfpq_probe_stream": 18,
+    "ingest_gate_stream": 18,
+    "range_join_stream": 18,
 }
 
 
