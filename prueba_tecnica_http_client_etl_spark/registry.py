@@ -1698,9 +1698,12 @@ _ANCHORS = ["clean_coerce", "kpi_daily", "kpi_report_endpoint", "kpi_global"]
 # Window budget: 4 anchors + |never| + touched + forced-stale rows
 # must stay <= 50.
 _TOUCHED_THIS_ROUND: list[str] = [
-    # round-18 starts empty after the ledger refresh; queries re-enter
-    # here as their executed plans or oracles change during the round.
-    "dedup_survivors",  # decision table became a snapshot-keyed artifact
+    # round-19 (optimization round): queries re-enter here as their
+    # EXECUTED PLANS change — results are identical by contract (each
+    # change verified against the DuckDB oracle before landing), but a
+    # green row from a previous round does not certify this round's plan.
+    "ann_ivfpq_probe_stream",  # frozen probe state hoisted out of the per-batch path
+    "kpi_anomaly_days",  # KPI frame pool-persisted: 4 raw-log scans -> 1
 ]
 
 # Round-18 projection (ledger after r17, verified against the

@@ -35,20 +35,30 @@ from pyspark.sql import functions as F
 DOC_SCHEMA = "vec_id long"
 
 
-def ann_probe_batch(batch: DataFrame, *, prefix: str) -> DataFrame:
+def ann_probe_batch(
+    batch: DataFrame, *, prefix: str, frozen: tuple | None = None
+) -> DataFrame:
     """(query_id, neighbor_id, rank, cosine_p1) for one micro-batch of
     arriving query ids against the frozen code index — probe_pq_index
     verbatim (the serving kernel), vectors fetched from the refine
     store by LITERAL id set: the batch ids are driver-bounded (the
     probe-batch contract), so the fetch is a bucket-pruned point
     lookup, never a store scan — a broadcast join would read the whole
-    refine store per micro-batch at corpus scale."""
+    refine store per micro-batch at corpus scale.
+
+    `frozen` is the pre-collected (centroid rows, codebook arrays)
+    probe state from plans.pq_index.collect_pq_probe_state: the stream
+    driver collects it ONCE and threads it through every micro-batch —
+    re-collecting per batch cost ~2 driver collect jobs + 4 catalog
+    round-trips per batch of state that never changes between re-trains
+    (round-18 verdict item 1; the ingest_gate_stream frozen-state
+    pattern applied here)."""
     from ..plans.pq_index import probe_pq_index
 
     spark = batch.sparkSession
     ids = sorted(r.vec_id for r in batch.select("vec_id").distinct().collect())
     queries = spark.table(f"{prefix}_vecs").filter(F.col("vec_id").isin(ids))
-    return probe_pq_index(spark, queries, prefix=prefix, rerank=True)
+    return probe_pq_index(spark, queries, prefix=prefix, rerank=True, _frozen=frozen)
 
 
 def run_ann_probe(
@@ -63,9 +73,15 @@ def run_ann_probe(
     """Drive the query-id file stream to completion (availableNow),
     probing every micro-batch against the frozen code index with
     idempotent per-batch overwrite. Returns the read-back union
-    (query_id, neighbor_id, rank, cosine_p1, batch_id)."""
+    (query_id, neighbor_id, rank, cosine_p1, batch_id).
+
+    The frozen probe state (centroids + codebook) is collected HERE,
+    once per stream run, and threaded into every micro-batch — the
+    per-batch path re-derives only what actually depends on the batch."""
+    from ..plans.pq_index import collect_pq_probe_state
     from .runner import run_transform_stream
 
+    frozen = collect_pq_probe_state(spark, prefix=prefix)
     return run_transform_stream(
         spark,
         input_path,
@@ -73,7 +89,7 @@ def run_ann_probe(
         schema=DOC_SCHEMA,
         layer="neighbors",
         checkpoint=checkpoint,
-        transform=lambda batch: ann_probe_batch(batch, prefix=prefix),
+        transform=lambda batch: ann_probe_batch(batch, prefix=prefix, frozen=frozen),
         one_file_per_batch=one_file_per_batch,
         drain_pool_per_batch=True,
     )

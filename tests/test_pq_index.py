@@ -56,6 +56,29 @@ def test_rerank_probe_matches_ann_ivfpq_rerank(spark, built):
     assert got, "no rerank results at smoke scale"
 
 
+def test_frozen_state_probe_is_byte_identical(spark, built):
+    """probe_pq_index with pre-collected frozen state (the streaming
+    probe's hoisted path — round-19 optimization) returns byte-identical
+    results to the self-collecting default path, for both probe modes."""
+    _, queries = built
+    frozen = PQI.collect_pq_probe_state(spark, prefix="t_pqidx")
+    for rerank in (False, True):
+        got = [
+            tuple(r)
+            for r in PQI.probe_pq_index(
+                spark, queries, prefix="t_pqidx", rerank=rerank, _frozen=frozen
+            ).collect()
+        ]
+        want = [
+            tuple(r)
+            for r in PQI.probe_pq_index(
+                spark, queries, prefix="t_pqidx", rerank=rerank
+            ).collect()
+        ]
+        assert got == want
+        assert got, "no results at smoke scale"
+
+
 def test_adc_scan_reads_codes_bucket_pruned(spark, built):
     """The ADC stage must read ONLY the probed cells' buckets of the
     codes table (literal cell-id predicate -> SelectedBucketsCount +
