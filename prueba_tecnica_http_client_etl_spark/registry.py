@@ -38,9 +38,39 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def _spread_narrow_scan(df: DataFrame, key: str) -> DataFrame:
+    """Scale-adaptive spread of a scan whose split count is below the
+    core count (guide §2.5 'input skew: one huge unsplittable file').
+
+    The sf testdata ships each table as ONE single-row-group parquet
+    file, so the scan is physically unsplittable and every per-row
+    expression downstream (the 11 salted-md5 streams + timestamp
+    formatting of the dirty-log derivation — measured 1.2 of
+    clean_coerce's 2.0 s at sf0.1) runs in a single task. At production
+    scale the same scan has thousands of row-group splits and this
+    helper is a NO-OP — the partition-count test keeps the 100 TB plan
+    free of the raw-fact-table exchange an unconditional repartition
+    would add (which is why the unconditional form was rejected when
+    measured in an earlier round). The spread keys on a stable row id
+    (never rand() — SPARK-38388), so results are identical under any
+    partitioning."""
+    from pyspark.sql import functions as F
+
+    from .session import default_parallelism
+
+    n = default_parallelism()
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n, F.col(key))
+    return df
+
+
 def _events_clean_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> dirty raw log -> cleaned typed log (single lazy plan)."""
-    return clean_http_log(synthetic.http_log_from_events(load_table(spark, sf_dir, "events")))
+    return clean_http_log(
+        synthetic.http_log_from_events(
+            _spread_narrow_scan(load_table(spark, sf_dir, "events"), "event_id")
+        )
+    )
 
 
 _LOG_CTES = "WITH " + synthetic.sql_http_log_cte().strip() + ",\n" + synthetic.sql_clean_log_cte().strip()
@@ -1704,6 +1734,11 @@ _TOUCHED_THIS_ROUND: list[str] = [
     # green row from a previous round does not certify this round's plan.
     "ann_ivfpq_probe_stream",  # frozen probe state hoisted out of the per-batch path
     "kpi_anomaly_days",  # KPI frame pool-persisted: 4 raw-log scans -> 1
+    # _spread_narrow_scan landed under the whole _events_clean_log family:
+    # the four reference anchors (always in the window) plus these three
+    "kpi_global_exact",
+    "kpi_rollup",
+    "kpi_daily_approx_p90",
 ]
 
 # Round-18 projection (ledger after r17, verified against the
