@@ -834,16 +834,21 @@ def _sparse_knn_frame(spark: SparkSession, sf_dir: str, top_r: int | None) -> Da
     n2 = wpost.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2")).hint("merge")
     a = wpost.select("s", F.col("doc_id").alias("doc_a"), F.col("w").alias("wa"))
     b = wpost.select("s", F.col("doc_id").alias("doc_b"), F.col("w").alias("wb"))
-    half = (
+    # Ordered pairs scored in ONE join+aggregate: the previous
+    # half-pair (doc_a < doc_b) + mirrored-union form computed the
+    # posting self-join and pair aggregate TWICE — Catalyst does not
+    # dedupe the union's two branches (the projections above the
+    # aggregate differ, so ReuseExchange never fires), and the plan
+    # carried two full SortMergeJoin subtrees over the posting table
+    # (round-19 plan audit). Scoring (doc_a != doc_b) directly yields
+    # the identical symmetric pair set — dot is symmetric — from a
+    # single join whose pair output feeds one partial-aggregated
+    # groupBy; at corpus scale that halves the dominant term.
+    sym = (
         a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
-    )
-    sym = half.unionByName(
-        half.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"), F.col("dot")
-        )
     )
     na = n2.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a"))
     nb = n2.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2b"))

@@ -1739,6 +1739,14 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "kpi_global_exact",
     "kpi_rollup",
     "kpi_daily_approx_p90",
+    # _sparse_knn_frame's mirrored-union pair scoring became a single
+    # ordered-pair join+aggregate (one SortMergeJoin instead of two):
+    "sparse_doc_knn",
+    "sparse_doc_knn_approx",
+    "sparse_doc_knn_recall",
+    "hybrid_doc_topk",
+    "hybrid_doc_recall",
+    "hybrid_doc_lexical_recall",
 ]
 
 # Round-18 projection (ledger after r17, verified against the
