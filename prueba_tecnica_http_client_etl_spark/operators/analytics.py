@@ -1446,7 +1446,14 @@ def suppliers_blocking_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.cachepool import managed_persist
 
     li = managed_persist(li)
-    late = li.filter(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+    # late is consumed twice (semi-join left side AND the anti-join's
+    # others_late probe) under DIFFERENT projections, so ReuseExchange
+    # never fires and the distinct aggregate ran twice over the cached
+    # pair table (round-19 plan audit) — persist the small distinct
+    # (order, supplier) pair set once.
+    late = managed_persist(
+        li.filter(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+    )
     others = li.select("l_orderkey", F.col("l_suppkey").alias("supp2"))
     others_late = late.select("l_orderkey", F.col("l_suppkey").alias("supp3"))
     blockers = (

@@ -1747,6 +1747,7 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "hybrid_doc_topk",
     "hybrid_doc_recall",
     "hybrid_doc_lexical_recall",
+    "suppliers_blocking_orders",  # distinct late-pair set persisted (computed 2x before)
 ]
 
 # Round-18 projection (ledger after r17, verified against the
