@@ -1536,18 +1536,18 @@ def q_ingest_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #            order), which bounds staleness: the test asserts every
 #            query older than MAX_STALENESS rounds is in this window.
 
-CURRENT_ROUND = 19
+CURRENT_ROUND = 20
 MAX_STALENESS = 4  # a row certified at round R must re-enter the window
 # by round R + MAX_STALENESS (asserted in tests/test_rotation_ledger.py)
 
 LAST_CERTIFIED: dict[str, int | None] = {
-    "clean_coerce": 18,
-    "kpi_daily": 18,
-    "kpi_report_endpoint": 18,
-    "kpi_global": 18,
-    "kpi_global_exact": 16,
-    "kpi_anomaly_days": 17,
-    "kpi_rollup": 16,
+    "clean_coerce": 19,
+    "kpi_daily": 19,
+    "kpi_report_endpoint": 19,
+    "kpi_global": 19,
+    "kpi_global_exact": 19,
+    "kpi_anomaly_days": 19,
+    "kpi_rollup": 19,
     "pricing_summary": 17,
     "top_revenue_orders": 16,
     "region_revenue": 16,
@@ -1577,14 +1577,14 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "snapshot_merge": 18,
     "user_retention_cohorts": 17,
     "event_funnel": 18,
-    "suppliers_blocking_orders": 17,
+    "suppliers_blocking_orders": 19,
     "rolling_active_users": 17,
     "audio_decode_stats": 18,
     "dedup_edit_distance": 17,
     "token_drift": 18,
-    "sparse_doc_knn": 18,
-    "sparse_doc_knn_approx": 18,
-    "sparse_doc_knn_recall": 18,
+    "sparse_doc_knn": 19,
+    "sparse_doc_knn_approx": 19,
+    "sparse_doc_knn_recall": 19,
     "dedup_exact": 17,
     "dedup_minhash_lsh": 17,
     "dedup_simhash": 17,
@@ -1600,27 +1600,27 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "ann_lsh_recall": 18,
     "embedding_centroids": 18,
     "text_stats": 18,
-    "token_counts": 15,
-    "lang_id": 15,
-    "doc_fingerprint": 15,
-    "tfidf_top_terms": 15,
-    "corpus_mix": 15,
-    "multimodal_meta": 15,
-    "multimodal_frame_sample": 15,
-    "pii_scrub": 15,
-    "contamination_check": 15,
-    "quality_gate": 15,
+    "token_counts": 19,
+    "lang_id": 19,
+    "doc_fingerprint": 19,
+    "tfidf_top_terms": 19,
+    "corpus_mix": 19,
+    "multimodal_meta": 19,
+    "multimodal_frame_sample": 19,
+    "pii_scrub": 19,
+    "contamination_check": 19,
+    "quality_gate": 19,
     "kmeans_embeddings": 18,
-    "vocab_topk": 15,
-    "repetition_score": 15,
-    "sequence_pack": 15,
-    "dedup_containment": 15,
-    "corpus_length_profile": 15,
-    "curation_pipeline": 15,
-    "tokenize_ids": 15,
-    "embedding_center_by_label": 15,
+    "vocab_topk": 19,
+    "repetition_score": 19,
+    "sequence_pack": 19,
+    "dedup_containment": 19,
+    "corpus_length_profile": 19,
+    "curation_pipeline": 19,
+    "tokenize_ids": 19,
+    "embedding_center_by_label": 19,
     "sequence_pack_manifest": 16,
-    "dedup_incremental": 15,
+    "dedup_incremental": 19,
     "dedup_semantic": 16,
     "dedup_lines": 16,
     "quality_score": 16,
@@ -1633,21 +1633,21 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "dedup_survivors": 18,
     "source_overlap_matrix": 16,
     "doc_commonness": 16,
-    "duplicate_rate_by_source": 15,
+    "duplicate_rate_by_source": 19,
     "dedup_cluster_sizes": 18,
     "pii_stats_by_source": 16,
     "lang_confusion": 16,
     "image_decode_stats": 16,
-    "dedup_lsh_capped": 15,
-    "dedup_lsh_cap_audit": 15,
+    "dedup_lsh_capped": 19,
+    "dedup_lsh_cap_audit": 19,
     "embedding_pca_top": 18,
     "ann_pq_topk": 18,
     "ann_pq_rerank": 18,
     "ann_pq_recall": 18,
     "ann_pq_rerank_recall": 18,
-    "minhash_calibration": 15,
-    "dedup_lsh_recall": 15,
-    "dedup_jaccard_prefix": 15,
+    "minhash_calibration": 19,
+    "dedup_lsh_recall": 19,
+    "dedup_jaccard_prefix": 19,
     "corpus_sample_per_source": 18,
     "pq_quantization_error": 18,
     "ann_ivfpq_topk": 18,
@@ -1656,32 +1656,32 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "ann_ivfpq_rerank_recall": 18,
     "corpus_split": 16,
     "corpus_split_stats": 16,
-    "lm_bigram_score": 15,
-    "embedding_outliers": 15,
-    "shingle_df_profile": 15,
-    "contamination_bloom": 15,
-    "split_leakage_check": 15,
+    "lm_bigram_score": 19,
+    "embedding_outliers": 19,
+    "shingle_df_profile": 19,
+    "contamination_bloom": 19,
+    "split_leakage_check": 19,
     "lm_bigram_score_pruned": 17,
     "dsir_importance": 17,
     "ann_filtered_topk": 18,
     "ann_filtered_learned_topk": 18,
     "ann_filtered_recall": 18,
     "ann_filtered_learned_recall": 18,
-    "dsir_resample_plan": 15,
+    "dsir_resample_plan": 19,
     "dsir_sample": 18,
     "sequence_pack_ffd": 16,
     "training_order": 17,
-    "sequence_pack_greedy": 15,
-    "contamination_stats_by_source": 15,
+    "sequence_pack_greedy": 19,
+    "contamination_stats_by_source": 19,
     "dedup_image_phash": 17,
     "image_phash_band_audit": 17,
     "bpe_train_merges": 16,
     "bpe_tokenize": 17,
-    "hybrid_doc_topk": 16,
-    "hybrid_doc_recall": 17,
+    "hybrid_doc_topk": 19,
+    "hybrid_doc_recall": 19,
     "quality_train": 16,
     "quality_gate_learned": 16,
-    "hybrid_doc_lexical_recall": 17,
+    "hybrid_doc_lexical_recall": 19,
     "dedup_audio_fingerprint": 17,
     "multimodal_dup_consensus": 17,
     "dedup_video_frames": 17,
@@ -1689,8 +1689,10 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "dedup_video_recall": 17,
     "audio_fp_band_audit": 17,
     "sequence_pack_bpe_ids": 17,
-    "kpi_daily_approx_p90": 15,
-    "events_distinct_users_approx": 15,
+    "bpe_fertility_by_source": 18,
+    "corpus_build_funnel": 18,
+    "kpi_daily_approx_p90": 19,
+    "events_distinct_users_approx": 19,
     "customer_value_deciles_approx": 15,
     "kpi_daily_stream": 16,
     "sessionize_stream": 16,
@@ -1708,9 +1710,7 @@ LAST_CERTIFIED: dict[str, int | None] = {
     "dedup_video_probe_stream": 17,
     "dedup_audio_probe_stream": 17,
     "bpe_tokenize_stream": 18,
-    "bpe_fertility_by_source": 18,
-    "corpus_build_funnel": 18,
-    "ann_ivfpq_probe_stream": 18,
+    "ann_ivfpq_probe_stream": 19,
     "ingest_gate_stream": 18,
     "range_join_stream": 18,
 }
@@ -1728,26 +1728,10 @@ _ANCHORS = ["clean_coerce", "kpi_daily", "kpi_report_endpoint", "kpi_global"]
 # Window budget: 4 anchors + |never| + touched + forced-stale rows
 # must stay <= 50.
 _TOUCHED_THIS_ROUND: list[str] = [
-    # round-19 (optimization round): queries re-enter here as their
+    # round-20 (optimization round 2): queries re-enter here as their
     # EXECUTED PLANS change — results are identical by contract (each
     # change verified against the DuckDB oracle before landing), but a
     # green row from a previous round does not certify this round's plan.
-    "ann_ivfpq_probe_stream",  # frozen probe state hoisted out of the per-batch path
-    "kpi_anomaly_days",  # KPI frame pool-persisted: 4 raw-log scans -> 1
-    # _spread_narrow_scan landed under the whole _events_clean_log family:
-    # the four reference anchors (always in the window) plus these three
-    "kpi_global_exact",
-    "kpi_rollup",
-    "kpi_daily_approx_p90",
-    # _sparse_knn_frame's mirrored-union pair scoring became a single
-    # ordered-pair join+aggregate (one SortMergeJoin instead of two):
-    "sparse_doc_knn",
-    "sparse_doc_knn_approx",
-    "sparse_doc_knn_recall",
-    "hybrid_doc_topk",
-    "hybrid_doc_recall",
-    "hybrid_doc_lexical_recall",
-    "suppliers_blocking_orders",  # distinct late-pair set persisted (computed 2x before)
 ]
 
 # Round-18 projection (ledger after r17, verified against the
