@@ -31,6 +31,25 @@ occasionally eat a multi-second GC/steal pause (observed: the same query
 tell a real regression from one bad shot. Both raw timings of every
 retried query are recorded in "reran" so retried measurements stay
 auditable (round-5 ADVICE).
+
+Round-20 additions (round-19 verdict item 1 — ADDITIVE only; no existing
+field changed, no query's timing methodology changed):
+
+- `names_sha256`: first 12 hex chars of sha256 over
+  ",".join(sorted(query names)) — lets an external reader mechanically
+  VERIFY its t_alpha->name alignment against the repo registry instead
+  of trusting it.
+- CANARY normalization: a fixed synthetic probe (range -> modular
+  project -> hash aggregate -> noop; no testdata, no registry, ~0.2 s on
+  a quiet host) runs OUTSIDE the timed slots — before the first query,
+  after every CANARY_STRIDE timed runs, and after the last. `c_t[j]` is
+  the canary's seconds on its j-th firing, `c_slot[j]` how many timed
+  query runs had completed by then. This host throttles in multi-minute
+  windows (same code 200-255 s suite totals, r19 closing benches); the
+  canary series timestamps those windows INSIDE the artifact, so a
+  reader can separate host drift (canary inflated too) from a real
+  per-query regression (query moved, canary flat) by dividing each
+  query's seconds by the nearest canary's ratio to the canary median.
 """
 
 from __future__ import annotations
@@ -46,6 +65,40 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 RERUN_THRESHOLD_SEC = 1.0
 FINAL_LINE_BUDGET = 1900  # driver keeps the last 2000 chars of stdout
 N_SLOWEST = 8
+CANARY_STRIDE = 16  # canary probe after every N timed query runs
+
+
+def names_digest(names) -> str:
+    """First 12 hex chars of sha256 over ','.join(sorted names): the
+    mechanical check that an external reader's t_alpha->name alignment
+    used the same name list the bench did."""
+    import hashlib
+
+    return hashlib.sha256(",".join(sorted(names)).encode()).hexdigest()[:12]
+
+
+def run_canary(spark) -> float:
+    """One canary shot: fixed synthetic work (no testdata, no registry)
+    exercising the suite's two cost axes — codegen'd per-row compute and
+    one hash-aggregate exchange — through the same noop sink as the
+    queries. Runs OUTSIDE the timed slots; its series timestamps host
+    throttle windows inside the artifact (module docstring)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 4_000_000)
+        .select(
+            (F.col("id") % 9973).alias("k"),
+            (F.col("id") * 2654435761 % 1000003).alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return round(time.perf_counter() - t0, 3)
 
 
 def build_output_lines(
@@ -53,21 +106,24 @@ def build_output_lines(
     reran: dict[str, list[float]],
     sf: float,
     cpus: int,
+    canary_t: list[float] | None = None,
+    canary_slot: list[int] | None = None,
 ) -> list[str]:
     """The two stdout lines (full, then compact-final). Pure function so
     tests can assert the final line fits the driver's capture window for
     the real registry's query names."""
     total = round(sum(timings.values()), 3)
-    full = json.dumps(
-        {
-            "metric": "query_suite_total_sec",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "reran": reran,
-            "sf": sf,
-        }
-    )
+    full_d: dict = {
+        "metric": "query_suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "reran": reran,
+        "sf": sf,
+    }
+    if canary_t:
+        full_d["canary"] = {"t": canary_t, "slot": canary_slot}
+    full = json.dumps(full_d)
     alpha = sorted(timings)
     compact: dict = {
         "metric": "query_suite_total_sec",
@@ -77,6 +133,7 @@ def build_output_lines(
         "cpus": cpus,
         "n_queries": len(timings),
         "n_reran": len(reran),
+        "names_sha256": names_digest(alpha),
         "t_note": "t_alpha[i] = sec for sorted(registry query names)[i]",
         "t_alpha": [timings[n] for n in alpha],
         "slowest": {
@@ -84,12 +141,18 @@ def build_output_lines(
             for n in sorted(timings, key=timings.get, reverse=True)[:N_SLOWEST]
         },
     }
+    if canary_t:
+        # untimed fixed-work probes bracketing the suite: c_t[j] seconds,
+        # fired after c_slot[j] timed query runs (see module docstring)
+        compact["c_t"] = canary_t
+        compact["c_slot"] = canary_slot
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > FINAL_LINE_BUDGET:  # defensive: shed detail, keep totals+t_alpha
-        compact.pop("slowest", None)
-        line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > FINAL_LINE_BUDGET:
-        compact.pop("t_alpha", None)
+    # defensive shedding, least-essential first: canary series, slowest,
+    # then t_alpha — totals always survive
+    for key in ("c_slot", "c_t", "slowest", "t_alpha"):
+        if len(line) <= FINAL_LINE_BUDGET:
+            break
+        compact.pop(key, None)
         line = json.dumps(compact, separators=(",", ":"))
     return [full, line]
 
@@ -152,8 +215,22 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     reran: dict[str, list[float]] = {}
+    canary_t: list[float] = []
+    canary_slot: list[int] = []
+    slots_done = 0
+
+    def canary() -> None:
+        # outside every timed slot by construction: run_once starts its
+        # own timer after the untimed barrier
+        canary_t.append(run_canary(spark))
+        canary_slot.append(slots_done)
+
+    canary()  # pre-suite reference shot
     for name in ordered:
         timings[name] = run_once(name)
+        slots_done += 1
+        if slots_done % CANARY_STRIDE == 0:
+            canary()
     # Second shots run as a SEPARATE end pass, not back-to-back with the
     # first: host throttling arrives in multi-minute windows, so an
     # immediate rerun lands in the same slow window as the shot it is
@@ -163,8 +240,12 @@ def main() -> int:
         t2 = run_once(name)
         reran[name] = [timings[name], t2]
         timings[name] = min(timings[name], t2)
+        slots_done += 1
+        if slots_done % CANARY_STRIDE == 0:
+            canary()
+    canary()  # post-suite closing shot
 
-    for line in build_output_lines(timings, reran, sf, n_workers):
+    for line in build_output_lines(timings, reran, sf, n_workers, canary_t, canary_slot):
         print(line)
     spark.stop()
     return 0

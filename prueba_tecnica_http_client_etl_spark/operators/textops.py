@@ -813,7 +813,16 @@ def _sparse_knn_frame(spark: SparkSession, sf_dir: str, top_r: int | None) -> Da
     """Shared plan of the exact (top_r=None) and pruned (top_r=R) sparse
     k-NN scoring — see sparse_doc_knn for the full contract. When top_r
     is None the pruning step is entirely absent (the exact tier's
-    certified plan is unchanged, not a no-op window)."""
+    certified plan is unchanged, not a no-op window).
+
+    Round-20 audit note: a consumer that filters this frame on doc_id
+    (hybrid_doc_topk's % QUERY_STRIDE stride) needs no special pushdown
+    path — doc_id is the final window's partition key, the pair
+    aggregate's grouping key and the join key, so Catalyst pushes the
+    predicate through all three onto the a-side scan by itself (verified
+    in plans/r20/hybrid_doc_topk_before.txt: the a-side InMemoryTableScan
+    carries `doc_a % 50 = 0`; an explicit query-side parameter produced
+    an operator-identical plan and was dropped)."""
     from ..functions.cachepool import managed_persist
 
     wp = _sparse_wpost(spark, sf_dir)
@@ -892,8 +901,9 @@ def sparse_doc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape at 100 TB: posting join keyed on shingle with per-key
     fanout bounded by the df cap (pair volume <= cap * |postings|), pair
     aggregation with map-side combine, then a per-doc top-K window over
-    each doc's own candidate list. The undirected half-pair set is
-    computed once and mirrored."""
+    each doc's own candidate list. Ordered pairs (doc_a != doc_b) are
+    scored in ONE join+aggregate — the symmetric pair set from a single
+    posting self-join (round 19; dot is symmetric, so no mirror step)."""
     return _sparse_knn_frame(spark, sf_dir, None)
 
 
@@ -1075,6 +1085,12 @@ def hybrid_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = ann_ivfpq_rerank(spark, sf_dir).select(
         F.col("query_id").alias("doc_id"), "neighbor_id", contrib.alias("c")
     )
+    # The stride filter needs no manual pushdown (round-20 audit):
+    # doc_id is the sparse frame's window partition key / grouping key /
+    # join key, so Catalyst pushes it below the posting self-join onto
+    # the a-side scan by itself — the executed plan scores only strided
+    # query docs (plans/r20/hybrid_doc_topk_before.txt; an explicit
+    # query-side parameter was measured operator-identical and dropped).
     sparse = (
         sparse_doc_knn_approx(spark, sf_dir)
         .filter(F.col("doc_id") % QUERY_STRIDE == 0)

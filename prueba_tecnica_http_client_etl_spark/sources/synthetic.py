@@ -99,10 +99,13 @@ def http_log_from_events(events: DataFrame) -> DataFrame:
     All values are pure functions of (event_id, ts, value) so the DuckDB
     CTE from `sql_http_log_cte()` reproduces them bit-for-bit.
 
-    No pre-spread: the md5-stream projection is cheap enough that the
-    downstream aggregate dominates (measured — a repartition here bought
-    nothing locally and would cost a full exchange of the fact table at
-    scale).
+    Spread: callers that feed this from a scan with fewer splits than
+    cores go through registry._spread_narrow_scan (round 19), which
+    repartitions CONDITIONALLY — only when the scan cannot split (the
+    local single-row-group fixture). An UNCONDITIONAL repartition here
+    was measured and rejected in an earlier round: at scale the events
+    scan has thousands of splits and a flat pre-spread would cost a full
+    exchange of the fact table for nothing.
     """
     ev = events.select(
         "event_id",

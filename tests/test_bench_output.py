@@ -26,9 +26,19 @@ def _fake_suite():
     return names, timings, reran
 
 
+def _fake_canary(n_slots: int):
+    # worst-case canary payload: every query retried -> 2 passes of slots,
+    # one canary per CANARY_STRIDE plus the bracketing pre/post shots,
+    # double-digit canary seconds (a badly throttled host)
+    n = 2 + (2 * n_slots) // bench.CANARY_STRIDE
+    return [12.345] * n, [min(i * bench.CANARY_STRIDE, 2 * n_slots) for i in range(n)]
+
+
 def test_final_line_fits_driver_capture_window():
     names, timings, reran = _fake_suite()
-    lines = bench.build_output_lines(timings, reran, sf=0.1, cpus=32)
+    c_t, c_slot = _fake_canary(len(names))
+    lines = bench.build_output_lines(timings, reran, sf=0.1, cpus=32,
+                                     canary_t=c_t, canary_slot=c_slot)
     assert len(lines) == 2
     final = lines[-1]
     assert len(final) <= bench.FINAL_LINE_BUDGET
@@ -40,6 +50,15 @@ def test_final_line_fits_driver_capture_window():
     assert parsed["t_alpha"] == [timings[n] for n in sorted(names)]
     assert parsed["n_reran"] == len(reran)
     assert 0 < len(parsed["slowest"]) <= bench.N_SLOWEST
+    # round-20 additions: alignment digest + canary series (additive only)
+    assert parsed["names_sha256"] == bench.names_digest(names)
+    assert parsed["c_t"] == c_t and parsed["c_slot"] == c_slot
+
+
+def test_names_digest_detects_misalignment():
+    names, _, _ = _fake_suite()
+    assert bench.names_digest(names) == bench.names_digest(sorted(names))
+    assert bench.names_digest(names) != bench.names_digest(names[:-1])
 
 
 def test_full_line_carries_names_and_retry_audit():
