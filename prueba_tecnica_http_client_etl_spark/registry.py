@@ -1732,6 +1732,18 @@ _TOUCHED_THIS_ROUND: list[str] = [
     # EXECUTED PLANS change — results are identical by contract (each
     # change verified against the DuckDB oracle before landing), but a
     # green row from a previous round does not certify this round's plan.
+    #
+    # The round's one landed engine change — the AQE SMJ->shuffled-hash
+    # threshold (session.py) — is SCALE-GATED: executed plans at the
+    # certified scales (sf0.001/0.01 oracle gate, sf0.1 bench) are
+    # UNCHANGED (verified by final-plan dumps: sf0.1 relational joins
+    # are all broadcast, hinted corpus SMJs survive the rewrite); the
+    # rewrite fires from the 10x replica upward
+    # (plans/r20/suppliers_blocking_orders_shj10x_{before,after}.txt).
+    # Conservative re-certification entries for the two queries whose
+    # code-adjacent surfaces were touched at all this round:
+    "suppliers_blocking_orders",  # the knob's measured 10x beneficiary
+    "ann_ivfpq_probe_stream",  # frozen-state tuple now carries its prefix (guard only)
 ]
 
 # Round-18 projection (ledger after r17, verified against the
